@@ -1,0 +1,135 @@
+"""World initialization, respawn, and pellet/virus regeneration.
+
+Reference: initialize_game/add_pellets/add_viruses/create_squared_pellets
+(Engine.hpp:111-117,418-485), respawn (Engine.hpp:119-137), regeneration
+(Engine.hpp:230-237). Randomness uses the counted-stream RNG (SPEC D2):
+placement of slot n at tick t is a pure function of (seed, stream, t, n).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from agarcl_tpu import constants as C
+from agarcl_tpu import prng
+from agarcl_tpu.config import EnvConfig
+from agarcl_tpu.engine import geometry as G
+
+_INIT_TICK = jnp.int32(-1)  # "tick" counter value for initial placement draws
+
+
+def _random_location(arena_w, arena_h, radius, seed, stream, tick, slot):
+    """Engine::random_location (Engine.hpp:143-148): uniform in
+    [r, W-r) x [r, H-r)."""
+    x = prng.uniform_range(0.0, arena_w - 2.0 * radius, seed, stream, tick,
+                           slot, 0) + radius
+    y = prng.uniform_range(0.0, arena_h - 2.0 * radius, seed, stream, tick,
+                           slot, 1) + radius
+    return jnp.stack([x, y], axis=-1)
+
+
+def squared_pellet_layout(cfg: EnvConfig) -> np.ndarray:
+    """create_squared_pellets (Engine.hpp:426-475): pellet ring on a centered
+    square of side min(W,H)/2, spacing 1, laid out top, right, bottom, left.
+    Deterministic — computed host-side as a constant."""
+    w, h = cfg.arena_width, cfg.arena_height
+    size = min(w, h) / 2
+    n = int(size / 1.0)
+    cx, cy, half = w / 2, h / 2, size / 2
+    pts = []
+    for i in range(n):  # top
+        pts.append((cx - half + i, cy - half))
+    for i in range(n):  # right
+        pts.append((cx + half, cy - half + i))
+    for i in range(n):  # bottom
+        pts.append((cx + half - i, cy + half))
+    for i in range(n):  # left
+        pts.append((cx - half, cy + half - i))
+    pts = [(x, y) for (x, y) in pts if 0 <= x <= w and 0 <= y <= h]
+    return np.asarray(pts, dtype=np.float32)
+
+
+def initial_pellets(cfg: EnvConfig, seed):
+    """(pos (Np,2), alive (Np,)) for a fresh game."""
+    Np = cfg.pellet_capacity
+    if cfg.mode_spec.squared_pellets:
+        layout = squared_pellet_layout(cfg)
+        n = layout.shape[0]
+        pos = np.zeros((Np, 2), np.float32)
+        pos[:n] = layout
+        alive = np.zeros((Np,), bool)
+        alive[:n] = True
+        return jnp.asarray(pos), jnp.asarray(alive)
+    slot = jnp.arange(Np, dtype=jnp.int32)
+    rad = float(np.sqrt(C.PELLET_MASS / np.pi))
+    pos = _random_location(cfg.arena_width, cfg.arena_height, rad, seed,
+                           prng.STREAM_PELLET, _INIT_TICK, slot)
+    alive = slot < cfg.num_pellets
+    return pos, alive
+
+
+def initial_viruses(cfg: EnvConfig, seed):
+    Nv = cfg.virus_capacity
+    slot = jnp.arange(Nv, dtype=jnp.int32)
+    rad = float(np.sqrt(C.VIRUS_INITIAL_MASS / np.pi))
+    pos = _random_location(cfg.arena_width, cfg.arena_height, rad, seed,
+                           prng.STREAM_VIRUS, _INIT_TICK, slot)
+    alive = slot < cfg.num_viruses
+    return pos, alive
+
+
+def respawn_location(cfg: EnvConfig, pellet_pos, seed, tick, player_slot):
+    """Engine::respawn placement (Engine.hpp:119-137).
+
+    Squared-pellet modes place the player near pellet slot 0 offset by two
+    min-cell radii (clamped); otherwise uniform with the min-cell radius
+    margin. player_slot may be an array (vectorized respawn)."""
+    rad25 = float(np.sqrt(C.CELL_MIN_SIZE / np.pi))
+    if cfg.mode_spec.squared_pellets:
+        loc = pellet_pos[0] + 2.0 * rad25
+        loc = jnp.minimum(
+            loc, jnp.asarray([cfg.arena_width - rad25,
+                              cfg.arena_height - rad25], jnp.float32))
+        return jnp.broadcast_to(loc, jnp.shape(player_slot) + (2,))
+    return _random_location(cfg.arena_width, cfg.arena_height, rad25, seed,
+                            prng.STREAM_RESPAWN, tick, player_slot)
+
+
+def regen(cfg: EnvConfig, pellet_pos, pellet_alive, virus_pos, virus_vel,
+          virus_mass, virus_hits, virus_alive, seed, tick):
+    """Engine.hpp:230-237: every REGEN_PERIOD ticks (and only when the mode
+    regenerates), refill pellets and viruses to their targets. Dead slots are
+    refilled lowest-slot-first; placement draws key on (tick, slot)."""
+    due = (tick % C.REGEN_PERIOD) == 0
+
+    def refill(pos, alive, target, stream, rad):
+        n_alive = jnp.sum(alive)
+        deficit = jnp.maximum(target - n_alive, 0)
+        dead_order = jnp.cumsum(~alive) - 1  # order among dead slots
+        fill = due & ~alive & (dead_order < deficit)
+        slot = jnp.arange(alive.shape[0], dtype=jnp.int32)
+        new_pos = _random_location(cfg.arena_width, cfg.arena_height, rad,
+                                   seed, stream, tick, slot)
+        pos = jnp.where(fill[:, None], new_pos, pos)
+        return pos, alive | fill
+
+    rad_p = float(np.sqrt(C.PELLET_MASS / np.pi))
+    rad_v = float(np.sqrt(C.VIRUS_INITIAL_MASS / np.pi))
+    pellet_pos, pellet_alive = refill(pellet_pos, pellet_alive,
+                                      cfg.num_pellets, prng.STREAM_PELLET,
+                                      rad_p)
+    nv_alive = jnp.sum(virus_alive)
+    deficit_v = jnp.maximum(cfg.num_viruses - nv_alive, 0)
+    dead_order = jnp.cumsum(~virus_alive) - 1
+    fill_v = due & ~virus_alive & (dead_order < deficit_v)
+    slot = jnp.arange(virus_alive.shape[0], dtype=jnp.int32)
+    new_vpos = _random_location(cfg.arena_width, cfg.arena_height, rad_v,
+                                seed, prng.STREAM_VIRUS, tick, slot)
+    virus_pos = jnp.where(fill_v[:, None], new_vpos, virus_pos)
+    virus_vel = jnp.where(fill_v[:, None], 0.0, virus_vel)
+    virus_mass = jnp.where(fill_v, jnp.int32(C.VIRUS_INITIAL_MASS), virus_mass)
+    virus_hits = jnp.where(fill_v, 0, virus_hits)
+    virus_alive = virus_alive | fill_v
+    return (pellet_pos, pellet_alive, virus_pos, virus_vel, virus_mass,
+            virus_hits, virus_alive)

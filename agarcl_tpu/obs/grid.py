@@ -1,0 +1,144 @@
+"""Grid observations: ego-centric multi-channel integer grids.
+
+Channel semantics follow GridObservation
+(/root/reference/environment/envs/GridEnvironment.hpp:91-123,188-209):
+
+  per frame: [ out-of-bounds (0 / -1),
+               pellet presence (entity mass at bin), pellet total-mass,
+               virus presence, virus total-mass,
+               own-cells total-mass,
+               other-cells min-mass, other-cells max-mass ]
+
+with each observe_* flag removing its channels. Entities bin at their center
+via gx = trunc(G*dx/view + G/2) with view = clamp(2*player_mass, 100, 300)
+(GridEnvironment.hpp:251-279); truncation (not floor) matches the C int cast.
+
+Pinned deviations (documented):
+- "at_least" channels use scatter-max instead of vector-iteration-order
+  overwrite (identical for pellets, which all have mass 1).
+- The reference wrapper calls _partial_observation once with tick_index=0, so
+  with the default num_frames=1 < ticks_per_step its frame_index is negative
+  and grid observations are never written (GridEnvironment.hpp:425-431 — the
+  grid path is also broken at AgarioEnv.py:226). We implement the documented
+  intent: the last num_frames ticks of a step each contribute a frame.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+from agarcl_tpu.config import EnvConfig
+from agarcl_tpu.state import GameState
+
+_INF = jnp.int32(2**30)
+
+
+@dataclasses.dataclass(frozen=True)
+class GridObsConfig:
+    num_frames: int = 1
+    grid_size: int = 128
+    observe_cells: bool = True
+    observe_others: bool = True
+    observe_viruses: bool = True
+    observe_pellets: bool = True
+
+    @property
+    def channels_per_frame(self) -> int:
+        return int(1 + self.observe_cells + 2 * self.observe_others
+                   + 2 * self.observe_viruses + 2 * self.observe_pellets)
+
+
+def _to_grid(pos, center, view, G):
+    """World -> grid bin with C-style trunc cast; returns (gx, gy, inside)."""
+    diff = pos - center
+    g = jnp.trunc(G * diff / view + G / 2.0).astype(jnp.int32)
+    gx, gy = g[..., 0], g[..., 1]
+    inside = (gx >= 0) & (gx < G) & (gy >= 0) & (gy < G)
+    return gx, gy, inside
+
+
+def grid_frame(cfg: EnvConfig, ocfg: GridObsConfig,
+               state: GameState) -> jnp.ndarray:
+    """(A, channels_per_frame, G, G) int32 — one frame per agent."""
+    A = cfg.num_agents
+    G = ocfg.grid_size
+    centroid = state.player_centroid()[:A]                   # (A,2)
+    pmass = state.player_mass()[:A].astype(jnp.float32)
+    view = jnp.clip(2.0 * pmass, 100.0, 300.0)[:, None]      # (A,1)
+
+    def scat(pos, alive, mass, op):
+        """Scatter per agent over entity axis; (A, G, G) int32."""
+        gx, gy, inside = _to_grid(pos[None, :, :], centroid[:, None, :],
+                                  view[..., None], G)
+        ok = inside & alive[None, :]
+        gx = jnp.where(ok, gx, G)                            # dropped
+        m = mass.astype(jnp.int32)[None, :] * ok
+        if op == "add":
+            out = jnp.zeros((A, G, G), jnp.int32)
+            return out.at[jnp.arange(A)[:, None], gx, gy].add(
+                m, mode="drop")
+        if op == "max":
+            out = jnp.zeros((A, G, G), jnp.int32)
+            return out.at[jnp.arange(A)[:, None], gx, gy].max(
+                jnp.where(ok, m, 0), mode="drop")
+        if op == "min":
+            out = jnp.full((A, G, G), _INF)
+            out = out.at[jnp.arange(A)[:, None], gx, gy].min(
+                jnp.where(ok, m, _INF), mode="drop")
+            return jnp.where(out == _INF, 0, out)
+        raise ValueError(op)
+
+    chans = []
+    # out-of-bounds channel (GridEnvironment.hpp:240-248)
+    ij = jnp.arange(G, dtype=jnp.float32)
+    dx = (ij[:, None] - G / 2.0) * view[:, :, None] / G      # (A,G,1)
+    dy = (ij[None, :] - G / 2.0) * view[:, :, None] / G      # broadcast below
+    wx = centroid[:, 0:1, None] + dx                         # (A,G,1)
+    wy = centroid[:, 1:2, None] + (ij[None, None, :] - G / 2.0) * view[:, :, None] / G
+    in_bounds = ((wx >= 0) & (wx < cfg.arena_width)
+                 & (wy >= 0) & (wy < cfg.arena_height))      # (A,G,G)
+    chans.append(jnp.where(in_bounds, 0, -1).astype(jnp.int32))
+
+    if ocfg.observe_pellets:
+        ones = jnp.ones_like(state.pellet_alive, jnp.int32)
+        chans.append(scat(state.pellet_pos, state.pellet_alive, ones, "max"))
+        chans.append(scat(state.pellet_pos, state.pellet_alive, ones, "add"))
+    if ocfg.observe_viruses:
+        chans.append(scat(state.virus_pos, state.virus_alive,
+                          state.virus_mass, "max"))
+        chans.append(scat(state.virus_pos, state.virus_alive,
+                          state.virus_mass, "add"))
+
+    P, Cc = state.cell_mass.shape
+    flat_pos = state.cell_pos.reshape(P * Cc, 2)
+    flat_mass = state.cell_mass.reshape(P * Cc)
+    flat_alive = state.cell_alive.reshape(P * Cc)
+    owner = jnp.repeat(jnp.arange(P), Cc)
+
+    if ocfg.observe_cells:
+        own = jnp.zeros((A, P * Cc), bool)
+        for a_idx in range(A):
+            own = own.at[a_idx].set(flat_alive & (owner == a_idx))
+        # per-agent alive mask differs -> loop channels per agent via masks
+        out = []
+        for a_idx in range(A):
+            out.append(scat(flat_pos, own[a_idx], flat_mass, "add")[a_idx])
+        chans.append(jnp.stack(out))
+    if ocfg.observe_others:
+        mins, maxs = [], []
+        for a_idx in range(A):
+            others = flat_alive & (owner != a_idx)
+            mins.append(scat(flat_pos, others, flat_mass, "min")[a_idx])
+            maxs.append(scat(flat_pos, others, flat_mass, "max")[a_idx])
+        chans.append(jnp.stack(mins))
+        chans.append(jnp.stack(maxs))
+
+    return jnp.stack(chans, axis=1)                          # (A, C, G, G)
+
+
+def grid_observe(cfg: EnvConfig, ocfg: GridObsConfig,
+                 state: GameState) -> jnp.ndarray:
+    """Single-frame convenience wrapper: (A, C, G, G)."""
+    return grid_frame(cfg, ocfg, state)

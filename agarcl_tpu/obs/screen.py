@@ -1,0 +1,205 @@
+"""Screen observations: analytic circle rasterization replacing the OpenGL
+render path (renderer + FBO + glReadPixels,
+/root/reference/agario/rendering/renderer.hpp:38-213,
+/root/reference/agario/rendering/FrameBufferObject.hpp:52-259,
+/root/reference/environment/envs/ScreenEnvironment.hpp:24-246).
+
+Geometry: the reference renders circles at z=0 through a 45-degree-FOV
+perspective camera hovering at z = clamp(100 + mass/10, 100, 900) directly
+above the player centroid (renderer.hpp:91-120). A perspective projection of
+the z=0 plane from a top-down camera is an affine map, so the visible world
+window is the square of half-extent z*tan(22.5 deg) and rasterization reduces
+to a 2-D coverage test per pixel center — no GL needed. Row 0 is the bottom
+row (glReadPixels origin).
+
+agent_view (4-channel semantic) mode reproduces the *effective* channel
+semantics of multi_channel_render_screen + post_processing_frame_data
+(renderer.hpp:128-155, ScreenEnvironment.hpp:48-88): per pixel, the topmost
+entity class in draw order [grid < pellets < foods < main < others < viruses]
+determines the value:
+
+  background (0,0,0,0) | grid lines (0,0,0,26) | pellet/food (255,0,0,0)
+  main player (0,0,0,230) | other players (0,255,0,0) | virus (0,0,255,0)
+
+(The reference's post-processing loop contains dead branches — e.g. the alpha
+clause `data[i]==0 && data[i]==255` at ScreenEnvironment.hpp:57 is always
+false — so we pin the clean semantics its consumers, e.g. the video
+colorizer at AgarioEnv.py:168-181, actually rely on.)
+
+Natural RGB mode: white background, grid lines (26,0,0), pellets red, foods
+red, players green, main player (230,0,0), viruses blue — the fixed semantic
+palette of renderables.hpp:106-134 (the reference's natural mode uses random
+per-player colors; we pin the deterministic palette) — with GL_RGB565
+quantization emulation (FrameBufferObject.hpp:187).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax.numpy as jnp
+
+from agarcl_tpu.config import EnvConfig
+from agarcl_tpu.state import GameState
+from agarcl_tpu.engine import geometry as G
+
+_TAN_HALF_FOV = math.tan(math.radians(45.0 / 2.0))
+_NUM_GRID_LINES = 8  # renderer.hpp:26
+
+
+@dataclasses.dataclass(frozen=True)
+class ScreenObsConfig:
+    screen_len: int = 84
+    agent_view: bool = False
+    num_frames: int = 1
+
+
+def _pixel_world_coords(center, z, S):
+    """World coordinates of pixel centers: (..., S) for x and y separately.
+
+    center: (A, 2); z: (A,). Returns (wx (A,S), wy (A,S), half (A,),
+    pixel_half (A,)).
+    """
+    half = z * _TAN_HALF_FOV
+    idx = (jnp.arange(S, dtype=jnp.float32) + 0.5) * 2.0 / S - 1.0  # (-1,1)
+    wx = center[:, 0:1] + idx[None, :] * half[:, None]
+    wy = center[:, 1:2] + idx[None, :] * half[:, None]
+    pixel_half = half / S
+    return wx, wy, half, pixel_half
+
+
+def _circle_cover(wx, wy, pos, rad, alive):
+    """(A, S, S) bool: any live circle covers the pixel center.
+
+    wx/wy: (A, S); pos: (N, 2); rad: (N,); alive: (N,).
+    """
+    dx = wx[:, None, :] - pos[None, :, 0, None]              # (A, N, S)
+    dy = wy[:, None, :] - pos[None, :, 1, None]
+    r2 = (rad * rad)[None, :, None]
+    # coverage[a, i, j] = any_n (dx[a,n,j]^2 + dy[a,n,i]^2 <= r2)
+    cov = (dx[:, :, None, :] ** 2 + dy[:, :, :, None] ** 2) \
+        <= r2[:, :, :, None]
+    cov = cov & alive[None, :, None, None]
+    return jnp.any(cov, axis=1)
+
+
+def _grid_cover(wx, wy, pixel_half, arena_w, arena_h):
+    """(A, S, S) bool — pixel lies on one of the 8x8 arena grid lines
+    (renderables.hpp:245-340: lines at k/(NLines-1) * arena)."""
+    ks = jnp.arange(_NUM_GRID_LINES, dtype=jnp.float32) / (_NUM_GRID_LINES - 1)
+    xs = ks * arena_w
+    ys = ks * arena_h
+    ph = pixel_half[:, None, None]
+    on_v = jnp.any(jnp.abs(wx[:, None, :] - xs[None, :, None]) <= ph, axis=1)
+    on_h = jnp.any(jnp.abs(wy[:, None, :] - ys[None, :, None]) <= ph, axis=1)
+    # also only inside the arena span of the lines (0..arena)
+    in_x = (wx >= -1e-3) & (wx <= arena_w + 1e-3)
+    in_y = (wy >= -1e-3) & (wy <= arena_h + 1e-3)
+    return (on_v & in_y[:, :, None] & in_x[:, None, :]) | \
+        (on_h[:, :, None] & in_x[:, None, :] & in_y[:, :, None])
+
+
+def _class_map(cfg: EnvConfig, state: GameState, S: int):
+    """(A, S, S) int32 class id: 0 bg, 1 grid, 2 pellet, 3 food, 4 main,
+    5 other, 6 virus — topmost-in-draw-order per pixel."""
+    A = cfg.num_agents
+    centroid = state.player_centroid()[:A]
+    pmass = state.player_mass()[:A].astype(jnp.float32)
+    z = jnp.clip(100.0 + pmass / 10.0, 100.0, 900.0)         # renderer.hpp:91
+    wx, wy, half, ph = _pixel_world_coords(centroid, z, S)
+
+    cls = jnp.zeros((A, S, S), jnp.int32)
+
+    grid = _grid_cover(wx, wy, ph, cfg.arena_width, cfg.arena_height)
+    cls = jnp.where(grid, 1, cls)
+
+    rad_pellet = G.radius(jnp.float32(1.0))
+    Np = state.pellet_alive.shape[0]
+    pel = _circle_cover(wx, wy, state.pellet_pos,
+                        jnp.full((Np,), rad_pellet), state.pellet_alive)
+    cls = jnp.where(pel, 2, cls)
+
+    rad_food = G.radius(jnp.float32(10.0))
+    Nf = state.food_alive.shape[0]
+    foo = _circle_cover(wx, wy, state.food_pos,
+                        jnp.full((Nf,), rad_food), state.food_alive)
+    cls = jnp.where(foo, 3, cls)
+
+    # players: main agent first, then others drawn over it
+    # (multi_channel_render_screen draws main then others; natural mode draws
+    # in pid order — we use main-then-others for both)
+    P, Cc = state.cell_mass.shape
+    flat_pos = state.cell_pos.reshape(P * Cc, 2)
+    flat_rad = G.radius(state.cell_mass).reshape(P * Cc)
+    flat_alive = state.cell_alive.reshape(P * Cc)
+    owner = jnp.repeat(jnp.arange(P), Cc)
+
+    for a_idx in range(A):
+        mine = flat_alive & (owner == a_idx)
+        others = flat_alive & (owner != a_idx)
+        main_cov = _circle_cover(wx[a_idx:a_idx + 1], wy[a_idx:a_idx + 1],
+                                 flat_pos, flat_rad, mine)[0]
+        oth_cov = _circle_cover(wx[a_idx:a_idx + 1], wy[a_idx:a_idx + 1],
+                                flat_pos, flat_rad, others)[0]
+        cls_a = cls[a_idx]
+        cls_a = jnp.where(main_cov, 4, cls_a)
+        cls_a = jnp.where(oth_cov, 5, cls_a)
+        cls = cls.at[a_idx].set(cls_a)
+
+    vir = _circle_cover(wx, wy, state.virus_pos,
+                        G.radius(state.virus_mass), state.virus_alive)
+    cls = jnp.where(vir, 6, cls)
+    return cls
+
+
+def _rgb565(rgb):
+    """Emulate GL_RGB565 storage (FrameBufferObject.hpp:187): quantize to
+    5/6/5 bits and expand back to 8."""
+    r = (rgb[..., 0].astype(jnp.int32) >> 3)
+    g = (rgb[..., 1].astype(jnp.int32) >> 2)
+    b = (rgb[..., 2].astype(jnp.int32) >> 3)
+    r8 = (r << 3) | (r >> 2)
+    g8 = (g << 2) | (g >> 4)
+    b8 = (b << 3) | (b >> 2)
+    return jnp.stack([r8, g8, b8], axis=-1).astype(jnp.uint8)
+
+
+# class color tables
+_AGENT_VIEW_COLORS = jnp.asarray([
+    [0, 0, 0, 0],        # background
+    [0, 0, 0, 26],       # grid line
+    [255, 0, 0, 0],      # pellet
+    [255, 0, 0, 0],      # food
+    [0, 0, 0, 230],      # main player
+    [0, 255, 0, 0],      # other players
+    [0, 0, 255, 0],      # virus
+], dtype=jnp.uint8)
+
+_NATURAL_COLORS = jnp.asarray([
+    [255, 255, 255],     # background (white clear, renderer.hpp:174)
+    [26, 0, 0],          # grid line (renderables.hpp grid color 0.1,0,0)
+    [255, 0, 0],         # pellet
+    [255, 0, 0],         # food
+    [230, 0, 0],         # main player (0.9 red)
+    [0, 255, 0],         # other players
+    [0, 0, 255],         # virus
+], dtype=jnp.uint8)
+
+
+def screen_frame(cfg: EnvConfig, ocfg: ScreenObsConfig,
+                 state: GameState) -> jnp.ndarray:
+    """(A, S, S, 3|4) uint8 — one frame per agent."""
+    S = ocfg.screen_len
+    cls = _class_map(cfg, state, S)
+    if ocfg.agent_view:
+        return _AGENT_VIEW_COLORS[cls]
+    return _rgb565(_NATURAL_COLORS[cls])
+
+
+def render_rgb(cfg: EnvConfig, state: GameState, size: int = 512):
+    """Human-viewable natural-color render of agent 0's perspective
+    (the rgb_array render mode, AgarioEnv.py:143-150)."""
+    ocfg = ScreenObsConfig(screen_len=size, agent_view=False)
+    frame = screen_frame(cfg, ocfg, state)[0]
+    return frame[::-1]  # flip to row-0-top for viewing

@@ -1,0 +1,163 @@
+"""Fixed-capacity struct-of-arrays game state (a JAX pytree).
+
+Replaces the reference's pointer-rich dynamic containers
+(/root/reference/agario/engine/GameState.hpp:41-69: `unordered_map<pid,
+shared_ptr<Player>>`, `vector<Pellet/Food/Virus>`) with shape-static arrays +
+alive masks so the whole simulation is traceable/compilable, `vmap`-able over
+thousands of envs, and shardable with `shard_map`.
+
+All per-entity data is stored unbatched (one env); batching is always an outer
+`vmap`. Integer masses (int32) mirror the reference's unsigned-int mass
+arithmetic (SPEC Q13).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from agarcl_tpu import constants as C
+from agarcl_tpu.config import EnvConfig
+
+
+@struct.dataclass
+class GameState:
+    # --- players (P = num_agents + bots; slot index IS the pid: SPEC D1) ---
+    target: jax.Array          # (P, 2) f32 — movement target (Player.hpp:28)
+    action: jax.Array          # (P,)  i32 — {0 none, 1 feed, 2 split}
+    split_cooldown: jax.Array  # (P,)  i32
+    feed_cooldown: jax.Array   # (P,)  i32
+    elapsed_ticks: jax.Array   # (P,)  i32 — per-player tick count
+    last_decay_tick: jax.Array # (P,)  i32
+    anti_team_decay: jax.Array # (P,)  f32
+    virus_eaten_ticks: jax.Array  # (P, K) i32 — ring buffer, -2**30 = empty
+    virus_eaten_ptr: jax.Array    # (P,) i32 — next write slot
+    food_eaten: jax.Array      # (P,) i32 — pellet-eat stat (Player.hpp:37)
+    highest_mass: jax.Array    # (P,) i32
+    cells_eaten: jax.Array     # (P,) i32
+    viruses_eaten: jax.Array   # (P,) i32
+
+    # --- cells (P, Cc = max_cells) ---
+    cell_pos: jax.Array        # (P, Cc, 2) f32
+    cell_vel: jax.Array        # (P, Cc, 2) f32
+    cell_split_vel: jax.Array  # (P, Cc, 2) f32 — splitting_velocity (Entities.hpp)
+    cell_mass: jax.Array       # (P, Cc) i32
+    cell_alive: jax.Array      # (P, Cc) bool
+    cell_id: jax.Array         # (P, Cc) i32 — monotonic creation id (Ball.hpp:97)
+    cell_recombine_at: jax.Array  # (P, Cc) i32 — elapsed_ticks when mergeable (SPEC D3)
+    next_cell_id: jax.Array    # () i32 — per-env id counter
+
+    # --- pellets (Np,) ---
+    pellet_pos: jax.Array      # (Np, 2) f32
+    pellet_alive: jax.Array    # (Np,) bool
+
+    # --- viruses (Nv,) ---
+    virus_pos: jax.Array       # (Nv, 2) f32
+    virus_vel: jax.Array       # (Nv, 2) f32
+    virus_mass: jax.Array      # (Nv,) i32
+    virus_hits: jax.Array      # (Nv,) i32 — food-hit counter (Entities.hpp:110-112)
+    virus_alive: jax.Array     # (Nv,) bool
+
+    # --- foods / ejected mass (Nf,) ---
+    food_pos: jax.Array        # (Nf, 2) f32
+    food_vel: jax.Array        # (Nf, 2) f32
+    food_alive: jax.Array      # (Nf,) bool
+    food_next: jax.Array       # () i32 — ring pointer (SPEC Q14)
+
+    # --- globals ---
+    ticks: jax.Array           # () i32 — engine tick counter (GameState.hpp)
+    seed: jax.Array            # () u32 — RNG stream seed (SPEC D2)
+    dones: jax.Array           # (A,) bool — per-agent done flags
+    main_respawned: jax.Array  # () bool — screen-env respawn flag
+
+    @property
+    def num_players(self) -> int:
+        return self.target.shape[0]
+
+    @property
+    def max_cells(self) -> int:
+        return self.cell_pos.shape[1]
+
+    def player_mass(self) -> jax.Array:
+        """(..., P) i32 — total mass per player (Player.hpp:121-126).
+
+        Negative axes so the helpers also work on vmap-batched states."""
+        return jnp.sum(jnp.where(self.cell_alive, self.cell_mass, 0), axis=-1)
+
+    def player_alive(self) -> jax.Array:
+        """(..., P) bool — a player is dead when it has no cells
+        (Player.hpp:88)."""
+        return jnp.any(self.cell_alive, axis=-1)
+
+    def player_centroid(self) -> jax.Array:
+        """(P, 2) f32 — mass-weighted cell centroid (Player.hpp:102-114).
+
+        Dead players get (0, 0) (reference would divide by zero; callers only
+        use centroids of live players).
+        """
+        w = jnp.where(self.cell_alive, self.cell_mass, 0).astype(jnp.float32)
+        total = jnp.sum(w, axis=-1, keepdims=True)
+        num = jnp.sum(self.cell_pos * w[..., None], axis=-2)
+        return num / jnp.maximum(total, 1.0)
+
+    def cell_rank(self) -> jax.Array:
+        """(P, Cc) i32 — rank of each live cell among its player's cells by id.
+
+        This is the pinned "vector order" used for all order-dependent
+        resolutions (SPEC M1-M7). Dead cells rank after all live ones.
+        """
+        big = jnp.int32(2**30)
+        key = jnp.where(self.cell_alive, self.cell_id, big)
+        order = jnp.argsort(key, axis=-1)
+        ranks = jnp.argsort(order, axis=-1)
+        return ranks.astype(jnp.int32)
+
+
+def zero_state(cfg: EnvConfig) -> GameState:
+    """All-empty state with the correct static shapes."""
+    P = cfg.num_players
+    Cc = cfg.max_cells
+    Np = cfg.pellet_capacity
+    Nv = cfg.virus_capacity
+    Nf = cfg.food_capacity
+    K = cfg.virus_ticks_capacity
+    f32, i32 = jnp.float32, jnp.int32
+    return GameState(
+        target=jnp.zeros((P, 2), f32),
+        action=jnp.zeros((P,), i32),
+        split_cooldown=jnp.zeros((P,), i32),
+        feed_cooldown=jnp.zeros((P,), i32),
+        elapsed_ticks=jnp.zeros((P,), i32),
+        last_decay_tick=jnp.zeros((P,), i32),
+        anti_team_decay=jnp.ones((P,), f32),
+        virus_eaten_ticks=jnp.full((P, K), -(2**30), i32),
+        virus_eaten_ptr=jnp.zeros((P,), i32),
+        food_eaten=jnp.zeros((P,), i32),
+        highest_mass=jnp.full((P,), C.CELL_MIN_SIZE, i32),
+        cells_eaten=jnp.zeros((P,), i32),
+        viruses_eaten=jnp.zeros((P,), i32),
+        cell_pos=jnp.zeros((P, Cc, 2), f32),
+        cell_vel=jnp.zeros((P, Cc, 2), f32),
+        cell_split_vel=jnp.zeros((P, Cc, 2), f32),
+        cell_mass=jnp.zeros((P, Cc), i32),
+        cell_alive=jnp.zeros((P, Cc), bool),
+        cell_id=jnp.zeros((P, Cc), i32),
+        cell_recombine_at=jnp.zeros((P, Cc), i32),
+        next_cell_id=jnp.zeros((), i32),
+        pellet_pos=jnp.zeros((Np, 2), f32),
+        pellet_alive=jnp.zeros((Np,), bool),
+        virus_pos=jnp.zeros((Nv, 2), f32),
+        virus_vel=jnp.zeros((Nv, 2), f32),
+        virus_mass=jnp.full((Nv,), C.VIRUS_INITIAL_MASS, i32),
+        virus_hits=jnp.zeros((Nv,), i32),
+        virus_alive=jnp.zeros((Nv,), bool),
+        food_pos=jnp.zeros((Nf, 2), f32),
+        food_vel=jnp.zeros((Nf, 2), f32),
+        food_alive=jnp.zeros((Nf,), bool),
+        food_next=jnp.zeros((), i32),
+        ticks=jnp.zeros((), i32),
+        seed=jnp.zeros((), jnp.uint32),
+        dones=jnp.zeros((cfg.num_agents,), bool),
+        main_respawned=jnp.zeros((), bool),
+    )

@@ -1,0 +1,100 @@
+"""Batched (vmapped) environments — the TPU replacement for the reference's
+one-process-one-game model and its ThreadPool bot evaluator
+(/root/reference/agario/bots/benchmark.cpp:134-171, SURVEY §2 item 7).
+
+Thousands of lockstep games run per chip under one jit; `parallel.mesh`
+shards the env axis across chips/hosts.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from agarcl_tpu.config import EnvConfig
+from agarcl_tpu.env import env_reset, env_step
+from agarcl_tpu.obs.grid import GridObsConfig, grid_frame
+from agarcl_tpu.obs.ram import RamObsConfig, ram_frame
+from agarcl_tpu.state import GameState
+
+
+def make_obs_fn(cfg: EnvConfig, obs_type: str, obs_config=None):
+    """Returns (frame_fn, num_frames) for an observation type
+    ('none' | 'ram' | 'grid')."""
+    if obs_type == "none":
+        return None, 1
+    if obs_type == "ram":
+        ocfg = obs_config or RamObsConfig()
+        return functools.partial(ram_frame, cfg, ocfg), 1
+    if obs_type == "grid":
+        ocfg = obs_config or GridObsConfig()
+        return functools.partial(grid_frame, cfg, ocfg), ocfg.num_frames
+    raise ValueError(f"unknown obs_type {obs_type!r}")
+
+
+class VecEnv:
+    """N lockstep environments, jitted + vmapped.
+
+    reset(seed) -> (obs, states); step(states, actions) ->
+    (states, obs, rewards, dones). actions: (N, A, 3) float (dx, dy, act).
+    With auto_reset=True, finished envs are re-seeded and reset in-step
+    (episodic training loops); otherwise dones pass through (continual RL,
+    the reference's default for gym env_type != 0).
+    """
+
+    def __init__(self, cfg: EnvConfig, num_envs: int, obs_type: str = "ram",
+                 obs_config=None, auto_reset: bool = False,
+                 respawn_main_during_obs: bool = False, donate: bool = True):
+        self.cfg = cfg
+        self.num_envs = num_envs
+        self.obs_type = obs_type
+        frame_fn, num_frames = make_obs_fn(cfg, obs_type, obs_config)
+        self._frame_fn = frame_fn
+        self.num_frames = num_frames
+        self.auto_reset = auto_reset
+
+        def _reset_one(seed):
+            return env_reset(cfg, seed)
+
+        def _step_one(state, actions, reset_seed):
+            out = env_step(cfg, state, actions,
+                           respawn_main_during_obs=respawn_main_during_obs,
+                           obs_fn=frame_fn, num_frames=num_frames)
+            if frame_fn is None:
+                state, rewards, dones = out
+                obs = None
+            else:
+                state, obs, rewards, dones = out
+            if auto_reset:
+                done_all = jnp.any(dones)
+                fresh = env_reset(cfg, reset_seed)
+                state = jax.tree.map(
+                    lambda f, s: jnp.where(
+                        jnp.reshape(done_all, (1,) * s.ndim), f, s),
+                    fresh, state)
+            return state, obs, rewards, dones
+
+        self._reset_b = jax.jit(jax.vmap(_reset_one))
+        step_b = jax.vmap(_step_one, in_axes=(0, 0, 0))
+        self._step_b = jax.jit(step_b, donate_argnums=(0,) if donate else ())
+        self._obs_b = (jax.jit(jax.vmap(frame_fn))
+                       if frame_fn is not None else None)
+
+    def reset(self, seed: int = 0):
+        seeds = jnp.arange(self.num_envs, dtype=jnp.uint32) + jnp.uint32(
+            seed * 0x9E3779B9)
+        states = self._reset_b(seeds)
+        obs = self._obs_b(states) if self._obs_b is not None else None
+        self._episode = 0
+        return states, obs
+
+    def step(self, states: GameState, actions):
+        """actions: (N, A, 3). Returns (states, obs, rewards, dones)."""
+        self._episode = getattr(self, "_episode", 0) + 1
+        reseeds = (jnp.arange(self.num_envs, dtype=jnp.uint32)
+                   + jnp.uint32(0xA5A5A5A5) * jnp.uint32(self._episode))
+        return self._step_b(states, jnp.asarray(actions, jnp.float32),
+                            reseeds)

@@ -1,0 +1,56 @@
+"""Throughput benchmark: env-steps/s/chip at 8192 vectorized envs (ram obs).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline = the BASELINE.md target of 1,000,000 env-steps/s/chip (the reference
+publishes no numbers; its single-core C++ engine is O(100-1k) steps/s).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+TARGET = 1_000_000.0
+NUM_ENVS = 8192
+WARMUP_STEPS = 3
+TIMED_STEPS = 20
+
+
+def main():
+    from agarcl_tpu import EnvConfig
+    from agarcl_tpu.vec import VecEnv
+
+    cfg = EnvConfig(num_agents=1, ticks_per_step=4, arena_size=350,
+                    num_pellets=500, num_viruses=10, num_bots=0,
+                    reward_type=True, mode=4)
+    env = VecEnv(cfg, NUM_ENVS, obs_type="ram")
+    states, _ = env.reset(0)
+
+    actions = jnp.zeros((NUM_ENVS, cfg.num_agents, 3), jnp.float32)
+    key = jax.random.PRNGKey(0)
+    dirs = jax.random.uniform(key, (NUM_ENVS, cfg.num_agents, 2),
+                              minval=-1.0, maxval=1.0)
+    actions = actions.at[..., :2].set(dirs)
+
+    for _ in range(WARMUP_STEPS):
+        states, obs, rewards, dones = env.step(states, actions)
+    jax.block_until_ready(rewards)
+
+    t0 = time.perf_counter()
+    for _ in range(TIMED_STEPS):
+        states, obs, rewards, dones = env.step(states, actions)
+    jax.block_until_ready(rewards)
+    dt = time.perf_counter() - t0
+
+    sps = NUM_ENVS * TIMED_STEPS / dt
+    print(json.dumps({
+        "metric": "env_steps_per_sec_per_chip_8192envs_ram",
+        "value": round(sps, 1),
+        "unit": "steps/s",
+        "vs_baseline": round(sps / TARGET, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,287 @@
+"""Engine smoke + behavioral tests, modeled on the reference GTest suites
+(/root/reference/agario/test/test-engine.hpp) plus the collision/eat semantics
+the reference never covered (SURVEY §4 gaps).
+
+All heavy calls go through tests.helpers.tick_fn/step_fn which jit-compile
+once per config; most tests share helpers.BASE and manipulate *state* (alive
+masks) instead of using new shapes, to keep the suite to a handful of
+compiles.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from agarcl_tpu import EnvConfig, env_reset, env_step
+from agarcl_tpu import constants as C
+from agarcl_tpu.engine import geometry as G
+
+from tests.helpers import BASE, reset, step_fn, tick_fn
+
+
+def kill_entities(s, pellets=True, viruses=True):
+    """Clear world entities so tests control exactly what's present."""
+    if pellets:
+        s = s.replace(pellet_alive=jnp.zeros_like(s.pellet_alive))
+    if viruses:
+        s = s.replace(virus_alive=jnp.zeros_like(s.virus_alive))
+    return s
+
+
+def no_regen_tick(s):
+    """A tick value where neither regen (120) nor bot cadence (10) is due."""
+    return s.replace(ticks=jnp.int32(1))
+
+
+def test_reset_shapes_and_masses():
+    s = reset(BASE, 42)
+    assert s.cell_alive.shape == (1, BASE.max_cells)
+    assert int(s.player_mass()[0]) == C.CELL_MIN_SIZE
+    assert bool(s.player_alive()[0])
+    assert int(jnp.sum(s.pellet_alive)) == 50
+    assert int(jnp.sum(s.virus_alive)) == 3
+    assert float(jnp.max(s.pellet_pos)) <= 100.0
+    assert float(jnp.min(s.pellet_pos)) >= 0.0
+
+
+def test_reset_deterministic():
+    s1 = reset(BASE, 7)
+    s2 = reset(BASE, 7)
+    assert jnp.array_equal(s1.pellet_pos, s2.pellet_pos)
+    s3 = reset(BASE, 8)
+    assert not jnp.array_equal(s1.pellet_pos, s3.pellet_pos)
+
+
+def test_player_moves_toward_target():
+    s = kill_entities(reset(BASE, 0))
+    s = no_regen_tick(s)
+    s = s.replace(cell_pos=s.cell_pos.at[0, 0].set(jnp.array([50.0, 50.0])),
+                  target=s.target.at[0].set(jnp.array([80.0, 50.0])))
+    before = np.asarray(s.cell_pos[0, 0])
+    s2 = tick_fn(BASE)(s)
+    after = np.asarray(s2.cell_pos[0, 0])
+    assert after[0] > before[0]
+    assert abs(after[1] - before[1]) < 1e-4
+    vmax = 300.0 / (25 ** 0.439)
+    assert after[0] - before[0] <= vmax * BASE.dt + 1e-5
+
+
+def test_pellet_eating_increments_mass():
+    s = kill_entities(reset(BASE, 0))
+    s = no_regen_tick(s)
+    pos = jnp.array([50.0, 50.0])
+    ppos = jnp.stack([pos + 0.1, pos - 0.1, pos + 0.2, pos - 0.2])
+    s = s.replace(cell_pos=s.cell_pos.at[0, 0].set(pos),
+                  target=s.target.at[0].set(pos),
+                  pellet_pos=s.pellet_pos.at[:4].set(ppos),
+                  pellet_alive=s.pellet_alive.at[:4].set(True))
+    s2 = tick_fn(BASE)(s)
+    assert int(s2.player_mass()[0]) == 25 + 4
+    assert int(jnp.sum(s2.pellet_alive)) == 0
+    assert int(s2.food_eaten[0]) == 4
+
+
+def test_pellet_regen_refills():
+    s = kill_entities(reset(BASE, 0))
+    s = s.replace(ticks=jnp.int32(C.REGEN_PERIOD))
+    s2 = tick_fn(BASE)(s)
+    assert int(jnp.sum(s2.pellet_alive)) == BASE.num_pellets
+    assert int(jnp.sum(s2.virus_alive)) == BASE.num_viruses
+
+
+def test_split_action_creates_cells():
+    s = no_regen_tick(kill_entities(reset(BASE, 0)))
+    s = s.replace(cell_mass=s.cell_mass.at[0, 0].set(100),
+                  cell_pos=s.cell_pos.at[0, 0].set(jnp.array([50.0, 50.0])))
+    s, r, d = step_fn(BASE)(s, jnp.array([[1.0, 0.0, 2.0]]))
+    assert int(jnp.sum(s.cell_alive[0])) == 2
+    assert int(s.player_mass()[0]) == 100
+    assert int(s.split_cooldown[0]) > 0
+
+
+def test_recombine_unequal_overlap():
+    """Off-axis unequal overlapping cells with expired timers merge — the one
+    geometry where the reference's recombine actually fires (verified against
+    the reference engine: separate_cells under-corrects off-axis, leaving the
+    pair touching at the recombine phase)."""
+    s = no_regen_tick(kill_entities(reset(BASE, 0)))
+    s = s.replace(
+        cell_mass=s.cell_mass.at[0, 0].set(150).at[0, 1].set(60),
+        cell_pos=(s.cell_pos.at[0, 0].set(jnp.array([50.0, 50.0]))
+                  .at[0, 1].set(jnp.array([51.3, 50.9]))),
+        cell_alive=s.cell_alive.at[0, 1].set(True),
+        cell_id=s.cell_id.at[0, 1].set(99))
+    step = step_fn(BASE)
+    still = jnp.array([[0.0, 0.0, 0.0]])
+    for _ in range(10):
+        s, _, _ = step(s, still)
+        if int(jnp.sum(s.cell_alive[0])) == 1:
+            break
+    assert int(jnp.sum(s.cell_alive[0])) == 1
+    assert int(s.player_mass()[0]) == 210
+
+
+def test_equal_split_pair_never_recombines_at_rest():
+    """Bug-compatible with the reference: an equal 50/50 split holding still
+    oscillates via elastic collisions and never touches at the recombine
+    phase (verified against the reference engine — 0 merges even 700 ticks
+    after the timer expires)."""
+    s = no_regen_tick(kill_entities(reset(BASE, 0)))
+    s = s.replace(cell_mass=s.cell_mass.at[0, 0].set(100),
+                  cell_pos=s.cell_pos.at[0, 0].set(jnp.array([50.0, 50.0])))
+    step = step_fn(BASE)
+    s, _, _ = step(s, jnp.array([[1.0, 0.0, 2.0]]))
+    assert int(jnp.sum(s.cell_alive[0])) == 2
+    still = jnp.array([[0.0, 0.0, 0.0]])
+    for _ in range(C.RECOMBINE_TICKS // BASE.ticks_per_step + 5):
+        s, _, _ = step(s, still)
+    assert int(jnp.sum(s.cell_alive[0])) == 2
+    assert int(s.player_mass()[0]) >= 100  # regen pellets may add mass
+
+
+def test_feed_action_emits_food():
+    s = no_regen_tick(kill_entities(reset(BASE, 0)))
+    # center the cell: near a wall the ejected food bounces back and is eaten
+    s = s.replace(cell_mass=s.cell_mass.at[0, 0].set(100),
+                  cell_pos=s.cell_pos.at[0, 0].set(jnp.array([50.0, 50.0])))
+    s, _, _ = step_fn(BASE)(s, jnp.array([[1.0, 0.0, 1.0]]))
+    assert int(jnp.sum(s.food_alive)) == 1
+    assert int(s.player_mass()[0]) == 90
+    assert int(s.feed_cooldown[0]) > 0
+
+
+def test_virus_disrupt_splits_cell():
+    s = kill_entities(reset(BASE, 0), viruses=False)
+    s = no_regen_tick(s)
+    pos = jnp.array([50.0, 50.0])
+    s = s.replace(
+        cell_mass=s.cell_mass.at[0, 0].set(400),
+        cell_pos=s.cell_pos.at[0, 0].set(pos),
+        target=s.target.at[0].set(pos),
+        virus_pos=s.virus_pos.at[0].set(pos),
+        virus_alive=jnp.zeros_like(s.virus_alive).at[0].set(True))
+    s2 = tick_fn(BASE)(s)
+    n_cells = int(jnp.sum(s2.cell_alive[0]))
+    assert n_cells > 1
+    assert not bool(s2.virus_alive[0])
+    assert int(s2.viruses_eaten[0]) == 1
+    assert int(s2.player_mass()[0]) >= 400  # pop floors can only add mass
+
+
+def test_mass_decay_mode0():
+    cfg = EnvConfig(num_agents=1, ticks_per_step=4, arena_size=100,
+                    num_pellets=50, num_viruses=3, num_bots=0, mode=0)
+    s = kill_entities(reset(cfg, 0))
+    s = no_regen_tick(s)
+    s = s.replace(cell_mass=s.cell_mass.at[0, 0].set(1000),
+                  elapsed_ticks=s.elapsed_ticks.at[0].set(59))
+    s2 = tick_fn(cfg)(s)
+    assert int(s2.cell_mass[0, 0]) == int(1000 * (1 - 0.002))
+    assert int(s2.last_decay_tick[0]) == 60
+
+
+def test_no_decay_in_mode3():
+    s = kill_entities(reset(BASE, 0))
+    s = no_regen_tick(s)
+    s = s.replace(cell_mass=s.cell_mass.at[0, 0].set(1000),
+                  elapsed_ticks=s.elapsed_ticks.at[0].set(59))
+    s2 = tick_fn(BASE)(s)
+    assert int(s2.cell_mass[0, 0]) == 1000
+
+
+CFG2 = EnvConfig(num_agents=2, ticks_per_step=4, arena_size=100,
+                 num_pellets=50, num_viruses=3, num_bots=0, mode=3)
+
+
+def test_cross_player_eating():
+    s = kill_entities(reset(CFG2, 0))
+    s = no_regen_tick(s)
+    pos = jnp.array([50.0, 50.0])
+    s = s.replace(
+        cell_mass=s.cell_mass.at[0, 0].set(100).at[1, 0].set(30),
+        cell_pos=s.cell_pos.at[0, 0].set(pos).at[1, 0].set(pos + 0.5),
+        target=s.target.at[0].set(pos).at[1].set(pos + 0.5))
+    s2 = tick_fn(CFG2)(s)
+    assert int(s2.player_mass()[0]) == 130
+    assert not bool(s2.player_alive()[1])
+    assert int(s2.cells_eaten[0]) == 1
+
+
+def test_small_cell_cannot_eat():
+    """can_eat requires eater mass > 25 and > 1.1x prey (Entities.hpp:147-152)."""
+    s = kill_entities(reset(CFG2, 0))
+    s = no_regen_tick(s)
+    pos = jnp.array([50.0, 50.0])
+    # 25 vs 25: nobody eats (need > 25 and 1.1x margin)
+    s = s.replace(
+        cell_pos=s.cell_pos.at[0, 0].set(pos).at[1, 0].set(pos + 0.1),
+        target=s.target.at[0].set(pos).at[1].set(pos + 0.1))
+    s2 = tick_fn(CFG2)(s)
+    assert bool(s2.player_alive()[0]) and bool(s2.player_alive()[1])
+
+
+def test_rewards_delta_mass():
+    s = no_regen_tick(kill_entities(reset(BASE, 0)))
+    pos = jnp.array([50.0, 50.0])
+    ppos = jnp.stack([pos + 0.1, pos - 0.1, pos + 0.2, pos - 0.2])
+    s = s.replace(cell_pos=s.cell_pos.at[0, 0].set(pos),
+                  pellet_pos=s.pellet_pos.at[:4].set(ppos),
+                  pellet_alive=s.pellet_alive.at[:4].set(True))
+    s, r, d = step_fn(BASE)(s, jnp.array([[0.0, 0.0, 0.0]]))
+    assert float(r[0]) == 4.0
+    assert not bool(d[0])
+
+
+def test_mode3_done_on_max_mass():
+    s = no_regen_tick(kill_entities(reset(BASE, 0)))
+    s = s.replace(cell_mass=s.cell_mass.at[0, 0].set(23500))
+    s, r, d = step_fn(BASE)(s, jnp.array([[0.0, 0.0, 0.0]]))
+    assert bool(d[0])
+
+
+def test_boundary_clamp():
+    s = no_regen_tick(kill_entities(reset(BASE, 0)))
+    s = s.replace(cell_pos=s.cell_pos.at[0, 0].set(jnp.array([1.0, 1.0])))
+    step = step_fn(BASE)
+    run_to_corner = jnp.array([[-1.0, -1.0, 0.0]])
+    for _ in range(8):
+        s, _, _ = step(s, run_to_corner)
+    r = float(G.radius(s.cell_mass[0, 0]))
+    pos = np.asarray(s.cell_pos[0, 0])
+    assert pos[0] >= r - 1e-4 and pos[1] >= r - 1e-4
+
+
+def test_step_jits_and_batches():
+    reset_b = jax.jit(jax.vmap(functools.partial(env_reset, BASE)))
+    step_b = jax.jit(jax.vmap(functools.partial(env_step, BASE),
+                              in_axes=(0, 0)))
+    states = reset_b(jnp.arange(8, dtype=jnp.uint32))
+    acts = jnp.zeros((8, 1, 3))
+    states, rewards, dones = step_b(states, acts)
+    assert rewards.shape == (8, 1)
+    assert bool(jnp.all(states.player_alive()[:, 0]))
+
+
+CFG_DUEL = EnvConfig(num_agents=1, ticks_per_step=4, arena_size=100,
+                     num_pellets=50, num_viruses=3, num_bots=0, mode=7)
+
+
+def test_bots_move_toward_pellets():
+    assert CFG_DUEL.num_players == 2
+    s = reset(CFG_DUEL, 3)
+    bot_before = np.asarray(s.player_centroid()[1])
+    step = step_fn(CFG_DUEL)
+    for _ in range(5):
+        s, r, d = step(s, jnp.array([[0.0, 0.0, 0.0]]))
+    bot_after = np.asarray(s.player_centroid()[1])
+    assert not np.allclose(bot_before, bot_after)
+
+
+def test_duel_done_on_death():
+    s = reset(CFG_DUEL, 3)
+    # kill the bot -> done next step
+    s = s.replace(cell_alive=s.cell_alive.at[1].set(False))
+    s, r, d = step_fn(CFG_DUEL)(s, jnp.array([[0.0, 0.0, 0.0]]))
+    assert bool(d[0])
