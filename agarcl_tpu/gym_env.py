@@ -139,7 +139,10 @@ class AgarioEnv(gym.Env):
         if obs_type == "gobigger":
             from agarcl_tpu.obs.gobigger import (GoBiggerObsConfig,
                                                  gobigger_frame)
-            ocfg = GoBiggerObsConfig()
+            ocfg = GoBiggerObsConfig(
+                map_width=kwargs.get("map_width", 512),
+                map_height=kwargs.get("map_height", 512),
+                frame_limit=kwargs.get("frame_limit", 1000))
             space = spaces.Box(-np.inf, np.inf, (1,), dtype=np.float32)
             return ocfg, space, functools.partial(gobigger_frame, self.cfg,
                                                   ocfg)
@@ -147,6 +150,14 @@ class AgarioEnv(gym.Env):
 
     def _post_obs(self, obs_frames):
         """(F, A, ...) device frames -> per-agent numpy observations."""
+        if self.obs_type == "gobigger":
+            # structured dict frame -> reference-shaped PlayerState objects
+            import jax as _jax
+            from agarcl_tpu.obs.gobigger import to_player_states
+            last = _jax.tree.map(lambda x: x[-1], obs_frames)
+            gs, players = to_player_states(self.cfg, self._obs_cfg, last)
+            self.global_state = gs
+            return [players[a] for a in range(self.num_agents)]
         obs = np.asarray(obs_frames)
         out = []
         for a in range(self.num_agents):
@@ -157,7 +168,9 @@ class AgarioEnv(gym.Env):
                 o = o.reshape(F * Cc, G, G).transpose(1, 2, 0)
             elif self.obs_type == "ram":
                 o = o[-1]  # latest frame
-            out.append(o)
+            # owned, writable buffer (the reference tests poke it,
+            # grid_env_test.py:136-139)
+            out.append(np.ascontiguousarray(o))
         return out
 
     # ----------------------------------------------------------------- gym
@@ -186,7 +199,8 @@ class AgarioEnv(gym.Env):
         observations = self._post_obs(obs_frames) \
             if obs_frames is not None else [None] * self.num_agents
 
-        if self.video_recorder_enabled and observations[0] is not None:
+        if self.video_recorder_enabled and isinstance(observations[0],
+                                                      np.ndarray):
             self.video_recorder.append(
                 self._make_video_observation(observations[0]))
 
@@ -261,6 +275,7 @@ class AgarioEnv(gym.Env):
         return np.asarray(o[..., :3], dtype=np.uint8)
 
     # --------------------------------------------------------------- actions
+
     def _sanitize_actions(self, actions):
         if not self.multi_agent and not isinstance(actions, list):
             actions = [actions]
@@ -283,3 +298,24 @@ class AgarioEnv(gym.Env):
                 raise ValueError(f"action {action} not in action space")
             rows.append((dx, dy, float(a)))
         return jnp.asarray(rows, jnp.float32)
+
+
+_REGISTERED = False
+
+
+def register_envs():
+    """Register the reference's Gymnasium env ids
+    (gym_agario/__init__.py:7-23) plus 'agario-ram-v0' (which the reference
+    declares but never registers — SURVEY §4)."""
+    global _REGISTERED
+    if _REGISTERED:
+        return
+    from gymnasium.envs.registration import register
+    for obs_type in ("grid", "screen", "gobigger", "ram"):
+        register(id=f"agario-{obs_type}-v0",
+                 entry_point="agarcl_tpu.gym_env:AgarioEnv",
+                 kwargs={"obs_type": obs_type})
+    _REGISTERED = True
+
+
+register_envs()

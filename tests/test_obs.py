@@ -1,0 +1,122 @@
+"""Observation-module tests: shapes, channel semantics, view windows —
+modeled on the reference's observation-shape matrix tests
+(/root/reference/environment/test/grid-env-test.hpp:43-87) plus semantic
+checks the reference never had."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from agarcl_tpu import EnvConfig, env_reset
+from agarcl_tpu.obs.grid import GridObsConfig, grid_frame
+from agarcl_tpu.obs.ram import RamObsConfig, ram_frame, ram_size
+from agarcl_tpu.obs.screen import ScreenObsConfig, screen_frame
+from agarcl_tpu.obs.gobigger import (GoBiggerObsConfig, gobigger_frame,
+                                     to_player_states)
+
+from tests.helpers import BASE, reset
+
+
+@pytest.mark.parametrize("flags", [
+    (True, True, True, True),
+    (True, False, False, False),
+    (False, False, False, True),
+    (False, False, False, False),
+])
+def test_grid_channel_count(flags):
+    cells, others, viruses, pellets = flags
+    ocfg = GridObsConfig(grid_size=16, observe_cells=cells,
+                         observe_others=others, observe_viruses=viruses,
+                         observe_pellets=pellets)
+    expected = 1 + cells + 2 * others + 2 * viruses + 2 * pellets
+    assert ocfg.channels_per_frame == expected
+    s = reset(BASE, 0)
+    obs = grid_frame(BASE, ocfg, s)
+    assert obs.shape == (1, expected, 16, 16)
+    assert obs.dtype == jnp.int32
+
+
+def test_grid_oob_channel():
+    """Channel 0 marks out-of-arena bins with -1 (GridEnvironment.hpp:240-248).
+    An agent in the corner sees OOB; view 100 >> arena margin."""
+    s = reset(BASE, 0)
+    s = s.replace(cell_pos=s.cell_pos.at[0, 0].set(jnp.array([1.0, 1.0])))
+    obs = np.asarray(grid_frame(BASE, GridObsConfig(grid_size=16), s))[0]
+    assert (obs[0] == -1).any()
+    assert (obs[0] == 0).any()
+    # center of the grid is the player's position: in bounds
+    assert obs[0, 8, 8] == 0
+
+
+def test_grid_pellet_channels():
+    s = reset(BASE, 0)
+    pos = jnp.array([50.0, 50.0])
+    # all pellets on one spot 10 units right of the player
+    s = s.replace(
+        cell_pos=s.cell_pos.at[0, 0].set(pos),
+        pellet_pos=jnp.broadcast_to(pos + jnp.array([10.0, 0.0]),
+                                    s.pellet_pos.shape),
+        virus_alive=jnp.zeros_like(s.virus_alive))
+    ocfg = GridObsConfig(grid_size=16, observe_others=False,
+                         observe_viruses=False, observe_cells=False)
+    obs = np.asarray(grid_frame(BASE, ocfg, s))[0]
+    presence, total = obs[1], obs[2]
+    # view = clamp(2*25,100,300) = 100; dx=10 -> bin trunc(16*10/100+8)=9
+    assert presence[9, 8] == 1
+    assert total[9, 8] == 50          # all 50 pellets stacked
+    assert presence.sum() == 1
+    assert total.sum() == 50
+
+
+def test_ram_obs_shape_and_content():
+    ocfg = RamObsConfig()
+    s = reset(BASE, 3)
+    obs = np.asarray(ram_frame(BASE, ocfg, s))
+    assert obs.shape == (1, ram_size(BASE, ocfg))
+    assert np.isfinite(obs).all()
+    # mass feature present
+    assert (obs == 25.0).any()
+
+
+def test_screen_frame_shapes():
+    s = reset(BASE, 1)
+    for agent_view, ch in ((True, 4), (False, 3)):
+        ocfg = ScreenObsConfig(screen_len=32, agent_view=agent_view)
+        obs = np.asarray(screen_frame(BASE, ocfg, s))
+        assert obs.shape == (1, 32, 32, ch)
+        assert obs.dtype == np.uint8
+
+
+def test_screen_agent_view_semantics():
+    s = reset(BASE, 1)
+    pos = jnp.array([50.0, 50.0])
+    s = s.replace(
+        cell_pos=s.cell_pos.at[0, 0].set(pos),
+        virus_pos=s.virus_pos.at[0].set(pos + jnp.array([15.0, 0.0])),
+        virus_alive=jnp.zeros_like(s.virus_alive).at[0].set(True))
+    obs = np.asarray(screen_frame(BASE, ScreenObsConfig(
+        screen_len=64, agent_view=True), s))[0]
+    assert (obs[..., 3] == 230).any()      # main player
+    assert (obs[..., 2] == 255).any()      # virus
+    assert (obs[..., 3] == 26).any()       # grid lines
+
+
+def test_gobigger_structured_obs():
+    s = reset(BASE, 2)
+    pos = jnp.array([50.0, 50.0])
+    s = s.replace(cell_pos=s.cell_pos.at[0, 0].set(pos))
+    ocfg = GoBiggerObsConfig()
+    frame = gobigger_frame(BASE, ocfg, s)
+    assert frame["foods"].shape[0] == 1
+    gs, players = to_player_states(BASE, ocfg, frame)
+    ps = players[0]
+    assert ps.score == 25.0
+    assert len(ps.clone_infos) == 1
+    clone = ps.clone_infos[0]
+    assert abs(clone.position[0]) < 1e-3   # own cell at own centroid
+    assert clone.score == 25.0
+    # pellets within the 100-unit view window appear as foods
+    ppos = np.asarray(s.pellet_pos)
+    in_view = (np.abs(ppos - np.asarray(pos)) < 50.0).all(axis=1)
+    assert len(ps.food_infos) >= max(0, in_view.sum() - 2)
+    assert gs.team_num == 1
