@@ -1,0 +1,157 @@
+"""Trajectory parity: JAX engine vs the C++ oracle (oracle/oracle.cpp), both
+implementing SPEC.md. This is the test strategy the reference never had
+(SURVEY §4 'gaps'): seed-exact cross-validation of eat/split/physics
+semantics by two independent implementations.
+
+Integer observables (masses, alive sets, stats) must match exactly; float
+positions within accumulation tolerance (both sides are f32, but XLA and g++
+may differ in the last ulp per op)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from agarcl_tpu import EnvConfig, env_reset, env_step
+from agarcl_tpu.oracle import OracleEnv
+
+from tests.helpers import step_fn
+
+
+def compare_states(js, os_, tick, pos_tol=2e-2):
+    """Assert oracle state dict ~ JAX GameState."""
+    np.testing.assert_array_equal(
+        np.asarray(js.cell_alive), os_["cell_alive"].astype(bool),
+        err_msg=f"cell_alive mismatch at step {tick}")
+    np.testing.assert_array_equal(
+        np.asarray(js.cell_mass) * np.asarray(js.cell_alive),
+        os_["cell_mass"] * os_["cell_alive"],
+        err_msg=f"cell_mass mismatch at step {tick}")
+    np.testing.assert_array_equal(
+        np.asarray(js.pellet_alive), os_["pellet_alive"].astype(bool),
+        err_msg=f"pellet_alive mismatch at step {tick}")
+    np.testing.assert_array_equal(
+        np.asarray(js.virus_alive), os_["virus_alive"].astype(bool),
+        err_msg=f"virus_alive mismatch at step {tick}")
+    np.testing.assert_array_equal(
+        np.asarray(js.food_eaten), os_["food_eaten"],
+        err_msg=f"food_eaten mismatch at step {tick}")
+    ja = np.asarray(js.cell_alive)
+    jp = np.asarray(js.cell_pos)
+    op = os_["cell_pos"]
+    if ja.any():
+        err = np.abs(jp[ja] - op[ja.astype(bool)]).max()
+        assert err < pos_tol, f"cell_pos err {err} at step {tick}"
+
+
+def run_parity(cfg, seed, n_steps, policy, pos_tol=2e-2):
+    jstep = step_fn(cfg)
+    js = env_reset(cfg, seed)
+    oe = OracleEnv(cfg)
+    oe.reset(seed)
+    compare_states(js, oe.get_state(), -1, pos_tol)
+    rng = np.random.default_rng(seed)
+    for t in range(n_steps):
+        acts = policy(t, rng)
+        js, jr, jd = jstep(js, jnp.asarray(acts, jnp.float32))
+        orew, od = oe.step(acts)
+        os_ = oe.get_state()
+        compare_states(js, os_, t, pos_tol)
+        np.testing.assert_allclose(np.asarray(jr), orew, atol=1e-3,
+                                   err_msg=f"rewards at step {t}")
+        np.testing.assert_array_equal(np.asarray(jd), od,
+                                      err_msg=f"dones at step {t}")
+
+
+PCFG = EnvConfig(num_agents=1, ticks_per_step=4, arena_size=100,
+                 num_pellets=50, num_viruses=3, num_bots=0, mode=3)
+
+
+def test_parity_reset():
+    js = env_reset(PCFG, 123)
+    oe = OracleEnv(PCFG)
+    oe.reset(123)
+    os_ = oe.get_state()
+    np.testing.assert_allclose(np.asarray(js.pellet_pos), os_["pellet_pos"],
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(js.cell_pos), os_["cell_pos"],
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(js.cell_mass), os_["cell_mass"])
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_parity_random_walk(seed):
+    def policy(t, rng):
+        return np.concatenate([rng.uniform(-1, 1, (1, 2)),
+                               np.zeros((1, 1))], axis=1)
+    run_parity(PCFG, seed, 25, policy)
+
+
+def test_parity_with_splits_and_feeds():
+    def policy(t, rng):
+        act = 2.0 if t % 7 == 3 else (1.0 if t % 7 == 5 else 0.0)
+        return np.concatenate([rng.uniform(-1, 1, (1, 2)),
+                               np.full((1, 1), act)], axis=1)
+    run_parity(PCFG, 7, 25, policy)
+
+
+DUEL = EnvConfig(num_agents=1, ticks_per_step=4, arena_size=100,
+                 num_pellets=50, num_viruses=2, num_bots=0, mode=7)
+
+
+def test_parity_duel_with_bot():
+    def policy(t, rng):
+        return np.concatenate([rng.uniform(-1, 1, (1, 2)),
+                               np.zeros((1, 1))], axis=1)
+    run_parity(DUEL, 11, 20, policy)
+
+
+MODE0 = EnvConfig(num_agents=1, ticks_per_step=4, arena_size=100,
+                  num_pellets=50, num_viruses=2, num_bots=4, mode=0)
+
+
+def test_parity_mode0_full_game():
+    """Mode 0: 4 bots (one of each type), mass decay, respawn-all."""
+    def policy(t, rng):
+        return np.concatenate([rng.uniform(-1, 1, (1, 2)),
+                               np.zeros((1, 1))], axis=1)
+    run_parity(MODE0, 5, 20, policy, pos_tol=5e-2)
+
+
+MODE1 = EnvConfig(num_agents=1, ticks_per_step=4, arena_size=100,
+                  num_pellets=50, num_viruses=0, num_bots=0, mode=1)
+
+
+def test_parity_mode1_squared_pellets():
+    def policy(t, rng):
+        return np.concatenate([rng.uniform(-1, 1, (1, 2)),
+                               np.zeros((1, 1))], axis=1)
+    run_parity(MODE1, 3, 20, policy)
+
+
+TWO = EnvConfig(num_agents=2, ticks_per_step=4, arena_size=60,
+                num_pellets=40, num_viruses=1, num_bots=0, mode=3)
+
+
+def test_parity_two_agents_cross_eat():
+    """Small arena forces agent encounters; cross-player eats must agree."""
+    def policy(t, rng):
+        return np.concatenate([rng.uniform(-1, 1, (2, 2)),
+                               (np.arange(2) == t % 5).astype(float)[:, None]
+                               * 2.0], axis=1)
+    run_parity(TWO, 9, 25, policy, pos_tol=5e-2)
+
+
+MODE5 = EnvConfig(num_agents=1, ticks_per_step=4, arena_size=100,
+                  num_pellets=50, num_viruses=1, num_bots=0, mode=5)
+
+
+def test_parity_mode5_heavy_agent():
+    """agent_mass=1000, squared pellets, decay on, no regen."""
+    def policy(t, rng):
+        act = 2.0 if t == 2 else 0.0
+        return np.concatenate([rng.uniform(-1, 1, (1, 2)),
+                               np.full((1, 1), act)], axis=1)
+    run_parity(MODE5, 4, 20, policy, pos_tol=5e-2)
