@@ -8,6 +8,15 @@ of lockstep games per chip under `jit`/`vmap` and shards across hosts with
 `shard_map`. See SPEC.md for the pinned determinism contract.
 """
 
+import os as _os
+
+if _os.environ.get("AGARCL_PLATFORM"):
+    # Escape hatch for forcing a JAX platform (e.g. AGARCL_PLATFORM=cpu in
+    # tests/CI): the axon sitecustomize pins jax_platforms via jax.config at
+    # interpreter start, which overrides the plain JAX_PLATFORMS env var.
+    import jax as _jax
+    _jax.config.update("jax_platforms", _os.environ["AGARCL_PLATFORM"])
+
 from agarcl_tpu.config import EnvConfig, ModeSpec
 from agarcl_tpu.state import GameState, zero_state
 from agarcl_tpu.env import (apply_actions, env_reset, env_step,

@@ -1,0 +1,67 @@
+"""Task suite, bench driver, and client-tool tests."""
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+from agarcl_tpu.tasks import load_task, task_config, write_task_configs
+
+
+def test_task_configs_match_reference_schema():
+    cfg1 = task_config(1)
+    assert cfg1["arena_size"] == 350
+    assert cfg1["num_pellets"] == 500
+    assert cfg1["obs_type"] == "screen"
+    assert cfg1["agent_view"] is True
+    assert task_config(3)["number_steps"] == 3000
+    assert task_config(7)["num_bots"] == 1
+    assert task_config(10)["mode"] == 10
+    with tempfile.TemporaryDirectory() as d:
+        write_task_configs(d)
+        files = sorted(os.listdir(d))
+        assert len(files) == 10
+        loaded = json.load(open(os.path.join(d, "mode_5.json")))
+        assert loaded["mode"] == 5
+
+
+def test_load_task_builds_env():
+    env = load_task(1, obs_type="ram")
+    obs, _ = env.reset(seed=0)
+    obs, r, done, trunc, info = env.step(((0.5, 0.0), 0))
+    assert isinstance(r, float)
+    assert env.cfg.mode == 1
+    assert env.number_of_steps == 500
+
+
+def test_random_walk_driver_runs():
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with tempfile.TemporaryDirectory() as d:
+        csv_path = os.path.join(d, "r.csv")
+        out = subprocess.run(
+            [sys.executable, os.path.join(repo, "bench",
+                                          "random_walk_example.py"),
+             "--task", "1", "--episodes", "1", "--obs", "ram",
+             "--max-steps", "5", "--csv", csv_path],
+            capture_output=True, text=True, timeout=300,
+            env={**os.environ, "AGARCL_PLATFORM": "cpu"},
+            cwd=repo)
+        assert out.returncode == 0, out.stderr[-2000:]
+        rows = open(csv_path).read().strip().splitlines()
+        assert rows[0] == "episode,reward,sps"
+        assert len(rows) == 2
+
+
+def test_client_ascii_headless(capsys):
+    from agarcl_tpu.client import Client
+    c = Client(arena_size=100, num_pellets=30, num_viruses=1, num_bots=2,
+               screen=64)
+    c.play_ascii(steps=3, size=20, fps=1000.0)
+    out = capsys.readouterr().out
+    assert "@" in out or "you" in out
+    lb = c.leaderboard()
+    assert lb[0][1] >= 25
+    assert len(lb) == 3
