@@ -45,12 +45,11 @@ def place_new_cells(cells, new, next_cell_id):
 
     free = ~alive
     num_free = jnp.sum(free, axis=1, keepdims=True)          # (P,1)
-    # free slots first, in ascending slot order
-    perm = jnp.argsort(~free, axis=1, stable=True).astype(jnp.int32)
+    # rank of each free slot among free slots, ascending slot order
+    free_rank = jnp.cumsum(free, axis=1) - 1                 # (P,Cc)
 
     order = jnp.where(new["mask"], new["order"], _BIG_I)
     valid = new["mask"] & (order < num_free)
-    slot = jnp.take_along_axis(perm, jnp.clip(order, 0, Cc - 1), axis=1)
 
     # fresh ids in (pid, creation-order) order
     counts = jnp.sum(valid, axis=1)
@@ -59,8 +58,9 @@ def place_new_cells(cells, new, next_cell_id):
     ids = next_cell_id + offsets[:, None] + order
     next_cell_id = next_cell_id + jnp.sum(counts).astype(jnp.int32)
 
-    onehot = valid[:, :, None] & (slot[:, :, None]
-                                  == jnp.arange(Cc, dtype=jnp.int32))  # (P,K,Cc)
+    # candidate k claims the free slot whose free-rank equals its order
+    onehot = (valid[:, :, None] & free[:, None, :]
+              & (free_rank[:, None, :] == order[:, :, None]))  # (P,K,Cc)
 
     def write(old, vals, is_vec):
         if is_vec:
@@ -388,8 +388,8 @@ def decay_and_anti_team(cells, elapsed, last_decay, anti_team,
 
 def _cell_rank(cell_id, alive):
     key = jnp.where(alive, cell_id, _BIG_I)
-    order = jnp.argsort(key, axis=1)
-    return jnp.argsort(order, axis=1).astype(jnp.int32)
+    lower = key[:, :, None] > key[:, None, :]
+    return jnp.sum(lower, axis=-1).astype(jnp.int32)
 
 
 def _selection_order(mask, rank):

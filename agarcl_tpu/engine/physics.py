@@ -54,22 +54,17 @@ def _pair_geometry(pos, mass, alive):
     return diff, dist2, rad, touch
 
 
-def _mutual_match(touch, rank):
-    """Partner selection (SPEC M6): each cell picks its lowest-rank touching
-    partner; a pair is active iff the choice is mutual.
+def _mutual_match_matrix(touch, rank):
+    """Partner selection (SPEC M6) in gather-free matrix form: pair (i,j) is
+    active iff touching and each is the other's lowest-rank touching partner.
 
-    Returns (partner_idx (P,Cc) i32, matched (P,Cc) bool).
+    Returns M (P, Cc, Cc) bool — the mutual-match adjacency (symmetric, each
+    row/column has at most one True).
     """
-    P, Cc, _ = touch.shape
     key = jnp.where(touch, rank[:, None, :], _BIG)          # (P, i, j)
-    partner = jnp.argmin(key, axis=-1).astype(jnp.int32)    # (P, Cc)
-    has = jnp.any(touch, axis=-1)
-    # mutual: partner[partner[i]] == i
-    pp = jnp.take_along_axis(partner, partner, axis=1)
-    idx = jnp.arange(Cc, dtype=jnp.int32)[None]
-    partner_has = jnp.take_along_axis(has, partner, axis=1)
-    matched = has & partner_has & (pp == idx)
-    return partner, matched
+    minkey = jnp.min(key, axis=-1, keepdims=True)           # per i
+    chose = touch & (key == minkey)                         # A[i,j]
+    return chose & jnp.swapaxes(chose, 1, 2)
 
 
 def _elastic(vel_a, vel_b, mass_a, mass_b, dxy, dist):
@@ -210,43 +205,42 @@ def self_collisions(pos, vel, split_vel, mass, alive, rank, target,
     avoid_static_overlap pass on any remaining matched overlaps.
     """
     P, Cc = mass.shape
-    idx = jnp.arange(Cc, dtype=jnp.int32)[None].repeat(P, 0)
 
     def apply_pairs(pos, vel, pair_fn):
+        # Gather-free matrix form: evaluate the pair update for every ordered
+        # pair (i as "a", j as "b", rank_i < rank_j) by broadcasting, then
+        # select with the mutual-match mask. Each cell is in at most one
+        # matched pair, so masked sums recover its update exactly.
         _, _, _, touch = _pair_geometry(pos, mass, alive)
-        partner, matched = _mutual_match(touch, rank)
+        M = _mutual_match_matrix(touch, rank)
+        Mlow = M & (rank[:, :, None] < rank[:, None, :])    # (P, i, j)
 
-        def g(arr):
-            return jnp.take_along_axis(arr, partner[..., None], axis=1) \
-                if arr.ndim == 3 else jnp.take_along_axis(arr, partner, axis=1)
+        pos_a = pos[:, :, None, :]                          # (P, i, 1, 2)
+        vel_a = vel[:, :, None, :]
+        svel_a = split_vel[:, :, None, :]
+        mass_a = mass[:, :, None]
+        pos_b = pos[:, None, :, :]                          # (P, 1, j, 2)
+        vel_b = vel[:, None, :, :]
+        svel_b = split_vel[:, None, :, :]
+        mass_b = mass[:, None, :]
+        tgt = target[:, None, None, :]
 
-        # Each matched cell computes the pair update with (a, b) ordered by
-        # rank; both sides compute identical math, each keeps its own role.
-        my_rank = rank
-        pr_rank = g(rank)
-        i_am_a = my_rank < pr_rank
-
-        pos_s, vel_s, svel_s, mass_s = pos, vel, split_vel, mass
-        pos_o, vel_o, svel_o, mass_o = g(pos), g(vel), g(split_vel), g(mass)
-
-        sel = i_am_a[..., None]
-        pos_a = jnp.where(sel, pos_s, pos_o)
-        vel_a = jnp.where(sel, vel_s, vel_o)
-        svel_a = jnp.where(sel, svel_s, svel_o)
-        mass_a = jnp.where(i_am_a, mass_s, mass_o)
-        pos_b = jnp.where(sel, pos_o, pos_s)
-        vel_b = jnp.where(sel, vel_o, vel_s)
-        svel_b = jnp.where(sel, svel_o, svel_s)
-        mass_b = jnp.where(i_am_a, mass_o, mass_s)
-
-        tgt = target[:, None, :]
         new_pa, new_va, new_pb, new_vb = pair_fn(
             pos_a, vel_a, svel_a, mass_a, pos_b, vel_b, svel_b, mass_b, tgt)
 
-        new_pos = jnp.where(sel, new_pa, new_pb)
-        new_vel = jnp.where(sel, new_va, new_vb)
-        m = matched[..., None]
-        return jnp.where(m, new_pos, pos), jnp.where(m, new_vel, vel)
+        ml = Mlow[..., None].astype(pos.dtype)
+        upd_a_pos = jnp.sum(new_pa * ml, axis=2)            # i's a-side update
+        upd_a_vel = jnp.sum(new_va * ml, axis=2)
+        upd_b_pos = jnp.sum(new_pb * ml, axis=1)            # j's b-side update
+        upd_b_vel = jnp.sum(new_vb * ml, axis=1)
+        has_a = jnp.any(Mlow, axis=2)[..., None]
+        has_b = jnp.any(Mlow, axis=1)[..., None]
+
+        new_pos = jnp.where(has_a, upd_a_pos,
+                            jnp.where(has_b, upd_b_pos, pos))
+        new_vel = jnp.where(has_a, upd_a_vel,
+                            jnp.where(has_b, upd_b_vel, vel))
+        return new_pos, new_vel
 
     def prevent_fn(pa, va, sa, ma, pb, vb, sb, mb, tgt):
         return _prevent_overlap(pa, va, sa, ma, pb, vb, sb, mb, tgt,

@@ -109,9 +109,9 @@ class GameState:
         """
         big = jnp.int32(2**30)
         key = jnp.where(self.cell_alive, self.cell_id, big)
-        order = jnp.argsort(key, axis=-1)
-        ranks = jnp.argsort(order, axis=-1)
-        return ranks.astype(jnp.int32)
+        # counting rank (ids unique): cheaper to fuse than a double argsort
+        lower = key[..., :, None] > key[..., None, :]
+        return jnp.sum(lower, axis=-1).astype(jnp.int32)
 
 
 def zero_state(cfg: EnvConfig) -> GameState:
