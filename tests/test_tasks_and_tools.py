@@ -65,3 +65,47 @@ def test_client_ascii_headless(capsys):
     lb = c.leaderboard()
     assert lb[0][1] >= 25
     assert len(lb) == 3
+
+
+def test_native_checkpoint_roundtrip():
+    import functools
+    import jax
+    import jax.numpy as jnp
+    from agarcl_tpu import EnvConfig, env_reset
+    from agarcl_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+
+    cfg = EnvConfig(num_agents=1, arena_size=80, num_pellets=20,
+                    num_viruses=1, mode=4)
+    states = jax.vmap(functools.partial(env_reset, cfg))(
+        jnp.arange(4, dtype=jnp.uint32))
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "ckpt.npz")
+        save_checkpoint(p, cfg, states)
+        cfg2, restored = load_checkpoint(p)
+        assert cfg2 == cfg
+        assert np.array_equal(np.asarray(states.cell_pos),
+                              np.asarray(restored.cell_pos))
+        assert np.array_equal(np.asarray(states.virus_hits),
+                              np.asarray(restored.virus_hits))
+        # lossless: recombine timers preserved (JSON snapshots drop them)
+        assert np.array_equal(np.asarray(states.cell_recombine_at),
+                              np.asarray(restored.cell_recombine_at))
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            load_checkpoint(p, EnvConfig(num_agents=2))
+
+
+def test_step_timer_and_device_time():
+    import jax.numpy as jnp
+    from agarcl_tpu.profiling import StepTimer, device_time_of
+    t = StepTimer()
+    t.start()
+    x = jnp.ones((8,))
+    for _ in range(3):
+        x = x * 2.0
+        t.tick(8, x)
+    out = t.stop()
+    assert out["env_steps"] == 24
+    assert out["env_steps_per_sec"] > 0
+    dt = device_time_of(lambda y: y + 1, jnp.ones((4,)), iters=3, warmup=1)
+    assert dt >= 0
