@@ -74,14 +74,23 @@ def _split_speed(mass):
     return jnp.clip(3.0 * jnp.power(_max_speed(mass), 1.2), 20.0, 130.0)
 
 
-def _direction(dx, dy):
+def _dir_cos_sin(dx, dy):
+    """cos/sin of the reference's quirky direction() = atan(dx/dy) with
+    +-pi corrections for dx<0 — computed algebraically (Mosaic has no atan):
+    cos(atan(t)) = 1/sqrt(1+t^2), sin(atan(t)) = t/sqrt(1+t^2); the +-pi
+    correction flips both signs."""
     both_zero = (dx == 0.0) & (dy == 0.0)
-    ratio = jnp.where(dy == 0.0, jnp.sign(dx) * jnp.inf,
-                      dx / jnp.where(dy == 0.0, 1.0, dy))
-    ang = jnp.arctan(ratio)
-    ang = jnp.where(dx < 0, jnp.where(dy > 0, ang + jnp.pi, ang - jnp.pi),
-                    ang)
-    return jnp.where(both_zero, 0.0, ang)
+    dy_safe = jnp.where(dy == 0.0, 1.0, dy)
+    t = dx / dy_safe
+    inv = jax.lax.rsqrt(1.0 + t * t)
+    c = jnp.where(dy == 0.0, 0.0, inv)
+    s = jnp.where(dy == 0.0, jnp.sign(dx), t * inv)
+    flip = dx < 0
+    c = jnp.where(flip, -c, c)
+    s = jnp.where(flip, -s, s)
+    c = jnp.where(both_zero, 1.0, c)
+    s = jnp.where(both_zero, 0.0, s)
+    return c, s
 
 
 def _decel(vx, vy, decel, dt):
@@ -100,15 +109,40 @@ def _clampb(x, y, rad, W, H):
     return cx, cy
 
 
+def _e1(b):
+    """(E,) bool -> (E, 1) bool via an int32 expansion (Mosaic cannot insert
+    a minor dim on 1-bit vectors)."""
+    return jnp.where(b, 1, 0)[:, None] > 0
+
+
+def _e2(b):
+    """(E, F) bool -> (E, F, 1) bool via int32."""
+    return jnp.where(b, 1, 0)[:, :, None] > 0
+
+
+def _cumsum1(x):
+    """Inclusive prefix sum along axis 1 via log-shift adds (Mosaic has no
+    cumsum lowering). x: (E, F) int32."""
+    E, F = x.shape
+    acc = x
+    d = 1
+    while d < F:
+        shifted = jnp.concatenate(
+            [jnp.zeros((E, d), acc.dtype), acc[:, :F - d]], axis=1)
+        acc = acc + shifted
+        d *= 2
+    return acc
+
+
 def _rank_of(cid, alive):
     """(E,Cc) counting rank by id among live cells."""
     key = jnp.where(alive, cid, _BIG_I)
-    return jnp.sum(key[:, :, None] > key[:, None, :], axis=-1) \
-        .astype(jnp.int32)
+    return jnp.sum(jnp.where(key[:, :, None] > key[:, None, :], 1, 0),
+                   axis=-1)
 
 
 # ------------------------------------------------------------------ kernel
-def _make_kernel(cfg: EnvConfig):
+def _make_kernel(cfg: EnvConfig, phases: int = 99):
     Cc = cfg.max_cells
     Np = cfg.pellet_capacity
     Nv = cfg.virus_capacity
@@ -117,28 +151,30 @@ def _make_kernel(cfg: EnvConfig):
     dt = np.float32(cfg.dt)
     ms = cfg.mode_spec
 
-    def kernel(target_ref, action_ref, split_cd_ref, feed_cd_ref,
+    def kernel(tx_ref, ty_ref, action_ref, split_cd_ref, feed_cd_ref,
                elapsed_ref, last_decay_ref, anti_team_ref,
                vticks_ref, vptr_ref,
                food_eaten_ref, highest_ref, viruses_eaten_ref,
-               cpos_ref, cvel_ref, csvel_ref, cmass_ref, calive_ref,
-               cid_ref, crecomb_ref, next_id_ref,
-               ppos_ref, palive_ref,
-               vpos_ref, vvel_ref, vmass_ref, vhits_ref, valive_ref,
-               fpos_ref, fvel_ref, falive_ref, fnext_ref,
+               cx_ref, cy_ref, cvx_ref, cvy_ref, svx_ref, svy_ref,
+               cmass_ref, calive_ref, cid_ref, crecomb_ref, next_id_ref,
+               px_ref, py_ref, palive_ref,
+               vx_ref, vy_ref, vvx_ref, vvy_ref, vmass_ref, vhits_ref,
+               valive_ref,
+               fx_ref, fy_ref, fvx_ref, fvy_ref, falive_ref, fnext_ref,
                ticks_ref, seed_ref,
                # outputs (aliased to inputs)
-               o_target, o_action, o_split_cd, o_feed_cd, o_elapsed,
+               o_tx, o_ty, o_action, o_split_cd, o_feed_cd, o_elapsed,
                o_last_decay, o_anti_team, o_vticks, o_vptr,
-               o_food_eaten, o_highest,
-               o_viruses_eaten, o_cpos, o_cvel, o_csvel, o_cmass, o_calive,
-               o_cid, o_crecomb, o_next_id, o_ppos, o_palive, o_vpos,
-               o_vvel, o_vmass, o_vhits, o_valive, o_fpos, o_fvel,
-               o_falive, o_fnext, o_ticks, o_seed):
-        E = target_ref.shape[0]
-        target_v = target_ref[...]
-        tx = target_v[:, 0, 0]                   # (E,)
-        ty = target_v[:, 0, 1]
+               o_food_eaten, o_highest, o_viruses_eaten,
+               o_cx, o_cy, o_cvx, o_cvy, o_svx, o_svy,
+               o_cmass, o_calive, o_cid, o_crecomb, o_next_id,
+               o_px, o_py, o_palive,
+               o_vx, o_vy, o_vvx, o_vvy, o_vmass, o_vhits, o_valive,
+               o_fx, o_fy, o_fvx, o_fvy, o_falive, o_fnext,
+               o_ticks, o_seed):
+        E = action_ref.shape[0]
+        tx = tx_ref[...][:, 0]
+        ty = ty_ref[...][:, 0]
         action = action_ref[...][:, 0]
         split_cd_in = split_cd_ref[...][:, 0]
         feed_cd_in = feed_cd_ref[...][:, 0]
@@ -148,51 +184,43 @@ def _make_kernel(cfg: EnvConfig):
         food_eaten_in = food_eaten_ref[...][:, 0]
         highest_in = highest_ref[...][:, 0]
         viruses_eaten_in = viruses_eaten_ref[...][:, 0]
-        ticks = ticks_ref[...]
-        seed = seed_ref[...]
-        vticks = vticks_ref[...][:, 0, :]        # (E, K)
+        ticks = ticks_ref[...][:, 0]
+        seed = seed_ref[...][:, 0]
+        vticks = vticks_ref[...]                 # (E, K)
         vptr = vptr_ref[...][:, 0]
 
-        cpos_v = cpos_ref[...]
-        cx = cpos_v[:, 0, :, 0]                  # (E, Cc)
-        cy = cpos_v[:, 0, :, 1]
-        cvel_v = cvel_ref[...]
-        cvx = cvel_v[:, 0, :, 0]
-        cvy = cvel_v[:, 0, :, 1]
-        csvel_v = csvel_ref[...]
-        svx = csvel_v[:, 0, :, 0]
-        svy = csvel_v[:, 0, :, 1]
-        cmass = cmass_ref[...][:, 0, :]
-        calive = calive_ref[...][:, 0, :]
-        cid = cid_ref[...][:, 0, :]
-        crecomb = crecomb_ref[...][:, 0, :]
-        next_id = next_id_ref[...]
+        cx = cx_ref[...]                         # (E, Cc)
+        cy = cy_ref[...]
+        cvx = cvx_ref[...]
+        cvy = cvy_ref[...]
+        svx = svx_ref[...]
+        svy = svy_ref[...]
+        cmass = cmass_ref[...]
+        calive = calive_ref[...]
+        cid = cid_ref[...]
+        crecomb = crecomb_ref[...]
+        next_id = next_id_ref[...][:, 0]
 
-        palive = palive_ref[...]                 # (E, Np)
-        ppos_v = ppos_ref[...]
-        px = ppos_v[:, :, 0]
-        py = ppos_v[:, :, 1]
-        vpos_v = vpos_ref[...]
-        vx_ = vpos_v[:, :, 0]                    # (E, Nv)
-        vy_ = vpos_v[:, :, 1]
-        vvel_v = vvel_ref[...]
-        vvx = vvel_v[:, :, 0]
-        vvy = vvel_v[:, :, 1]
+        px = px_ref[...]                         # (E, Np)
+        py = py_ref[...]
+        palive = palive_ref[...]
+        vx_ = vx_ref[...]                        # (E, Nv)
+        vy_ = vy_ref[...]
+        vvx = vvx_ref[...]
+        vvy = vvy_ref[...]
         vmass = vmass_ref[...]
         vhits = vhits_ref[...]
         valive = valive_ref[...]
-        fpos_v = fpos_ref[...]
-        fx = fpos_v[:, :, 0]                     # (E, Nf)
-        fy = fpos_v[:, :, 1]
-        fvel_v = fvel_ref[...]
-        fvx = fvel_v[:, :, 0]
-        fvy = fvel_v[:, :, 1]
+        fx = fx_ref[...]                         # (E, Nf)
+        fy = fy_ref[...]
+        fvx = fvx_ref[...]
+        fvy = fvy_ref[...]
         falive = falive_ref[...]
-        fnext = fnext_ref[...]
+        fnext = fnext_ref[...][:, 0]
 
         palive_p = jnp.any(calive, axis=1)       # player alive (E,)
         action_eff = jnp.where(palive_p, action, 0)
-        elapsed = elapsed_in + palive_p.astype(jnp.int32)
+        elapsed = elapsed_in + jnp.where(palive_p, 1, 0)
 
         # --- movement ---------------------------------------------------
         nvx = 3.0 * (tx[:, None] - cx)
@@ -216,7 +244,8 @@ def _make_kernel(cfg: EnvConfig):
         svx = jnp.where(dead, 0.0, svx)
         svy = jnp.where(dead, 0.0, svy)
 
-        rank = _rank_of(cid, calive)
+        rank = (_rank_of(cid, calive) if phases >= 2
+                else jnp.zeros((E, Cc), jnp.int32))
 
         # --- self-collision relaxation (SPEC M6, matrix form) ------------
         def pair_pass(cx, cy, cvx, cvy, static_only):
@@ -227,12 +256,14 @@ def _make_kernel(cfg: EnvConfig):
             rs = radc[:, :, None] + radc[:, None, :]
             eye = jax.lax.broadcasted_iota(jnp.int32, (Cc, Cc), 0) \
                 == jax.lax.broadcasted_iota(jnp.int32, (Cc, Cc), 1)
-            both = calive[:, :, None] & calive[:, None, :] & ~eye[None]
+            both = _e2(calive) & calive[:, None, :] & ~eye[None]
             touch = both & (rs * rs >= d2)
             key = jnp.where(touch, rank[:, None, :], _BIG_I)
             minkey = jnp.min(key, axis=-1, keepdims=True)
             chose = touch & (key == minkey)
-            M = chose & jnp.swapaxes(chose, 1, 2)
+            # bool transpose unsupported in Mosaic; swap via int32
+            chose_t = jnp.swapaxes(jnp.where(chose, 1, 0), 1, 2) > 0
+            M = chose & chose_t
             Mlow = M & (rank[:, :, None] < rank[:, None, :])
 
             pax, pay = cx[:, :, None], cy[:, :, None]
@@ -309,7 +340,7 @@ def _make_kernel(cfg: EnvConfig):
                 npax, npay = _clampb(npax, npay, ra, W, H)
                 npbx, npby = _clampb(npbx, npby, rb, W, H)
 
-            ml = Mlow.astype(jnp.float32)
+            ml = jnp.where(Mlow, 1.0, 0.0)
             has_a = jnp.any(Mlow, axis=2)
             has_b = jnp.any(Mlow, axis=1)
             ax_upd = jnp.sum(npax * ml, axis=2)
@@ -386,17 +417,18 @@ def _make_kernel(cfg: EnvConfig):
             nby = jnp.where(ov & ~a_small, pby + my, pby)
             return nax, nay, nbx, nby
 
-        def relax_body(_, carry):
-            return pair_pass(*carry, False)
+        if phases >= 2:
+            def relax_body(_, carry):
+                return pair_pass(*carry, False)
 
-        cx, cy, cvx, cvy = jax.lax.fori_loop(
-            0, 5, relax_body, (cx, cy, cvx, cvy))
-        cx, cy, cvx, cvy = pair_pass(cx, cy, cvx, cvy, True)
+            cx, cy, cvx, cvy = jax.lax.fori_loop(
+                0, 5, relax_body, (cx, cy, cvx, cvy))
+            cx, cy, cvx, cvy = pair_pass(cx, cy, cvx, cvy, True)
 
         # --- virus events (P=1: best pair only) --------------------------
-        n_start = jnp.sum(calive, axis=1).astype(jnp.int32)
+        n_start = jnp.sum(jnp.where(calive, 1, 0), axis=1)
         viruses_eaten = viruses_eaten_in
-        if Nv > 0:
+        if Nv > 0 and phases >= 3:
             radc = _radius(cmass)
             radv = _radius(vmass)
             ddx = cx[:, :, None] - vx_[:, None, :]
@@ -405,7 +437,7 @@ def _make_kernel(cfg: EnvConfig):
             rm = jnp.maximum(radc[:, :, None], radv[:, None, :])
             can = (cmass[:, :, None].astype(jnp.float32)
                    > vmass[:, None, :].astype(jnp.float32) * C.CELL_EAT_MARGIN)
-            elig = (calive[:, :, None] & valive[:, None, :] & can
+            elig = (_e2(calive) & valive[:, None, :] & can
                     & (rm * rm >= d2))
             pkey = jnp.where(elig, rank[:, :, None] * Nv
                              + jax.lax.broadcasted_iota(
@@ -418,16 +450,16 @@ def _make_kernel(cfg: EnvConfig):
             win_cell = jnp.any(win_pair, axis=2)             # (E, Cc)
             win_virus = jnp.any(win_pair, axis=1)            # (E, Nv)
             vgain = jnp.sum(jnp.where(win_virus, vmass, 0), axis=1)
-            viruses_eaten = viruses_eaten + hit.astype(jnp.int32)
+            viruses_eaten = viruses_eaten + jnp.where(hit, 1, 0)
             # ring push of the eat tick (anti-team window, SPEC)
             K_T = vticks.shape[1]
             kiota = jax.lax.broadcasted_iota(jnp.int32, (1, K_T), 1)
-            push_oh = hit[:, None] & (kiota == (vptr % K_T)[:, None])
+            push_oh = _e1(hit) & (kiota == (vptr % K_T)[:, None])
             vticks = jnp.where(push_oh, elapsed[:, None], vticks)
-            vptr = vptr + hit.astype(jnp.int32)
+            vptr = vptr + jnp.where(hit, 1, 0)
             # eat case
             eat = hit & can_eat_virus
-            cmass = jnp.where(win_cell & eat[:, None],
+            cmass = jnp.where(win_cell & _e1(eat),
                               cmass + vgain[:, None], cmass)
             # disrupt case
             disr = hit & ~can_eat_virus
@@ -441,15 +473,15 @@ def _make_kernel(cfg: EnvConfig):
             num_new = jnp.where(
                 disr, jnp.minimum(num_new, jnp.maximum(
                     C.PLAYER_CELL_LIMIT - n_start, 0)), 0)
-            cmass = jnp.where(win_cell & disr[:, None], cur[:, None], cmass)
-            crecomb = jnp.where(win_cell & disr[:, None],
+            cmass = jnp.where(win_cell & _e1(disr), cur[:, None], cmass)
+            crecomb = jnp.where(win_cell & _e1(disr),
                                 (elapsed + C.RECOMBINE_TICKS)[:, None],
                                 crecomb)
             hit_cvx = jnp.sum(jnp.where(win_cell, cvx, 0.0), axis=1)
             hit_cvy = jnp.sum(jnp.where(win_cell, cvy, 0.0), axis=1)
             hit_vx = jnp.sum(jnp.where(win_virus, vx_, 0.0), axis=1)
             hit_vy = jnp.sum(jnp.where(win_virus, vy_, 0.0), axis=1)
-            valive = valive & ~(win_virus & hit[:, None])
+            valive = valive & ~(win_virus & _e1(hit))
         else:
             disr = jnp.zeros((E,), bool)
             num_new = jnp.zeros((E,), jnp.int32)
@@ -460,60 +492,53 @@ def _make_kernel(cfg: EnvConfig):
         # --- pellets (SPEC M1) -------------------------------------------
         # chunked over Np so VMEM temps stay (E, Cc, CHUNK)
         radc = _radius(cmass)
+        food_eaten = food_eaten_in
+        highest = highest_in
+        eaten_pc = jnp.zeros((E, Cc), jnp.int32)
         PCHUNK = 128
-        n_chunks = (Np + PCHUNK - 1) // PCHUNK
-        # pad pellet arrays to a chunk multiple (padding is never eligible)
-        pad = n_chunks * PCHUNK - Np
-        if pad:
-            px_p = jnp.concatenate(
-                [px, jnp.zeros((E, pad), px.dtype)], axis=1)
-            py_p = jnp.concatenate(
-                [py, jnp.zeros((E, pad), py.dtype)], axis=1)
-            pal_p = jnp.concatenate(
-                [palive, jnp.zeros((E, pad), bool)], axis=1)
-        else:
-            px_p, py_p, pal_p = px, py, palive
+        if phases >= 4:
+            # static chunk loop (Mosaic has no dynamic_slice lowering)
+            n_chunks = (Np + PCHUNK - 1) // PCHUNK
+            pad = n_chunks * PCHUNK - Np
+            if pad:
+                px_p = jnp.concatenate(
+                    [px, jnp.zeros((E, pad), px.dtype)], axis=1)
+                py_p = jnp.concatenate(
+                    [py, jnp.zeros((E, pad), py.dtype)], axis=1)
+                pal_p = jnp.concatenate(
+                    [palive, jnp.zeros((E, pad), bool)], axis=1)
+            else:
+                px_p, py_p, pal_p = px, py, palive
 
-        def chunk_elig(k):
-            cpx = jax.lax.dynamic_slice(px_p, (0, k * PCHUNK), (E, PCHUNK))
-            cpy = jax.lax.dynamic_slice(py_p, (0, k * PCHUNK), (E, PCHUNK))
-            cpa = jax.lax.dynamic_slice(pal_p, (0, k * PCHUNK), (E, PCHUNK))
-            pdx = cx[:, :, None] - cpx[:, None, :]
-            pdy = cy[:, :, None] - cpy[:, None, :]
-            pd2 = pdx * pdx + pdy * pdy
-            return (calive[:, :, None] & cpa[:, None, :]
-                    & ((radc * radc)[:, :, None] >= pd2))   # (E, Cc, PCHUNK)
+            def chunk_elig(k):
+                sl = slice(k * PCHUNK, (k + 1) * PCHUNK)
+                pdx = cx[:, :, None] - px_p[:, None, sl]
+                pdy = cy[:, :, None] - py_p[:, None, sl]
+                pd2 = pdx * pdx + pdy * pdy
+                return (_e2(calive) & pal_p[:, None, sl]
+                        & ((radc * radc)[:, :, None] >= pd2))
 
-        def pmin_body(k, pmin_p):
-            elig = chunk_elig(k)
-            pkey = jnp.where(elig, rank[:, :, None], _BIG_I)
-            cmin = jnp.min(pkey, axis=1)                    # (E, PCHUNK)
-            return jax.lax.dynamic_update_slice(
-                pmin_p, cmin, (0, k * PCHUNK))
-
-        pmin_p = jax.lax.fori_loop(
-            0, n_chunks, pmin_body,
-            jnp.full((E, n_chunks * PCHUNK), _BIG_I, jnp.int32))
-
-        def count_body(k, eaten_pc):
-            elig = chunk_elig(k)
-            cmin = jax.lax.dynamic_slice(pmin_p, (0, k * PCHUNK),
-                                         (E, PCHUNK))
-            win = elig & (rank[:, :, None] == cmin[:, None, :])
-            return eaten_pc + jnp.sum(win, axis=2).astype(jnp.int32)
-
-        eaten_pc = jax.lax.fori_loop(
-            0, n_chunks, count_body, jnp.zeros((E, Cc), jnp.int32))
-        pmin = jax.lax.slice(pmin_p, (0, 0), (E, Np))
-        palive = palive & (pmin == _BIG_I)
-        cmass = cmass + eaten_pc * C.PELLET_MASS
-        food_eaten = food_eaten_in + jnp.sum(eaten_pc, axis=1)
-        pm_now = jnp.sum(jnp.where(calive, cmass, 0), axis=1)
-        highest = jnp.maximum(highest_in, pm_now)
+            pmins = []
+            for k in range(n_chunks):
+                elig = chunk_elig(k)
+                pkey = jnp.where(elig, rank[:, :, None], _BIG_I)
+                pmins.append(jnp.min(pkey, axis=1))          # (E, PCHUNK)
+            for k in range(n_chunks):
+                elig = chunk_elig(k)
+                win = elig & (rank[:, :, None] == pmins[k][:, None, :])
+                eaten_pc = eaten_pc + jnp.sum(jnp.where(win, 1, 0), axis=2)
+            pmin = jnp.concatenate(pmins, axis=1)[:, :Np]
+            palive = palive & (pmin == _BIG_I)
+            cmass = cmass + eaten_pc * C.PELLET_MASS
+            food_eaten = food_eaten_in + jnp.sum(eaten_pc, axis=1)
+            pm_now = jnp.sum(jnp.where(calive, cmass, 0), axis=1)
+            highest = jnp.maximum(highest_in, pm_now)
 
         # --- auto-split --------------------------------------------------
-        over = calive & (cmass >= C.MAX_MASS_IN_THE_GAME)
-        may = (n_start < C.PLAYER_CELL_LIMIT)[:, None]
+        do_actions = phases >= 5
+        over = calive & (cmass >= C.MAX_MASS_IN_THE_GAME) \
+            if do_actions else jnp.zeros_like(calive)
+        may = _e1(n_start < C.PLAYER_CELL_LIMIT)
         do_aspl = over & may
         clampm = over & ~may
         a_rem, a_nf = _split_cells(cx, cy, cmass, tx, ty, elapsed, W, H)
@@ -521,10 +546,10 @@ def _make_kernel(cfg: EnvConfig):
                           jnp.where(clampm, C.NEW_MASS_IF_NO_SPLIT, cmass))
         crecomb = jnp.where(do_aspl, (elapsed + C.RECOMBINE_TICKS)[:, None],
                             crecomb)
-        n_auto = jnp.sum(do_aspl, axis=1).astype(jnp.int32)
+        n_auto = jnp.sum(jnp.where(do_aspl, 1, 0), axis=1)
 
         # --- foods eaten -------------------------------------------------
-        if Nf > 0:
+        if Nf > 0 and do_actions:
             rf = _radius(np.float32(C.FOOD_MASS))
             radc2 = _radius(cmass)
             fdx = cx[:, :, None] - fx[:, None, :]
@@ -533,22 +558,22 @@ def _make_kernel(cfg: EnvConfig):
             rm2 = jnp.maximum(radc2[:, :, None], rf)
             can_f = cmass[:, :, None] > np.int32(
                 C.FOOD_MASS * C.CELL_EAT_MARGIN)
-            felig = (calive[:, :, None] & falive[:, None, :] & can_f
+            felig = (_e2(calive) & falive[:, None, :] & can_f
                      & (rm2 * rm2 >= fd2))
             fkey = jnp.where(felig, rank[:, :, None], _BIG_I)
             fmin = jnp.min(fkey, axis=1)
             fwin = felig & (fkey == fmin[:, None, :])
-            eaten_fc = jnp.sum(fwin, axis=2).astype(jnp.int32)
+            eaten_fc = jnp.sum(jnp.where(fwin, 1, 0), axis=2)
             falive = falive & (fmin == _BIG_I)
             cmass = cmass + eaten_fc * C.FOOD_MASS
             food_eaten = food_eaten + jnp.sum(eaten_fc, axis=1)
 
         # --- feed emission ----------------------------------------------
         feed_cd = jnp.maximum(feed_cd_in - 1, 0)
-        do_feed = (action_eff == 1) & (feed_cd == 0)
-        emit = (calive & do_feed[:, None]
+        do_feed = (action_eff == 1) & (feed_cd == 0) & do_actions
+        emit = (calive & _e1(do_feed)
                 & (cmass >= C.CELL_MIN_SIZE + C.FOOD_MASS))
-        if Nf > 0:
+        if Nf > 0 and do_actions:
             edx = tx[:, None] - cx
             edy = ty[:, None] - cy
             en = jnp.maximum(jnp.sqrt(edx * edx + edy * edy), 1e-12)
@@ -560,14 +585,14 @@ def _make_kernel(cfg: EnvConfig):
             evy = edy * C.FOOD_SPEED
             # order among emitting cells by rank
             ekey = jnp.where(emit, rank, _BIG_I)
-            eord = jnp.sum((ekey[:, :, None] > ekey[:, None, :])
-                           & emit[:, None, :], axis=2).astype(jnp.int32)
+            eord = jnp.sum(jnp.where((ekey[:, :, None] > ekey[:, None, :])
+                                     & emit[:, None, :], 1, 0), axis=2)
             slot = (fnext[:, None] + eord) % Nf
-            oh = emit[:, :, None] & (slot[:, :, None]
+            oh = _e2(emit) & (slot[:, :, None]
                                      == jax.lax.broadcasted_iota(
                                          jnp.int32, (1, 1, Nf), 2))
             wrote = jnp.any(oh, axis=1)                      # (E, Nf)
-            ohf = oh.astype(jnp.float32)
+            ohf = jnp.where(oh, 1.0, 0.0)
             fx = jnp.where(wrote, jnp.sum(elx[:, :, None] * ohf, axis=1), fx)
             fy = jnp.where(wrote, jnp.sum(ely[:, :, None] * ohf, axis=1), fy)
             fvx = jnp.where(wrote, jnp.sum(evx[:, :, None] * ohf, axis=1),
@@ -575,20 +600,20 @@ def _make_kernel(cfg: EnvConfig):
             fvy = jnp.where(wrote, jnp.sum(evy[:, :, None] * ohf, axis=1),
                             fvy)
             falive = falive | wrote
-            fnext = fnext + jnp.sum(emit, axis=1).astype(jnp.int32)
+            fnext = fnext + jnp.sum(jnp.where(emit, 1, 0), axis=1)
             cmass = jnp.where(emit, cmass - C.FOOD_MASS, cmass)
         feed_cd = jnp.where(do_feed, C.FEED_COOLDOWN, feed_cd)
         feed_cd = jnp.where(palive_p, feed_cd, feed_cd_in)
 
         # --- split -------------------------------------------------------
         split_cd = jnp.maximum(split_cd_in - 1, 0)
-        do_split = (action_eff == 2) & (split_cd == 0)
+        do_split = (action_eff == 2) & (split_cd == 0) & do_actions
         limit = jnp.maximum(C.PLAYER_CELL_LIMIT - n_start - num_new - n_auto,
                             0)
-        s_elig = calive & (cmass >= C.CELL_SPLIT_MINIMUM) & do_split[:, None]
+        s_elig = calive & (cmass >= C.CELL_SPLIT_MINIMUM) & _e1(do_split)
         skey = jnp.where(s_elig, rank, _BIG_I)
-        sord = jnp.sum((skey[:, :, None] > skey[:, None, :])
-                       & s_elig[:, None, :], axis=2).astype(jnp.int32)
+        sord = jnp.sum(jnp.where((skey[:, :, None] > skey[:, None, :])
+                                 & s_elig[:, None, :], 1, 0), axis=2)
         chosen = s_elig & (sord < limit[:, None])
         s_rem, s_nf = _split_cells(cx, cy, cmass, tx, ty, elapsed, W, H)
         cmass = jnp.where(chosen, s_rem, cmass)
@@ -598,79 +623,90 @@ def _make_kernel(cfg: EnvConfig):
         split_cd = jnp.where(palive_p, split_cd, split_cd_in)
 
         # --- place created cells (disrupt pops, auto-splits, splits) -----
+        do_place = phases >= 3
         # disrupt pop candidates: up to PLAYER_CELL_LIMIT per env
         K = C.PLAYER_CELL_LIMIT
-        kk = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
-        d_mask = disr[:, None] & (kk < num_new[:, None])
-        theta = _direction(hit_cvx, hit_cvy)
-        nnf = jnp.maximum(num_new, 1).astype(jnp.float32)
-        angk = theta[:, None] + (theta[:, None]
-                                 + 2.0 * jnp.pi * kk.astype(jnp.float32)
-                                 / nnf[:, None])
-        pop_speed = _max_speed(np.float32(C.CELL_POP_SIZE))
-        d_mass = jnp.maximum(jnp.minimum(
-            pop_mass[:, None] - C.CELL_POP_SIZE * kk, C.CELL_POP_SIZE), 1)
+        if do_place:
+            kk = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
+            d_mask = _e1(disr) & (kk < num_new[:, None])
+            cth, sth = _dir_cos_sin(hit_cvx, hit_cvy)
+            # angle = 2*theta + 2*pi*k/n (SPEC Q3 doubled-direction quirk):
+            # cos/sin composed from double-angle + phi_k terms
+            c2 = cth * cth - sth * sth
+            s2 = 2.0 * cth * sth
+            nnf = jnp.maximum(num_new, 1).astype(jnp.float32)
+            phik = 2.0 * jnp.pi * kk.astype(jnp.float32) / nnf[:, None]
+            cphi = jnp.cos(phik)
+            sphi = jnp.sin(phik)
+            cos_ang = c2[:, None] * cphi - s2[:, None] * sphi
+            sin_ang = s2[:, None] * cphi + c2[:, None] * sphi
+            pop_speed = _max_speed(np.float32(C.CELL_POP_SIZE))
+            d_mass = jnp.maximum(jnp.minimum(
+                pop_mass[:, None] - C.CELL_POP_SIZE * kk, C.CELL_POP_SIZE), 1)
 
-        # assemble candidate list: [disrupt K] + [auto Cc] + [split Cc]
-        def cat(*parts):
-            return jnp.concatenate(parts, axis=1)
+            # assemble candidate list: [disrupt K] + [auto Cc] + [split Cc]
+            def cat(*parts):
+                return jnp.concatenate(parts, axis=1)
 
-        NEWK = K + 2 * Cc
-        cand_mask = cat(d_mask, do_aspl, chosen)
-        # creation order: disrupts (kk), then autos, then splits; orders are
-        # disjoint blocks so offset by counts
-        a_ord = jnp.sum((jnp.where(do_aspl, rank, _BIG_I)[:, :, None]
-                         > jnp.where(do_aspl, rank, _BIG_I)[:, None, :])
-                        & do_aspl[:, None, :], axis=2).astype(jnp.int32)
-        cand_order = cat(
-            jnp.where(d_mask, kk, _BIG_I),
-            jnp.where(do_aspl, num_new[:, None] + a_ord, _BIG_I),
-            jnp.where(chosen, (num_new + n_auto)[:, None] + sord, _BIG_I))
-        cand_x = cat(jnp.broadcast_to(hit_vx[:, None], (E, K)),
-                     a_nf["x"], s_nf["x"])
-        cand_y = cat(jnp.broadcast_to(hit_vy[:, None], (E, K)),
-                     a_nf["y"], s_nf["y"])
-        cand_vx = cat(jnp.broadcast_to(hit_cvx[:, None], (E, K)),
-                      a_nf["vx"], s_nf["vx"])
-        cand_vy = cat(jnp.broadcast_to(hit_cvy[:, None], (E, K)),
-                      a_nf["vy"], s_nf["vy"])
-        cand_svx = cat(jnp.cos(angk) * pop_speed, a_nf["vx"], s_nf["vx"])
-        cand_svy = cat(jnp.sin(angk) * pop_speed, a_nf["vy"], s_nf["vy"])
-        cand_mass = cat(d_mass, a_nf["mass"], s_nf["mass"])
+            NEWK = K + 2 * Cc
+            cand_mask = cat(jnp.where(d_mask, 1, 0),
+                            jnp.where(do_aspl, 1, 0),
+                            jnp.where(chosen, 1, 0)) > 0
+            # creation order: disrupts (kk), then autos, then splits; orders are
+            # disjoint blocks so offset by counts
+            a_ord = jnp.sum(jnp.where(
+                (jnp.where(do_aspl, rank, _BIG_I)[:, :, None]
+                 > jnp.where(do_aspl, rank, _BIG_I)[:, None, :])
+                & do_aspl[:, None, :], 1, 0), axis=2)
+            cand_order = cat(
+                jnp.where(d_mask, kk, _BIG_I),
+                jnp.where(do_aspl, num_new[:, None] + a_ord, _BIG_I),
+                jnp.where(chosen, (num_new + n_auto)[:, None] + sord, _BIG_I))
+            cand_x = cat(jnp.broadcast_to(hit_vx[:, None], (E, K)),
+                         a_nf["x"], s_nf["x"])
+            cand_y = cat(jnp.broadcast_to(hit_vy[:, None], (E, K)),
+                         a_nf["y"], s_nf["y"])
+            cand_vx = cat(jnp.broadcast_to(hit_cvx[:, None], (E, K)),
+                          a_nf["vx"], s_nf["vx"])
+            cand_vy = cat(jnp.broadcast_to(hit_cvy[:, None], (E, K)),
+                          a_nf["vy"], s_nf["vy"])
+            cand_svx = cat(cos_ang * pop_speed, a_nf["vx"], s_nf["vx"])
+            cand_svy = cat(sin_ang * pop_speed, a_nf["vy"], s_nf["vy"])
+            cand_mass = cat(d_mass, a_nf["mass"], s_nf["mass"])
 
-        free = ~calive
-        num_free = jnp.sum(free, axis=1, keepdims=True)
-        free_rank = jnp.cumsum(free.astype(jnp.int32), axis=1) - 1
-        orderv = jnp.where(cand_mask, cand_order, _BIG_I)
-        valid = cand_mask & (orderv < num_free)
-        # ids in creation order
-        ids = next_id[:, None] + orderv
-        next_id = next_id + jnp.sum(valid, axis=1).astype(jnp.int32)
-        oh2 = (valid[:, :, None] & free[:, None, :]
-               & (free_rank[:, None, :] == orderv[:, :, None]))  # (E,NEWK,Cc)
-        claimed = jnp.any(oh2, axis=1)
-        oh2f = oh2.astype(jnp.float32)
+            free = ~calive
+            num_free = jnp.sum(jnp.where(free, 1, 0), axis=1, keepdims=True)
+            free_rank = _cumsum1(jnp.where(free, 1, 0)) - 1
+            orderv = jnp.where(cand_mask, cand_order, _BIG_I)
+            valid = cand_mask & (orderv < num_free)
+            # ids in creation order
+            ids = next_id[:, None] + orderv
+            next_id = next_id + jnp.sum(jnp.where(valid, 1, 0), axis=1)
+            oh2 = (_e2(valid) & free[:, None, :]
+                   & (free_rank[:, None, :] == orderv[:, :, None]))  # (E,NEWK,Cc)
+            claimed = jnp.any(oh2, axis=1)
+            oh2f = jnp.where(oh2, 1.0, 0.0)
 
-        def wr_f(old, vals):
-            return jnp.where(claimed,
-                             jnp.sum(vals[:, :, None] * oh2f, axis=1), old)
+            def wr_f(old, vals):
+                return jnp.where(claimed,
+                                 jnp.sum(vals[:, :, None] * oh2f, axis=1), old)
 
-        def wr_i(old, vals):
-            return jnp.where(claimed,
-                             jnp.sum(jnp.where(oh2, vals[:, :, None], 0),
-                                     axis=1), old)
+            def wr_i(old, vals):
+                return jnp.where(claimed,
+                                 jnp.sum(jnp.where(oh2, vals[:, :, None], 0),
+                                         axis=1), old)
 
-        cx = wr_f(cx, cand_x)
-        cy = wr_f(cy, cand_y)
-        cvx = wr_f(cvx, cand_vx)
-        cvy = wr_f(cvy, cand_vy)
-        svx = wr_f(svx, cand_svx)
-        svy = wr_f(svy, cand_svy)
-        cmass = wr_i(cmass, jnp.maximum(cand_mass, C.CELL_MIN_SIZE))
-        cid = wr_i(cid, ids)
-        crecomb = jnp.where(claimed, (elapsed + C.RECOMBINE_TICKS)[:, None],
-                            crecomb)
-        calive = calive | claimed
+            cx = wr_f(cx, cand_x)
+            cy = wr_f(cy, cand_y)
+            cvx = wr_f(cvx, cand_vx)
+            cvy = wr_f(cvy, cand_vy)
+            svx = wr_f(svx, cand_svx)
+            svy = wr_f(svy, cand_svy)
+            cmass = wr_i(cmass, jnp.maximum(cand_mass, C.CELL_MIN_SIZE))
+            cid = wr_i(cid, ids)
+            crecomb = jnp.where(claimed, (elapsed + C.RECOMBINE_TICKS)[:, None],
+                                crecomb)
+            calive = calive | claimed
 
         # --- recombine (SPEC M7): fixed-trip merge loop -------------------
         def rec_body(_, carry):
@@ -683,7 +719,7 @@ def _make_kernel(cfg: EnvConfig):
             d2 = dx * dx + dy * dy
             rs = radm[:, :, None] + radm[:, None, :]
             lower = rk[:, :, None] < rk[:, None, :]
-            elig = (can[:, :, None] & can[:, None, :] & lower
+            elig = (_e2(can) & can[:, None, :] & lower
                     & (rs * rs >= d2))
             keyr = jnp.where(elig, rk[:, :, None] * Cc + rk[:, None, :],
                              _BIG_I)
@@ -693,24 +729,25 @@ def _make_kernel(cfg: EnvConfig):
             wi = jnp.any(wpair, axis=2)
             wj = jnp.any(wpair, axis=1)
             gain = jnp.sum(jnp.where(wj, cmass, 0), axis=1)
-            cmass = jnp.where(wi & has[:, None], cmass + gain[:, None],
+            cmass = jnp.where(wi & _e1(has), cmass + gain[:, None],
                               cmass)
-            calive = calive & ~(wj & has[:, None])
+            calive = calive & ~(wj & _e1(has))
             return cmass, calive
 
-        cmass, calive = jax.lax.fori_loop(0, Cc // 2, rec_body,
-                                          (cmass, calive))
+        if phases >= 6:
+            cmass, calive = jax.lax.fori_loop(0, Cc // 2, rec_body,
+                                              (cmass, calive))
 
         # --- anti-team + decay -------------------------------------------
         last_decay = last_decay_in
         anti_team = anti_team_in
-        if ms.mass_decay:
+        if ms.mass_decay and phases >= 7:
             due = palive_p & (elapsed % 60 == 0)
             fall_off = elapsed[:, None] - C.ANTI_TEAM_ACTIVATION_TICKS
             expired = vticks < fall_off
-            vticks = jnp.where(due[:, None] & expired,
+            vticks = jnp.where(_e1(due) & expired,
                                np.int32(-(2**30)), vticks)
-            n_recent = jnp.sum(vticks != np.int32(-(2**30)), axis=1)
+            n_recent = jnp.sum(jnp.where(vticks != np.int32(-(2**30)), 1, 0), axis=1)
             anti_team = jnp.where(due & (n_recent > 0),
                                   jnp.power(1.1, (n_recent - 1)
                                             .astype(jnp.float32)),
@@ -720,11 +757,11 @@ def _make_kernel(cfg: EnvConfig):
                 (cmass.astype(jnp.float32)
                  * (1.0 - C.PLAYER_DECAY_RATE * anti_team[:, None]))
                 .astype(jnp.int32), C.CELL_MIN_SIZE)
-            cmass = jnp.where(do_decay[:, None] & calive, decayed, cmass)
+            cmass = jnp.where(_e1(do_decay) & calive, decayed, cmass)
             last_decay = jnp.where(do_decay, elapsed, last_decay)
 
         # --- foods move + virus feeding ----------------------------------
-        if Nf > 0:
+        if Nf > 0 and phases >= 8:
             moving = falive & ((fvx != 0.0) | (fvy != 0.0))
             pfvx, pfvy = fvx, fvy
             nfvx, nfvy = _decel(fvx, fvy, C.FOOD_DECEL, dt)
@@ -742,13 +779,13 @@ def _make_kernel(cfg: EnvConfig):
                 cdy = fy[:, :, None] - vy_[:, None, :]
                 cd2 = cdx * cdx + cdy * cdy
                 rmv = jnp.maximum(rf, radv2[:, None, :])
-                coll = (moving[:, :, None] & valive[:, None, :]
+                coll = (_e2(moving) & valive[:, None, :]
                         & (rmv * rmv >= cd2))                # (E, Nf, Nv)
                 viota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, Nv), 2)
                 hitv = jnp.min(jnp.where(coll, viota, _BIG_I), axis=2)
                 fhit = hitv < _BIG_I
-                hitm = fhit[:, :, None] & (hitv[:, :, None] == viota)
-                hcount = jnp.sum(hitm, axis=1).astype(jnp.int32)  # (E, Nv)
+                hitm = _e2(fhit) & (hitv[:, :, None] == viota)
+                hcount = jnp.sum(jnp.where(hitm, 1, 0), axis=1)  # (E, Nv)
                 nh = vhits + hcount
                 burst = valive & (nh > C.NUMBER_OF_FOOD_HITS)
                 post = jnp.maximum(nh - (C.NUMBER_OF_FOOD_HITS + 1), 0)
@@ -776,10 +813,9 @@ def _make_kernel(cfg: EnvConfig):
                 spy = by + svy_f * dt * 10.0
                 rnew = _radius(np.float32(C.VIRUS_INITIAL_MASS))
                 spx, spy = _clampb(spx, spy, rnew, W, H)
-                dead_rank = jnp.cumsum((~valive).astype(jnp.int32),
-                                       axis=1) - 1
+                dead_rank = _cumsum1(jnp.where(valive, 0, 1)) - 1
                 dslot_oh = ((~valive) & (dead_rank == 0)
-                            & any_burst[:, None])
+                            & _e1(any_burst))
                 vx_ = jnp.where(dslot_oh, spx[:, None], vx_)
                 vy_ = jnp.where(dslot_oh, spy[:, None], vy_)
                 vvx = jnp.where(dslot_oh, svx_f[:, None], vvx)
@@ -789,12 +825,12 @@ def _make_kernel(cfg: EnvConfig):
                 valive = valive | dslot_oh
 
         # --- regeneration ------------------------------------------------
-        if ms.pellet_regen:
+        if ms.pellet_regen and phases >= 9:
             due_r = (ticks % C.REGEN_PERIOD) == 0
-            n_alive = jnp.sum(palive, axis=1).astype(jnp.int32)
+            n_alive = jnp.sum(jnp.where(palive, 1, 0), axis=1)
             deficit = jnp.maximum(cfg.num_pellets - n_alive, 0)
-            dead_order = jnp.cumsum((~palive).astype(jnp.int32), axis=1) - 1
-            fill = due_r[:, None] & ~palive & (dead_order < deficit[:, None])
+            dead_order = _cumsum1(jnp.where(palive, 0, 1)) - 1
+            fill = _e1(due_r) & ~palive & (dead_order < deficit[:, None])
             rp = _radius(np.float32(C.PELLET_MASS))
             piota = jax.lax.broadcasted_iota(jnp.int32, (1, Np), 1)
             nx_ = _uniform(0.0, W - 2 * rp, seed[:, None], 1,
@@ -805,11 +841,10 @@ def _make_kernel(cfg: EnvConfig):
             py = jnp.where(fill, ny_, py)
             palive = palive | fill
             if Nv > 0:
-                nv_alive = jnp.sum(valive, axis=1).astype(jnp.int32)
+                nv_alive = jnp.sum(jnp.where(valive, 1, 0), axis=1)
                 vdef = jnp.maximum(cfg.num_viruses - nv_alive, 0)
-                vdead_order = jnp.cumsum((~valive).astype(jnp.int32),
-                                         axis=1) - 1
-                vfill = (due_r[:, None] & ~valive
+                vdead_order = _cumsum1(jnp.where(valive, 0, 1)) - 1
+                vfill = (_e1(due_r) & ~valive
                          & (vdead_order < vdef[:, None]))
                 rv = _radius(np.float32(C.VIRUS_INITIAL_MASS))
                 viota3 = jax.lax.broadcasted_iota(jnp.int32, (1, Nv), 1)
@@ -825,47 +860,50 @@ def _make_kernel(cfg: EnvConfig):
                 vhits = jnp.where(vfill, 0, vhits)
                 valive = valive | vfill
 
-        # --- writeback (whole-array stores only) -------------------------
+        # --- writeback (2D whole-array stores) ---------------------------
         keep = calive
-        o_target[...] = target_v
+        o_tx[...] = tx[:, None]
+        o_ty[...] = ty[:, None]
         o_action[...] = action[:, None]
         o_split_cd[...] = split_cd[:, None]
         o_feed_cd[...] = feed_cd[:, None]
         o_elapsed[...] = elapsed[:, None]
         o_last_decay[...] = last_decay[:, None]
         o_anti_team[...] = anti_team[:, None]
-        o_vticks[...] = vticks[:, None, :]
+        o_vticks[...] = vticks
         o_vptr[...] = vptr[:, None]
         o_food_eaten[...] = food_eaten[:, None]
         o_highest[...] = highest[:, None]
         o_viruses_eaten[...] = viruses_eaten[:, None]
-        o_cpos[...] = jnp.stack(
-            [jnp.where(keep, cx, 0.0), jnp.where(keep, cy, 0.0)],
-            axis=-1)[:, None]
-        o_cvel[...] = jnp.stack(
-            [jnp.where(keep, cvx, 0.0), jnp.where(keep, cvy, 0.0)],
-            axis=-1)[:, None]
-        o_csvel[...] = jnp.stack(
-            [jnp.where(keep, svx, 0.0), jnp.where(keep, svy, 0.0)],
-            axis=-1)[:, None]
-        o_cmass[...] = jnp.where(keep, cmass, 0)[:, None, :]
-        o_calive[...] = calive[:, None, :]
-        o_cid[...] = cid[:, None, :]
-        o_crecomb[...] = crecomb[:, None, :]
-        o_next_id[...] = next_id
-        o_ppos[...] = jnp.stack([px, py], axis=-1)
+        o_cx[...] = jnp.where(keep, cx, 0.0)
+        o_cy[...] = jnp.where(keep, cy, 0.0)
+        o_cvx[...] = jnp.where(keep, cvx, 0.0)
+        o_cvy[...] = jnp.where(keep, cvy, 0.0)
+        o_svx[...] = jnp.where(keep, svx, 0.0)
+        o_svy[...] = jnp.where(keep, svy, 0.0)
+        o_cmass[...] = jnp.where(keep, cmass, 0)
+        o_calive[...] = calive
+        o_cid[...] = cid
+        o_crecomb[...] = crecomb
+        o_next_id[...] = next_id[:, None]
+        o_px[...] = px
+        o_py[...] = py
         o_palive[...] = palive
-        o_vpos[...] = jnp.stack([vx_, vy_], axis=-1)
-        o_vvel[...] = jnp.stack([vvx, vvy], axis=-1)
+        o_vx[...] = vx_
+        o_vy[...] = vy_
+        o_vvx[...] = vvx
+        o_vvy[...] = vvy
         o_vmass[...] = vmass
         o_vhits[...] = vhits
         o_valive[...] = valive
-        o_fpos[...] = jnp.stack([fx, fy], axis=-1)
-        o_fvel[...] = jnp.stack([fvx, fvy], axis=-1)
+        o_fx[...] = fx
+        o_fy[...] = fy
+        o_fvx[...] = fvx
+        o_fvy[...] = fvy
         o_falive[...] = falive
-        o_fnext[...] = fnext
-        o_ticks[...] = ticks + 1
-        o_seed[...] = seed
+        o_fnext[...] = fnext[:, None]
+        o_ticks[...] = (ticks + 1)[:, None]
+        o_seed[...] = seed[:, None]
 
     def _split_cells(cx, cy, cmass, tx, ty, elapsed, W, H):
         """cell_split fields for every cell (masking applied by caller)."""
@@ -887,22 +925,84 @@ def _make_kernel(cfg: EnvConfig):
     return kernel
 
 
-_FIELDS = [
-    ("target", "f"), ("action", "i"), ("split_cooldown", "i"),
-    ("feed_cooldown", "i"), ("elapsed_ticks", "i"), ("last_decay_tick", "i"),
-    ("anti_team_decay", "f"), ("virus_eaten_ticks", "i"),
-    ("virus_eaten_ptr", "i"),
-    ("food_eaten", "i"), ("highest_mass", "i"),
-    ("viruses_eaten", "i"),
-    ("cell_pos", "f"), ("cell_vel", "f"), ("cell_split_vel", "f"),
-    ("cell_mass", "i"), ("cell_alive", "b"), ("cell_id", "i"),
-    ("cell_recombine_at", "i"), ("next_cell_id", "i"),
-    ("pellet_pos", "f"), ("pellet_alive", "b"),
-    ("virus_pos", "f"), ("virus_vel", "f"), ("virus_mass", "i"),
-    ("virus_hits", "i"), ("virus_alive", "b"),
-    ("food_pos", "f"), ("food_vel", "f"), ("food_alive", "b"),
-    ("food_next", "i"), ("ticks", "i"), ("seed", "u"),
+# (name, kind): kind "s" = per-env scalar -> (N,1); "p" = per-player (N,P=1)
+# kept as-is; "v2" = (... ,2) vector field split into _x/_y; "2d" = already 2D
+_SPLIT_PLAN = [
+    ("target", "v2p"),          # (N,1,2) -> tx, ty (N,1)
+    ("action", "p"), ("split_cooldown", "p"), ("feed_cooldown", "p"),
+    ("elapsed_ticks", "p"), ("last_decay_tick", "p"),
+    ("anti_team_decay", "p"),
+    ("virus_eaten_ticks", "pk"),   # (N,1,K) -> (N,K)
+    ("virus_eaten_ptr", "p"),
+    ("food_eaten", "p"), ("highest_mass", "p"), ("viruses_eaten", "p"),
+    ("cell_pos", "v2c"), ("cell_vel", "v2c"), ("cell_split_vel", "v2c"),
+    ("cell_mass", "pc"), ("cell_alive", "pc"), ("cell_id", "pc"),
+    ("cell_recombine_at", "pc"), ("next_cell_id", "s"),
+    ("pellet_pos", "v2"), ("pellet_alive", "2d"),
+    ("virus_pos", "v2"), ("virus_vel", "v2"), ("virus_mass", "2d"),
+    ("virus_hits", "2d"), ("virus_alive", "2d"),
+    ("food_pos", "v2"), ("food_vel", "v2"), ("food_alive", "2d"),
+    ("food_next", "s"), ("ticks", "s"), ("seed", "s"),
 ]
+
+
+def _to_kernel_arrays(states: GameState):
+    """GameState (batched, P=1) -> flat list of clean 2D arrays."""
+    out = []
+    for name, kind in _SPLIT_PLAN:
+        x = getattr(states, name)
+        if kind == "s":
+            out.append(x[:, None])
+        elif kind == "p":
+            out.append(x)                        # (N, 1)
+        elif kind == "pk":
+            out.append(x[:, 0, :])               # (N, K)
+        elif kind == "pc":
+            out.append(x[:, 0, :])               # (N, Cc)
+        elif kind == "v2p":
+            out.append(x[:, 0, 0:1])             # tx (N,1)
+            out.append(x[:, 0, 1:2])             # ty (N,1)
+        elif kind == "v2c":
+            out.append(x[:, 0, :, 0])            # (N, Cc)
+            out.append(x[:, 0, :, 1])
+        elif kind == "v2":
+            out.append(x[:, :, 0])               # (N, F)
+            out.append(x[:, :, 1])
+        elif kind == "2d":
+            out.append(x)
+        else:
+            raise ValueError(kind)
+    return out
+
+
+def _from_kernel_arrays(states: GameState, outs):
+    """Inverse of _to_kernel_arrays."""
+    kw = {}
+    i = 0
+    for name, kind in _SPLIT_PLAN:
+        if kind == "s":
+            kw[name] = outs[i][:, 0]
+            i += 1
+        elif kind == "p":
+            kw[name] = outs[i]
+            i += 1
+        elif kind in ("pk", "pc"):
+            kw[name] = outs[i][:, None, :]
+            i += 1
+        elif kind == "v2p":
+            kw[name] = jnp.stack([outs[i][:, 0], outs[i + 1][:, 0]],
+                                 axis=-1)[:, None, :]
+            i += 2
+        elif kind == "v2c":
+            kw[name] = jnp.stack([outs[i], outs[i + 1]], axis=-1)[:, None]
+            i += 2
+        elif kind == "v2":
+            kw[name] = jnp.stack([outs[i], outs[i + 1]], axis=-1)
+            i += 2
+        elif kind == "2d":
+            kw[name] = outs[i]
+            i += 1
+    return states.replace(**kw)
 
 
 def supports(cfg: EnvConfig) -> bool:
@@ -910,10 +1010,11 @@ def supports(cfg: EnvConfig) -> bool:
     return cfg.num_players == 1
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2, 3))
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4))
 def fused_engine_tick(cfg: EnvConfig, states: GameState,
                       block_envs: int = 256,
-                      interpret: bool = False) -> GameState:
+                      interpret: bool = False,
+                      phases: int = 99) -> GameState:
     """One engine tick over a BATCH of envs via the fused kernel.
 
     states: a vmapped GameState with leading env axis N (N % block_envs == 0,
@@ -924,10 +1025,7 @@ def fused_engine_tick(cfg: EnvConfig, states: GameState,
     E = min(block_envs, N)
     assert N % E == 0, (N, E)
 
-    ins = [getattr(states, name) for name, _ in _FIELDS]
-    # per-env scalars: broadcast () leaves to (N,)
-    ins = [jnp.broadcast_to(x, (N,) + x.shape[1:]) if x.ndim >= 1 else x
-           for x in ins]
+    ins = _to_kernel_arrays(states)
 
     def spec_for(x):
         blk = (E,) + x.shape[1:]
@@ -938,7 +1036,7 @@ def fused_engine_tick(cfg: EnvConfig, states: GameState,
     out_specs = in_specs
     out_shapes = [jax.ShapeDtypeStruct(x.shape, x.dtype) for x in ins]
 
-    kernel = _make_kernel(cfg)
+    kernel = _make_kernel(cfg, phases)
     outs = pl.pallas_call(
         kernel,
         grid=(N // E,),
@@ -949,5 +1047,4 @@ def fused_engine_tick(cfg: EnvConfig, states: GameState,
         interpret=interpret,
     )(*ins)
 
-    kw = {name: out for (name, _), out in zip(_FIELDS, outs)}
-    return states.replace(**kw)
+    return _from_kernel_arrays(states, outs)
