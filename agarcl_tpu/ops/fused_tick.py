@@ -57,7 +57,8 @@ def _hash_u32(seed, stream, tick, slot, axis):
 
 def _uniform(lo, hi, seed, stream, tick, slot, axis):
     bits = _hash_u32(seed, stream, tick, slot, axis) >> jnp.uint32(8)
-    u = bits.astype(jnp.float32) * np.float32(1.0 / (1 << 24))
+    # Mosaic lacks uint32->float32; bits fit in int32 after the shift
+    u = bits.astype(jnp.int32).astype(jnp.float32) * np.float32(1.0 / (1 << 24))
     return lo + (hi - lo) * u
 
 
@@ -500,22 +501,31 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99):
             # static chunk loop (Mosaic has no dynamic_slice lowering)
             n_chunks = (Np + PCHUNK - 1) // PCHUNK
             pad = n_chunks * PCHUNK - Np
+            pal_int = jnp.where(palive, 1, 0)
             if pad:
                 px_p = jnp.concatenate(
                     [px, jnp.zeros((E, pad), px.dtype)], axis=1)
                 py_p = jnp.concatenate(
                     [py, jnp.zeros((E, pad), py.dtype)], axis=1)
-                pal_p = jnp.concatenate(
-                    [palive, jnp.zeros((E, pad), bool)], axis=1)
+                # pad the alive mask in int32 (Mosaic can't concat/slice i1)
+                pal_pi = jnp.concatenate(
+                    [pal_int, jnp.zeros((E, pad), jnp.int32)], axis=1)
             else:
-                px_p, py_p, pal_p = px, py, palive
+                px_p, py_p, pal_pi = px, py, pal_int
 
             def chunk_elig(k):
-                sl = slice(k * PCHUNK, (k + 1) * PCHUNK)
-                pdx = cx[:, :, None] - px_p[:, None, sl]
-                pdy = cy[:, :, None] - py_p[:, None, sl]
+                # explicit static slices (mixed None+offset-slice indexing
+                # lowers as an unsupported gather)
+                cpx = jax.lax.slice_in_dim(px_p, k * PCHUNK,
+                                           (k + 1) * PCHUNK, axis=1)
+                cpy = jax.lax.slice_in_dim(py_p, k * PCHUNK,
+                                           (k + 1) * PCHUNK, axis=1)
+                cpa = jax.lax.slice_in_dim(pal_pi, k * PCHUNK,
+                                           (k + 1) * PCHUNK, axis=1)
+                pdx = cx[:, :, None] - cpx[:, None, :]
+                pdy = cy[:, :, None] - cpy[:, None, :]
                 pd2 = pdx * pdx + pdy * pdy
-                return (_e2(calive) & pal_p[:, None, sl]
+                return (_e2(calive) & (cpa[:, None, :] > 0)
                         & ((radc * radc)[:, :, None] >= pd2))
 
             pmins = []
@@ -710,7 +720,8 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99):
 
         # --- recombine (SPEC M7): fixed-trip merge loop -------------------
         def rec_body(_, carry):
-            cmass, calive = carry
+            cmass, calive_i = carry
+            calive = calive_i > 0
             rk = _rank_of(cid, calive)
             can = calive & (elapsed[:, None] >= crecomb)
             radm = _radius(cmass)
@@ -732,11 +743,12 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99):
             cmass = jnp.where(wi & _e1(has), cmass + gain[:, None],
                               cmass)
             calive = calive & ~(wj & _e1(has))
-            return cmass, calive
+            return cmass, jnp.where(calive, 1, 0)
 
         if phases >= 6:
-            cmass, calive = jax.lax.fori_loop(0, Cc // 2, rec_body,
-                                              (cmass, calive))
+            cmass, calive_i = jax.lax.fori_loop(
+                0, Cc // 2, rec_body, (cmass, jnp.where(calive, 1, 0)))
+            calive = calive_i > 0
 
         # --- anti-team + decay -------------------------------------------
         last_decay = last_decay_in
@@ -1045,6 +1057,8 @@ def fused_engine_tick(cfg: EnvConfig, states: GameState,
         out_shape=out_shapes,
         input_output_aliases={i: i for i in range(len(ins))},
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(*ins)
 
     return _from_kernel_arrays(states, outs)
