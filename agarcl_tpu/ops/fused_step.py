@@ -1,0 +1,78 @@
+"""Batched env-step built on the fused Pallas tick.
+
+The XLA env_step (env.py) is written per-env and vmapped; the fused tick is
+inherently batched (one pallas_call over the whole env batch), so this module
+provides the batched composition: apply actions -> ticks_per_step fused
+ticks -> observations -> per-mode respawn/termination -> rewards. The
+env-level pieces stay XLA ops (they are tiny next to the tick).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from agarcl_tpu import constants as C
+from agarcl_tpu.config import EnvConfig
+from agarcl_tpu.env import apply_actions, respawn_players
+from agarcl_tpu.ops.fused_tick import fused_engine_tick, supports
+from agarcl_tpu.state import GameState
+
+
+def fused_env_step(cfg: EnvConfig, states: GameState, actions,
+                   obs_fn=None, num_frames: int = 1,
+                   block_envs: int = 256, interpret: bool = False):
+    """One env step over a BATCH of envs via the fused tick kernel.
+
+    states: vmapped GameState (leading axis N); actions (N, A, 3).
+    Returns (states, obs|None, rewards (N, A), dones (N, A)).
+    """
+    assert supports(cfg)
+    A = cfg.num_agents
+    ms = cfg.mode_spec
+    N = states.ticks.shape[0]
+
+    states = jax.vmap(functools.partial(apply_actions, cfg))(states, actions)
+    before = states.player_mass()[:, :A].astype(jnp.float32)
+    states = states.replace(main_respawned=jnp.zeros((N,), bool))
+
+    def tick(s):
+        return fused_engine_tick(cfg, s, block_envs, interpret)
+
+    F = min(num_frames, cfg.ticks_per_step) if obs_fn is not None else 0
+    def body(s, _):
+        return tick(s), None
+
+    states, _ = jax.lax.scan(body, states, None,
+                             length=cfg.ticks_per_step - F)
+    obs = None
+    if obs_fn is not None:
+        def body_obs(s, _):
+            s = tick(s)
+            return s, jax.vmap(obs_fn)(s)
+        states, obs = jax.lax.scan(body_obs, states, None, length=F)
+        # obs: (F, N, ...) -> (N, F, ...) to match the vmapped XLA path
+        obs = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), obs)
+
+    dones = states.dones
+    if ms.respawn_all:
+        dead = ~states.player_alive()                    # (N, P)
+        states = jax.vmap(functools.partial(respawn_players, cfg))(states,
+                                                                   dead)
+    elif ms.done_on_death:
+        any_dead = jnp.any(~states.player_alive(), axis=1)
+        dones = dones.at[:, 0].set(any_dead | states.main_respawned)
+
+    rewards = states.player_mass()[:, :A].astype(jnp.float32)
+    if ms.done_on_max_mass:
+        dones = dones.at[:, 0].set(
+            dones[:, 0] | jnp.any(rewards >= C.MODE3_MAX_MASS, axis=1))
+    if cfg.reward_type:
+        penalty = jnp.where(states.main_respawned,
+                            jnp.float32(cfg.c_death), 0.0)[:, None]
+        rewards = rewards - (before - penalty)
+
+    states = states.replace(dones=dones)
+    return states, obs, rewards, dones

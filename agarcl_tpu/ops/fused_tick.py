@@ -4,24 +4,32 @@ Why: the XLA op-graph tick materializes dozens of padded intermediates per
 tick — cost analysis shows ~45 GB of HBM traffic per 8192-env step (vs ~70 MB
 of true state), capping throughput near 75k env-steps/s/chip. This kernel
 keeps each env block's entire state in VMEM across all phases of a tick and
-touches HBM exactly twice (read state, write state), which removes the
-bandwidth wall.
+touches HBM exactly twice per block (read state, write state).
+
+Layout — env-in-lanes: every array inside the kernel is (feature..., E) with
+the env-block axis E LAST, so the 128-wide vector lanes are always fully
+packed by envs (E a multiple of 128). Feature axes (16 cells, pellet chunks,
+virus slots) live in sublanes; pairwise tensors are (Ci, Cj, E). The wrapper
+feeds transposed (feature, N) arrays so the kernel needs no relayouts. The
+earlier (env, feature) orientation padded every 16-wide cell axis to 128
+lanes — an 8x VPU/VMEM waste.
+
+Mosaic lowering rules baked in (each was a discovered blocker):
+no dynamic_slice (static chunk slices), no cumsum (log-shift prefix sums),
+no atan (algebraic cos/sin), no i1 minor-dim inserts / transposes / bitcasts
+/ concats (bool work routes through int32 selects; env-last keeps bool
+broadcasts on leading dims, which are legal), no uint32->f32 casts (via
+int32), and scf.for cannot carry i1 (loop carries are int32).
 
 Scope: the single-agent fast path (num_players == 1 — the BASELINE bench
-configs: ram/grid tasks without bots). Multi-player configs use the XLA tick
-(agarcl_tpu/engine/tick.py). Semantics are identical to the XLA tick (same
-SPEC.md pins); tests/test_fused_tick.py checks fused-vs-XLA agreement
-state-field by state-field, and the C++ oracle transitively covers it.
-
-Layout: blocks of E envs; inside the kernel, arrays are (E, feature) with E
-in sublanes — VMEM tile padding on small feature axes is irrelevant because
-everything stays on-chip. Pellet-sized arrays are (E, Np).
+configs). Multi-player configs use the XLA tick (engine/tick.py). Semantics
+identical to the XLA tick (same SPEC.md pins); tests/test_fused_tick.py
+checks field-exact agreement, and the C++ oracle transitively covers it.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -77,9 +85,7 @@ def _split_speed(mass):
 
 def _dir_cos_sin(dx, dy):
     """cos/sin of the reference's quirky direction() = atan(dx/dy) with
-    +-pi corrections for dx<0 — computed algebraically (Mosaic has no atan):
-    cos(atan(t)) = 1/sqrt(1+t^2), sin(atan(t)) = t/sqrt(1+t^2); the +-pi
-    correction flips both signs."""
+    +-pi corrections for dx<0 — computed algebraically (no atan in Mosaic)."""
     both_zero = (dx == 0.0) & (dy == 0.0)
     dy_safe = jnp.where(dy == 0.0, 1.0, dy)
     t = dx / dy_safe
@@ -104,42 +110,21 @@ def _decel(vx, vy, decel, dt):
     return nx, ny
 
 
-def _clampb(x, y, rad, W, H):
-    cx = jnp.maximum(0.0, jnp.maximum(jnp.minimum(x, W - rad), rad))
-    cy = jnp.maximum(0.0, jnp.maximum(jnp.minimum(y, H - rad), rad))
-    return cx, cy
-
-
-def _e1(b):
-    """(E,) bool -> (E, 1) bool via an int32 expansion (Mosaic cannot insert
-    a minor dim on 1-bit vectors)."""
-    return jnp.where(b, 1, 0)[:, None] > 0
-
-
-def _e2(b):
-    """(E, F) bool -> (E, F, 1) bool via int32."""
-    return jnp.where(b, 1, 0)[:, :, None] > 0
-
-
-def _cumsum1(x):
-    """Inclusive prefix sum along axis 1 via log-shift adds (Mosaic has no
-    cumsum lowering). x: (E, F) int32."""
-    E, F = x.shape
+def _cumsum0(x):
+    """Inclusive prefix sum along axis 0 via log-shift adds. x: (F, E)."""
+    F, E = x.shape
     acc = x
     d = 1
     while d < F:
         shifted = jnp.concatenate(
-            [jnp.zeros((E, d), acc.dtype), acc[:, :F - d]], axis=1)
+            [jnp.zeros((d, E), acc.dtype), acc[:F - d]], axis=0)
         acc = acc + shifted
         d *= 2
     return acc
 
 
-def _rank_of(cid, alive):
-    """(E,Cc) counting rank by id among live cells."""
-    key = jnp.where(alive, cid, _BIG_I)
-    return jnp.sum(jnp.where(key[:, :, None] > key[:, None, :], 1, 0),
-                   axis=-1)
+def _bint(b):
+    return jnp.where(b, 1, 0)
 
 
 # ------------------------------------------------------------------ kernel
@@ -152,6 +137,34 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99):
     dt = np.float32(cfg.dt)
     ms = cfg.mode_spec
 
+    def clampb(x, y, rad):
+        cx_ = jnp.maximum(0.0, jnp.maximum(jnp.minimum(x, W - rad), rad))
+        cy_ = jnp.maximum(0.0, jnp.maximum(jnp.minimum(y, H - rad), rad))
+        return cx_, cy_
+
+    def rank_of(cid, calive):
+        """(Cc, E) counting rank by id among live cells."""
+        key = jnp.where(calive, cid, _BIG_I)
+        lt = key[None, :, :] < key[:, None, :]   # [i, j, E]: key_j < key_i
+        return jnp.sum(_bint(lt), axis=1)
+
+    def split_fields(cx, cy, cmass, tx, ty, elapsed):
+        """cell_split fields for every cell, (Cc, E) arrays."""
+        split_mass = cmass // 2
+        remaining = jnp.maximum(cmass - split_mass, C.CELL_MIN_SIZE)
+        radr = _radius(remaining)
+        dx = tx - cx
+        dy = ty - cy
+        n = jnp.maximum(jnp.sqrt(dx * dx + dy * dy), 1e-12)
+        dx = dx / n
+        dy = dy / n
+        lx = cx + dx * radr
+        ly = cy + dy * radr
+        lx, ly = clampb(lx, ly, radr)
+        spd = _split_speed(split_mass)
+        return remaining, dict(x=lx, y=ly, vx=dx * spd, vy=dy * spd,
+                               mass=split_mass)
+
     def kernel(tx_ref, ty_ref, action_ref, split_cd_ref, feed_cd_ref,
                elapsed_ref, last_decay_ref, anti_team_ref,
                vticks_ref, vptr_ref,
@@ -163,7 +176,6 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99):
                valive_ref,
                fx_ref, fy_ref, fvx_ref, fvy_ref, falive_ref, fnext_ref,
                ticks_ref, seed_ref,
-               # outputs (aliased to inputs)
                o_tx, o_ty, o_action, o_split_cd, o_feed_cd, o_elapsed,
                o_last_decay, o_anti_team, o_vticks, o_vptr,
                o_food_eaten, o_highest, o_viruses_eaten,
@@ -173,24 +185,24 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99):
                o_vx, o_vy, o_vvx, o_vvy, o_vmass, o_vhits, o_valive,
                o_fx, o_fy, o_fvx, o_fvy, o_falive, o_fnext,
                o_ticks, o_seed):
-        E = action_ref.shape[0]
-        tx = tx_ref[...][:, 0]
-        ty = ty_ref[...][:, 0]
-        action = action_ref[...][:, 0]
-        split_cd_in = split_cd_ref[...][:, 0]
-        feed_cd_in = feed_cd_ref[...][:, 0]
-        elapsed_in = elapsed_ref[...][:, 0]
-        last_decay_in = last_decay_ref[...][:, 0]
-        anti_team_in = anti_team_ref[...][:, 0]
-        food_eaten_in = food_eaten_ref[...][:, 0]
-        highest_in = highest_ref[...][:, 0]
-        viruses_eaten_in = viruses_eaten_ref[...][:, 0]
-        ticks = ticks_ref[...][:, 0]
-        seed = seed_ref[...][:, 0]
-        vticks = vticks_ref[...]                 # (E, K)
-        vptr = vptr_ref[...][:, 0]
+        E = tx_ref.shape[1]
+        tx = tx_ref[...]                     # (1, E)
+        ty = ty_ref[...]
+        action = action_ref[...]
+        split_cd_in = split_cd_ref[...]
+        feed_cd_in = feed_cd_ref[...]
+        elapsed_in = elapsed_ref[...]
+        last_decay_in = last_decay_ref[...]
+        anti_team_in = anti_team_ref[...]
+        food_eaten_in = food_eaten_ref[...]
+        highest_in = highest_ref[...]
+        viruses_eaten_in = viruses_eaten_ref[...]
+        ticks = ticks_ref[...]
+        seed = seed_ref[...]
+        vticks = vticks_ref[...]             # (K, E)
+        vptr = vptr_ref[...]
 
-        cx = cx_ref[...]                         # (E, Cc)
+        cx = cx_ref[...]                     # (Cc, E)
         cy = cy_ref[...]
         cvx = cvx_ref[...]
         cvy = cvy_ref[...]
@@ -200,32 +212,32 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99):
         calive = calive_ref[...]
         cid = cid_ref[...]
         crecomb = crecomb_ref[...]
-        next_id = next_id_ref[...][:, 0]
+        next_id = next_id_ref[...]           # (1, E)
 
-        px = px_ref[...]                         # (E, Np)
+        px = px_ref[...]                     # (Np, E)
         py = py_ref[...]
         palive = palive_ref[...]
-        vx_ = vx_ref[...]                        # (E, Nv)
+        vx_ = vx_ref[...]                    # (Nv, E)
         vy_ = vy_ref[...]
         vvx = vvx_ref[...]
         vvy = vvy_ref[...]
         vmass = vmass_ref[...]
         vhits = vhits_ref[...]
         valive = valive_ref[...]
-        fx = fx_ref[...]                         # (E, Nf)
+        fx = fx_ref[...]                     # (Nf, E)
         fy = fy_ref[...]
         fvx = fvx_ref[...]
         fvy = fvy_ref[...]
         falive = falive_ref[...]
-        fnext = fnext_ref[...][:, 0]
+        fnext = fnext_ref[...]
 
-        palive_p = jnp.any(calive, axis=1)       # player alive (E,)
+        palive_p = jnp.max(_bint(calive), axis=0, keepdims=True) > 0  # (1,E)
         action_eff = jnp.where(palive_p, action, 0)
-        elapsed = elapsed_in + jnp.where(palive_p, 1, 0)
+        elapsed = elapsed_in + _bint(palive_p)
 
-        # --- movement ---------------------------------------------------
-        nvx = 3.0 * (tx[:, None] - cx)
-        nvy = 3.0 * (ty[:, None] - cy)
+        # --- movement (Engine.hpp:609-630) --------------------------------
+        nvx = 3.0 * (tx - cx)
+        nvy = 3.0 * (ty - cy)
         sp = jnp.sqrt(nvx * nvx + nvy * nvy)
         lim = _max_speed(cmass)
         scale = jnp.where(sp > lim, lim / jnp.maximum(sp, 1e-12), 1.0)
@@ -235,132 +247,20 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99):
         cy = cy + (nvy + svy) * dt
         svx, svy = _decel(svx, svy, C.SPLIT_DECELERATION, dt)
         rad = _radius(cmass)
-        cx, cy = _clampb(cx, cy, rad, W, H)
+        cx, cy = clampb(cx, cy, rad)
         cvx, cvy = nvx, nvy
-        dead = ~calive
-        cx = jnp.where(dead, 0.0, cx)
-        cy = jnp.where(dead, 0.0, cy)
-        cvx = jnp.where(dead, 0.0, cvx)
-        cvy = jnp.where(dead, 0.0, cvy)
-        svx = jnp.where(dead, 0.0, svx)
-        svy = jnp.where(dead, 0.0, svy)
+        cx = jnp.where(calive, cx, 0.0)
+        cy = jnp.where(calive, cy, 0.0)
+        cvx = jnp.where(calive, cvx, 0.0)
+        cvy = jnp.where(calive, cvy, 0.0)
+        svx = jnp.where(calive, svx, 0.0)
+        svy = jnp.where(calive, svy, 0.0)
 
-        rank = (_rank_of(cid, calive) if phases >= 2
-                else jnp.zeros((E, Cc), jnp.int32))
+        rank = (rank_of(cid, calive) if phases >= 2
+                else jnp.zeros((Cc, E), jnp.int32))
 
-        # --- self-collision relaxation (SPEC M6, matrix form) ------------
-        def pair_pass(cx, cy, cvx, cvy, static_only):
-            dx = cx[:, None, :] - cx[:, :, None]     # (E, i, j): j - i
-            dy = cy[:, None, :] - cy[:, :, None]
-            d2 = dx * dx + dy * dy
-            radc = _radius(cmass)
-            rs = radc[:, :, None] + radc[:, None, :]
-            eye = jax.lax.broadcasted_iota(jnp.int32, (Cc, Cc), 0) \
-                == jax.lax.broadcasted_iota(jnp.int32, (Cc, Cc), 1)
-            both = _e2(calive) & calive[:, None, :] & ~eye[None]
-            touch = both & (rs * rs >= d2)
-            key = jnp.where(touch, rank[:, None, :], _BIG_I)
-            minkey = jnp.min(key, axis=-1, keepdims=True)
-            chose = touch & (key == minkey)
-            # bool transpose unsupported in Mosaic; swap via int32
-            chose_t = jnp.swapaxes(jnp.where(chose, 1, 0), 1, 2) > 0
-            M = chose & chose_t
-            Mlow = M & (rank[:, :, None] < rank[:, None, :])
-
-            pax, pay = cx[:, :, None], cy[:, :, None]
-            pbx, pby = cx[:, None, :], cy[:, None, :]
-            vax, vay = cvx[:, :, None], cvy[:, :, None]
-            vbx, vby = cvx[:, None, :], cvy[:, None, :]
-            sax, say = svx[:, :, None], svy[:, :, None]
-            sbx, sby = svx[:, None, :], svy[:, None, :]
-            ma = cmass[:, :, None].astype(jnp.float32)
-            mb = cmass[:, None, :].astype(jnp.float32)
-            ra = radc[:, :, None]
-            rb = radc[:, None, :]
-
-            if static_only:
-                npax, nvax, npay, nvay, npbx, nvbx, npby, nvby = \
-                    _avoid_static(pax, pay, vax, vay, pbx, pby, vbx, vby,
-                                  ra, rb)
-            else:
-                d0 = jnp.sqrt(d2)
-                # move back
-                qax = pax - (vax + sax) * dt
-                qay = pay - (vay + say) * dt
-                qbx = pbx - (vbx + sbx) * dt
-                qby = pby - (vby + sby) * dt
-                # elastic on (dx, dy, d0)
-                dd = jnp.maximum(d0, 1e-12)
-                nx = dx / dd
-                ny = dy / dd
-                txn = -ny
-                tyn = nx
-                dpn1 = vax * nx + vay * ny
-                dpn2 = vbx * nx + vby * ny
-                dpt1 = vax * txn + vay * tyn
-                dpt2 = vbx * txn + vby * tyn
-                msum = jnp.maximum(ma + mb, 1.0)
-                v1 = (dpn1 * (ma - mb) + 2.0 * mb * dpn2) / msum
-                v2 = (dpn2 * (mb - ma) + 2.0 * ma * dpn1) / msum
-                ia = ma <= mb
-                ib = ma >= mb
-                vax = jnp.where(ia, txn * dpt1 + nx * v1, vax)
-                vay = jnp.where(ia, tyn * dpt1 + ny * v1, vay)
-                vbx = jnp.where(ib, txn * dpt2 + nx * v2, vbx)
-                vby = jnp.where(ib, tyn * dpt2 + ny * v2, vby)
-                # move forward
-                npax = qax + (vax + sax) * dt
-                npay = qay + (vay + say) * dt
-                npbx = qbx + (vbx + sbx) * dt
-                npby = qby + (vby + sby) * dt
-                # still touching?
-                ddx1 = npbx - npax
-                ddy1 = npby - npay
-                dd21 = ddx1 * ddx1 + ddy1 * ddy1
-                still = (ra + rb) * (ra + rb) >= dd21
-                near = jnp.abs(cmass[:, :, None] - cmass[:, None, :]) <= 10
-                # static branch
-                s_ax, s_vax, s_ay, s_vay, s_bx, s_vbx, s_by, s_vby = \
-                    _avoid_static(npax, npay, vax, vay, npbx, npby, vbx,
-                                  vby, ra, rb)
-                # separate branch
-                p_ax, p_ay, p_bx, p_by = _separate(
-                    npax, npay, npbx, npby, ma, mb, ra, rb,
-                    tx[:, None, None], ty[:, None, None])
-                us = still & near
-                up = still & ~near
-                npax = jnp.where(us, s_ax, jnp.where(up, p_ax, npax))
-                npay = jnp.where(us, s_ay, jnp.where(up, p_ay, npay))
-                npbx = jnp.where(us, s_bx, jnp.where(up, p_bx, npbx))
-                npby = jnp.where(us, s_by, jnp.where(up, p_by, npby))
-                vax = jnp.where(us, s_vax, vax)
-                vay = jnp.where(us, s_vay, vay)
-                vbx = jnp.where(us, s_vbx, vbx)
-                vby = jnp.where(us, s_vby, vby)
-                nvax, nvay, nvbx, nvby = vax, vay, vbx, vby
-                npax, npay = _clampb(npax, npay, ra, W, H)
-                npbx, npby = _clampb(npbx, npby, rb, W, H)
-
-            ml = jnp.where(Mlow, 1.0, 0.0)
-            has_a = jnp.any(Mlow, axis=2)
-            has_b = jnp.any(Mlow, axis=1)
-            ax_upd = jnp.sum(npax * ml, axis=2)
-            ay_upd = jnp.sum(npay * ml, axis=2)
-            avx_upd = jnp.sum(nvax * ml, axis=2)
-            avy_upd = jnp.sum(nvay * ml, axis=2)
-            bx_upd = jnp.sum(npbx * ml, axis=1)
-            by_upd = jnp.sum(npby * ml, axis=1)
-            bvx_upd = jnp.sum(nvbx * ml, axis=1)
-            bvy_upd = jnp.sum(nvby * ml, axis=1)
-            ncx = jnp.where(has_a, ax_upd, jnp.where(has_b, bx_upd, cx))
-            ncy = jnp.where(has_a, ay_upd, jnp.where(has_b, by_upd, cy))
-            ncvx = jnp.where(has_a, avx_upd,
-                             jnp.where(has_b, bvx_upd, cvx))
-            ncvy = jnp.where(has_a, avy_upd,
-                             jnp.where(has_b, bvy_upd, cvy))
-            return ncx, ncy, ncvx, ncvy
-
-        def _avoid_static(pax, pay, vax, vay, pbx, pby, vbx, vby, ra, rb):
+        # --- self-collision relaxation (SPEC M6) --------------------------
+        def avoid_static(pax, pay, vax, vay, pbx, pby, vbx, vby, ra, rb):
             dx = pbx - pax
             dy = pby - pay
             d = jnp.sqrt(dx * dx + dy * dy)
@@ -386,15 +286,15 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99):
             nay = pay - ry * depth * say_
             nbx = pbx + rx * depth * sbx_
             nby = pby + ry * depth * sby_
-            nax, nay = _clampb(nax, nay, ra, W, H)
-            nbx, nby = _clampb(nbx, nby, rb, W, H)
+            nax, nay = clampb(nax, nay, ra)
+            nbx, nby = clampb(nbx, nby, rb)
             nax = jnp.where(ov, nax, pax)
             nay = jnp.where(ov, nay, pay)
             nbx = jnp.where(ov, nbx, pbx)
             nby = jnp.where(ov, nby, pby)
             return nax, nvax, nay, nvay, nbx, nvbx, nby, nvby
 
-        def _separate(pax, pay, pbx, pby, ma, mb, ra, rb, txx, tyy):
+        def separate(pax, pay, pbx, pby, ma, mb, ra, rb):
             dx = pbx - pax
             dy = pby - pay
             d = jnp.sqrt(dx * dx + dy * dy)
@@ -404,6 +304,8 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99):
             rx = dx / denom
             ry = dy / denom
             depth = td - d
+            txx = tx[None]                      # (1, 1, E)
+            tyy = ty[None]
             da = (txx - pax) ** 2 + (tyy - pay) ** 2
             db = (txx - pbx) ** 2 + (tyy - pby) ** 2
             s1 = jnp.where(ma < mb, 1, -1)
@@ -418,6 +320,111 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99):
             nby = jnp.where(ov & ~a_small, pby + my, pby)
             return nax, nay, nbx, nby
 
+        def pair_pass(cx, cy, cvx, cvy, static_only):
+            # [i, j, E] pairwise: d = pos_j - pos_i
+            dx = cx[None, :, :] - cx[:, None, :]
+            dy = cy[None, :, :] - cy[:, None, :]
+            d2 = dx * dx + dy * dy
+            radc = _radius(cmass)
+            rs = radc[:, None, :] + radc[None, :, :]
+            eye = (jax.lax.broadcasted_iota(jnp.int32, (Cc, Cc, 1), 0)
+                   == jax.lax.broadcasted_iota(jnp.int32, (Cc, Cc, 1), 1))
+            both = calive[:, None, :] & calive[None, :, :] & ~eye
+            touch = both & (rs * rs >= d2)
+            key = jnp.where(touch, rank[None, :, :], _BIG_I)
+            minkey = jnp.min(key, axis=1, keepdims=True)
+            chose = touch & (key == minkey)
+            # mutual: chose[i,j] & chose[j,i] — transpose via int32
+            chose_t = jnp.swapaxes(_bint(chose), 0, 1) > 0
+            M = chose & chose_t
+            Mlow = M & (rank[:, None, :] < rank[None, :, :])
+
+            pax, pay = cx[:, None, :], cy[:, None, :]
+            pbx, pby = cx[None, :, :], cy[None, :, :]
+            vax, vay = cvx[:, None, :], cvy[:, None, :]
+            vbx, vby = cvx[None, :, :], cvy[None, :, :]
+            sax, say = svx[:, None, :], svy[:, None, :]
+            sbx, sby = svx[None, :, :], svy[None, :, :]
+            ma = cmass[:, None, :].astype(jnp.float32)
+            mb = cmass[None, :, :].astype(jnp.float32)
+            ra = radc[:, None, :]
+            rb = radc[None, :, :]
+
+            if static_only:
+                npax, nvax, npay, nvay, npbx, nvbx, npby, nvby = \
+                    avoid_static(pax, pay, vax, vay, pbx, pby, vbx, vby,
+                                 ra, rb)
+            else:
+                d0 = jnp.sqrt(d2)
+                qax = pax - (vax + sax) * dt
+                qay = pay - (vay + say) * dt
+                qbx = pbx - (vbx + sbx) * dt
+                qby = pby - (vby + sby) * dt
+                dd = jnp.maximum(d0, 1e-12)
+                nx = dx / dd
+                ny = dy / dd
+                txn = -ny
+                tyn = nx
+                dpn1 = vax * nx + vay * ny
+                dpn2 = vbx * nx + vby * ny
+                dpt1 = vax * txn + vay * tyn
+                dpt2 = vbx * txn + vby * tyn
+                msum = jnp.maximum(ma + mb, 1.0)
+                v1 = (dpn1 * (ma - mb) + 2.0 * mb * dpn2) / msum
+                v2 = (dpn2 * (mb - ma) + 2.0 * ma * dpn1) / msum
+                ia = ma <= mb
+                ib = ma >= mb
+                vax = jnp.where(ia, txn * dpt1 + nx * v1, vax)
+                vay = jnp.where(ia, tyn * dpt1 + ny * v1, vay)
+                vbx = jnp.where(ib, txn * dpt2 + nx * v2, vbx)
+                vby = jnp.where(ib, tyn * dpt2 + ny * v2, vby)
+                npax = qax + (vax + sax) * dt
+                npay = qay + (vay + say) * dt
+                npbx = qbx + (vbx + sbx) * dt
+                npby = qby + (vby + sby) * dt
+                ddx1 = npbx - npax
+                ddy1 = npby - npay
+                dd21 = ddx1 * ddx1 + ddy1 * ddy1
+                still = (ra + rb) * (ra + rb) >= dd21
+                near = jnp.abs(cmass[:, None, :] - cmass[None, :, :]) <= 10
+                s_ax, s_vax, s_ay, s_vay, s_bx, s_vbx, s_by, s_vby = \
+                    avoid_static(npax, npay, vax, vay, npbx, npby, vbx,
+                                 vby, ra, rb)
+                p_ax, p_ay, p_bx, p_by = separate(
+                    npax, npay, npbx, npby, ma, mb, ra, rb)
+                us = still & near
+                up = still & ~near
+                npax = jnp.where(us, s_ax, jnp.where(up, p_ax, npax))
+                npay = jnp.where(us, s_ay, jnp.where(up, p_ay, npay))
+                npbx = jnp.where(us, s_bx, jnp.where(up, p_bx, npbx))
+                npby = jnp.where(us, s_by, jnp.where(up, p_by, npby))
+                vax = jnp.where(us, s_vax, vax)
+                vay = jnp.where(us, s_vay, vay)
+                vbx = jnp.where(us, s_vbx, vbx)
+                vby = jnp.where(us, s_vby, vby)
+                nvax, nvay, nvbx, nvby = vax, vay, vbx, vby
+                npax, npay = clampb(npax, npay, ra)
+                npbx, npby = clampb(npbx, npby, rb)
+
+            ml = jnp.where(Mlow, 1.0, 0.0)
+            has_a = jnp.max(_bint(Mlow), axis=1) > 0     # (Cc, E): i is "a"
+            has_b = jnp.max(_bint(Mlow), axis=0) > 0     # (Cc, E): j is "b"
+            ax_upd = jnp.sum(npax * ml, axis=1)
+            ay_upd = jnp.sum(npay * ml, axis=1)
+            avx_upd = jnp.sum(nvax * ml, axis=1)
+            avy_upd = jnp.sum(nvay * ml, axis=1)
+            bx_upd = jnp.sum(npbx * ml, axis=0)
+            by_upd = jnp.sum(npby * ml, axis=0)
+            bvx_upd = jnp.sum(nvbx * ml, axis=0)
+            bvy_upd = jnp.sum(nvby * ml, axis=0)
+            ncx = jnp.where(has_a, ax_upd, jnp.where(has_b, bx_upd, cx))
+            ncy = jnp.where(has_a, ay_upd, jnp.where(has_b, by_upd, cy))
+            ncvx = jnp.where(has_a, avx_upd,
+                             jnp.where(has_b, bvx_upd, cvx))
+            ncvy = jnp.where(has_a, avy_upd,
+                             jnp.where(has_b, bvy_upd, cvy))
+            return ncx, ncy, ncvx, ncvy
+
         if phases >= 2:
             def relax_body(_, carry):
                 return pair_pass(*carry, False)
@@ -426,166 +433,166 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99):
                 0, 5, relax_body, (cx, cy, cvx, cvy))
             cx, cy, cvx, cvy = pair_pass(cx, cy, cvx, cvy, True)
 
-        # --- virus events (P=1: best pair only) --------------------------
-        n_start = jnp.sum(jnp.where(calive, 1, 0), axis=1)
+        # --- virus events (SPEC M2) ---------------------------------------
+        n_start = jnp.sum(_bint(calive), axis=0, keepdims=True)   # (1, E)
         viruses_eaten = viruses_eaten_in
+        disr = jnp.zeros((1, E), bool)
+        num_new = jnp.zeros((1, E), jnp.int32)
+        pop_mass = jnp.zeros((1, E), jnp.int32)
+        hit_cvx = hit_cvy = hit_vx = hit_vy = jnp.zeros((1, E), jnp.float32)
         if Nv > 0 and phases >= 3:
             radc = _radius(cmass)
             radv = _radius(vmass)
-            ddx = cx[:, :, None] - vx_[:, None, :]
-            ddy = cy[:, :, None] - vy_[:, None, :]
+            ddx = cx[:, None, :] - vx_[None, :, :]        # (Cc, Nv, E)
+            ddy = cy[:, None, :] - vy_[None, :, :]
             d2 = ddx * ddx + ddy * ddy
-            rm = jnp.maximum(radc[:, :, None], radv[:, None, :])
-            can = (cmass[:, :, None].astype(jnp.float32)
-                   > vmass[:, None, :].astype(jnp.float32) * C.CELL_EAT_MARGIN)
-            elig = (_e2(calive) & valive[:, None, :] & can
+            rm = jnp.maximum(radc[:, None, :], radv[None, :, :])
+            can = (cmass[:, None, :].astype(jnp.float32)
+                   > vmass[None, :, :].astype(jnp.float32) * C.CELL_EAT_MARGIN)
+            elig = (calive[:, None, :] & valive[None, :, :] & can
                     & (rm * rm >= d2))
-            pkey = jnp.where(elig, rank[:, :, None] * Nv
-                             + jax.lax.broadcasted_iota(
-                                 jnp.int32, (1, Cc, Nv), 2), _BIG_I)
-            best = jnp.min(jnp.min(pkey, axis=2), axis=1)    # (E,)
+            viota = jax.lax.broadcasted_iota(jnp.int32, (1, Nv, 1), 1)
+            pkey = jnp.where(elig, rank[:, None, :] * Nv + viota, _BIG_I)
+            best = jnp.min(jnp.min(pkey, axis=1), axis=0,
+                           keepdims=True)                 # (1, E)
             hit = best < _BIG_I
             can_eat_virus = n_start >= C.NUM_CELLS_TO_SPLIT
-            # winning pair one-hots
-            win_pair = elig & (pkey == best[:, None, None])
-            win_cell = jnp.any(win_pair, axis=2)             # (E, Cc)
-            win_virus = jnp.any(win_pair, axis=1)            # (E, Nv)
-            vgain = jnp.sum(jnp.where(win_virus, vmass, 0), axis=1)
-            viruses_eaten = viruses_eaten + jnp.where(hit, 1, 0)
-            # ring push of the eat tick (anti-team window, SPEC)
-            K_T = vticks.shape[1]
-            kiota = jax.lax.broadcasted_iota(jnp.int32, (1, K_T), 1)
-            push_oh = _e1(hit) & (kiota == (vptr % K_T)[:, None])
-            vticks = jnp.where(push_oh, elapsed[:, None], vticks)
-            vptr = vptr + jnp.where(hit, 1, 0)
-            # eat case
+            win_pair = elig & (pkey == best[None])
+            win_cell = jnp.max(_bint(win_pair), axis=1) > 0   # (Cc, E)
+            win_virus = jnp.max(_bint(win_pair), axis=0) > 0  # (Nv, E)
+            vgain = jnp.sum(jnp.where(win_virus, vmass, 0), axis=0,
+                            keepdims=True)
+            viruses_eaten = viruses_eaten + _bint(hit)
+            K_T = vticks.shape[0]
+            kiota = jax.lax.broadcasted_iota(jnp.int32, (K_T, 1), 0)
+            push_oh = hit & (kiota == vptr % K_T)
+            vticks = jnp.where(push_oh, elapsed, vticks)
+            vptr = vptr + _bint(hit)
             eat = hit & can_eat_virus
-            cmass = jnp.where(win_cell & _e1(eat),
-                              cmass + vgain[:, None], cmass)
-            # disrupt case
+            cmass = jnp.where(win_cell & eat, cmass + vgain, cmass)
             disr = hit & ~can_eat_virus
-            total = jnp.sum(jnp.where(win_cell, cmass, 0), axis=1)
+            total = jnp.sum(jnp.where(win_cell, cmass, 0), axis=0,
+                            keepdims=True)
             cur = jnp.maximum((total.astype(jnp.float32)
                                / C.CELL_POP_REDUCTION).astype(jnp.int32),
                               C.CELL_MIN_SIZE)
             cur = cur + (total - cur) % C.CELL_POP_SIZE
             pop_mass = total - cur
-            num_new = (pop_mass + C.CELL_POP_SIZE - 1) // C.CELL_POP_SIZE
+            num_new0 = (pop_mass + C.CELL_POP_SIZE - 1) // C.CELL_POP_SIZE
             num_new = jnp.where(
-                disr, jnp.minimum(num_new, jnp.maximum(
+                disr, jnp.minimum(num_new0, jnp.maximum(
                     C.PLAYER_CELL_LIMIT - n_start, 0)), 0)
-            cmass = jnp.where(win_cell & _e1(disr), cur[:, None], cmass)
-            crecomb = jnp.where(win_cell & _e1(disr),
-                                (elapsed + C.RECOMBINE_TICKS)[:, None],
-                                crecomb)
-            hit_cvx = jnp.sum(jnp.where(win_cell, cvx, 0.0), axis=1)
-            hit_cvy = jnp.sum(jnp.where(win_cell, cvy, 0.0), axis=1)
-            hit_vx = jnp.sum(jnp.where(win_virus, vx_, 0.0), axis=1)
-            hit_vy = jnp.sum(jnp.where(win_virus, vy_, 0.0), axis=1)
-            valive = valive & ~(win_virus & _e1(hit))
-        else:
-            disr = jnp.zeros((E,), bool)
-            num_new = jnp.zeros((E,), jnp.int32)
-            pop_mass = jnp.zeros((E,), jnp.int32)
-            hit_cvx = hit_cvy = hit_vx = hit_vy = jnp.zeros((E,),
-                                                            jnp.float32)
+            cmass = jnp.where(win_cell & disr, cur, cmass)
+            crecomb = jnp.where(win_cell & disr,
+                                elapsed + C.RECOMBINE_TICKS, crecomb)
+            hit_cvx = jnp.sum(jnp.where(win_cell, cvx, 0.0), axis=0,
+                              keepdims=True)
+            hit_cvy = jnp.sum(jnp.where(win_cell, cvy, 0.0), axis=0,
+                              keepdims=True)
+            hit_vx = jnp.sum(jnp.where(win_virus, vx_, 0.0), axis=0,
+                             keepdims=True)
+            hit_vy = jnp.sum(jnp.where(win_virus, vy_, 0.0), axis=0,
+                             keepdims=True)
+            valive = valive & ~(win_virus & hit)
 
-        # --- pellets (SPEC M1) -------------------------------------------
-        # chunked over Np so VMEM temps stay (E, Cc, CHUNK)
+        # --- pellets (SPEC M1): chunked over Np ---------------------------
         radc = _radius(cmass)
         food_eaten = food_eaten_in
         highest = highest_in
-        eaten_pc = jnp.zeros((E, Cc), jnp.int32)
+        eaten_pc = jnp.zeros((Cc, E), jnp.int32)
         PCHUNK = 128
         if phases >= 4:
-            # static chunk loop (Mosaic has no dynamic_slice lowering)
             n_chunks = (Np + PCHUNK - 1) // PCHUNK
             pad = n_chunks * PCHUNK - Np
-            pal_int = jnp.where(palive, 1, 0)
+            pal_int = _bint(palive)
             if pad:
                 px_p = jnp.concatenate(
-                    [px, jnp.zeros((E, pad), px.dtype)], axis=1)
+                    [px, jnp.zeros((pad, E), px.dtype)], axis=0)
                 py_p = jnp.concatenate(
-                    [py, jnp.zeros((E, pad), py.dtype)], axis=1)
-                # pad the alive mask in int32 (Mosaic can't concat/slice i1)
+                    [py, jnp.zeros((pad, E), py.dtype)], axis=0)
                 pal_pi = jnp.concatenate(
-                    [pal_int, jnp.zeros((E, pad), jnp.int32)], axis=1)
+                    [pal_int, jnp.zeros((pad, E), jnp.int32)], axis=0)
             else:
                 px_p, py_p, pal_pi = px, py, pal_int
 
             def chunk_elig(k):
-                # explicit static slices (mixed None+offset-slice indexing
-                # lowers as an unsupported gather)
                 cpx = jax.lax.slice_in_dim(px_p, k * PCHUNK,
-                                           (k + 1) * PCHUNK, axis=1)
+                                           (k + 1) * PCHUNK, axis=0)
                 cpy = jax.lax.slice_in_dim(py_p, k * PCHUNK,
-                                           (k + 1) * PCHUNK, axis=1)
+                                           (k + 1) * PCHUNK, axis=0)
                 cpa = jax.lax.slice_in_dim(pal_pi, k * PCHUNK,
-                                           (k + 1) * PCHUNK, axis=1)
-                pdx = cx[:, :, None] - cpx[:, None, :]
-                pdy = cy[:, :, None] - cpy[:, None, :]
+                                           (k + 1) * PCHUNK, axis=0)
+                # (Cc, PCHUNK, E)
+                pdx = cx[:, None, :] - cpx[None, :, :]
+                pdy = cy[:, None, :] - cpy[None, :, :]
                 pd2 = pdx * pdx + pdy * pdy
-                return (_e2(calive) & (cpa[:, None, :] > 0)
-                        & ((radc * radc)[:, :, None] >= pd2))
+                return (calive[:, None, :] & (cpa[None, :, :] > 0)
+                        & ((radc * radc)[:, None, :] >= pd2))
 
             pmins = []
             for k in range(n_chunks):
                 elig = chunk_elig(k)
-                pkey = jnp.where(elig, rank[:, :, None], _BIG_I)
-                pmins.append(jnp.min(pkey, axis=1))          # (E, PCHUNK)
+                pkey = jnp.where(elig, rank[:, None, :], _BIG_I)
+                pmins.append(jnp.min(pkey, axis=0))       # (PCHUNK, E)
             for k in range(n_chunks):
                 elig = chunk_elig(k)
-                win = elig & (rank[:, :, None] == pmins[k][:, None, :])
-                eaten_pc = eaten_pc + jnp.sum(jnp.where(win, 1, 0), axis=2)
-            pmin = jnp.concatenate(pmins, axis=1)[:, :Np]
+                win = elig & (rank[:, None, :] == pmins[k][None, :, :])
+                eaten_pc = eaten_pc + jnp.sum(_bint(win), axis=1)
+            pmin = jnp.concatenate(pmins, axis=0)[:Np]
             palive = palive & (pmin == _BIG_I)
             cmass = cmass + eaten_pc * C.PELLET_MASS
-            food_eaten = food_eaten_in + jnp.sum(eaten_pc, axis=1)
-            pm_now = jnp.sum(jnp.where(calive, cmass, 0), axis=1)
+            food_eaten = food_eaten_in + jnp.sum(eaten_pc, axis=0,
+                                                 keepdims=True)
+            pm_now = jnp.sum(jnp.where(calive, cmass, 0), axis=0,
+                             keepdims=True)
             highest = jnp.maximum(highest_in, pm_now)
 
-        # --- auto-split --------------------------------------------------
+        # --- auto-split + foods + feed + split (phase 5) ------------------
         do_actions = phases >= 5
-        over = calive & (cmass >= C.MAX_MASS_IN_THE_GAME) \
-            if do_actions else jnp.zeros_like(calive)
-        may = _e1(n_start < C.PLAYER_CELL_LIMIT)
+        if do_actions:
+            over = calive & (cmass >= C.MAX_MASS_IN_THE_GAME)
+        else:
+            over = jnp.zeros_like(calive)
+        may = n_start < C.PLAYER_CELL_LIMIT               # (1, E)
         do_aspl = over & may
         clampm = over & ~may
-        a_rem, a_nf = _split_cells(cx, cy, cmass, tx, ty, elapsed, W, H)
-        cmass = jnp.where(do_aspl, a_rem,
-                          jnp.where(clampm, C.NEW_MASS_IF_NO_SPLIT, cmass))
-        crecomb = jnp.where(do_aspl, (elapsed + C.RECOMBINE_TICKS)[:, None],
-                            crecomb)
-        n_auto = jnp.sum(jnp.where(do_aspl, 1, 0), axis=1)
+        a_rem, a_nf = split_fields(cx, cy, cmass, tx, ty, elapsed)
+        cmass = jnp.where(
+            do_aspl, a_rem,
+            jnp.where(clampm, C.NEW_MASS_IF_NO_SPLIT, cmass))
+        crecomb = jnp.where(do_aspl, elapsed + C.RECOMBINE_TICKS, crecomb)
+        n_auto = jnp.sum(_bint(do_aspl), axis=0, keepdims=True)
 
-        # --- foods eaten -------------------------------------------------
         if Nf > 0 and do_actions:
             rf = _radius(np.float32(C.FOOD_MASS))
             radc2 = _radius(cmass)
-            fdx = cx[:, :, None] - fx[:, None, :]
-            fdy = cy[:, :, None] - fy[:, None, :]
+            fdx = cx[:, None, :] - fx[None, :, :]         # (Cc, Nf, E)
+            fdy = cy[:, None, :] - fy[None, :, :]
             fd2 = fdx * fdx + fdy * fdy
-            rm2 = jnp.maximum(radc2[:, :, None], rf)
-            can_f = cmass[:, :, None] > np.int32(
+            rm2 = jnp.maximum(radc2[:, None, :], rf)
+            can_f = cmass[:, None, :] > np.int32(
                 C.FOOD_MASS * C.CELL_EAT_MARGIN)
-            felig = (_e2(calive) & falive[:, None, :] & can_f
+            felig = (calive[:, None, :] & falive[None, :, :] & can_f
                      & (rm2 * rm2 >= fd2))
-            fkey = jnp.where(felig, rank[:, :, None], _BIG_I)
-            fmin = jnp.min(fkey, axis=1)
-            fwin = felig & (fkey == fmin[:, None, :])
-            eaten_fc = jnp.sum(jnp.where(fwin, 1, 0), axis=2)
+            fkey = jnp.where(felig, rank[:, None, :], _BIG_I)
+            fmin = jnp.min(fkey, axis=0)                  # (Nf, E)
+            fwin = felig & (fkey == fmin[None, :, :])
+            eaten_fc = jnp.sum(_bint(fwin), axis=1)
             falive = falive & (fmin == _BIG_I)
             cmass = cmass + eaten_fc * C.FOOD_MASS
-            food_eaten = food_eaten + jnp.sum(eaten_fc, axis=1)
+            food_eaten = food_eaten + jnp.sum(eaten_fc, axis=0,
+                                              keepdims=True)
 
-        # --- feed emission ----------------------------------------------
+        # feed emission
         feed_cd = jnp.maximum(feed_cd_in - 1, 0)
-        do_feed = (action_eff == 1) & (feed_cd == 0) & do_actions
-        emit = (calive & _e1(do_feed)
+        do_feed = (action_eff == 1) & (feed_cd == 0)
+        if not do_actions:
+            do_feed = jnp.zeros_like(do_feed)
+        emit = (calive & do_feed
                 & (cmass >= C.CELL_MIN_SIZE + C.FOOD_MASS))
         if Nf > 0 and do_actions:
-            edx = tx[:, None] - cx
-            edy = ty[:, None] - cy
+            edx = tx - cx
+            edy = ty - cy
             en = jnp.maximum(jnp.sqrt(edx * edx + edy * edy), 1e-12)
             edx = edx / en
             edy = edy / en
@@ -593,118 +600,109 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99):
             ely = cy + edy * radc
             evx = edx * C.FOOD_SPEED
             evy = edy * C.FOOD_SPEED
-            # order among emitting cells by rank
             ekey = jnp.where(emit, rank, _BIG_I)
-            eord = jnp.sum(jnp.where((ekey[:, :, None] > ekey[:, None, :])
-                                     & emit[:, None, :], 1, 0), axis=2)
-            slot = (fnext[:, None] + eord) % Nf
-            oh = _e2(emit) & (slot[:, :, None]
-                                     == jax.lax.broadcasted_iota(
-                                         jnp.int32, (1, 1, Nf), 2))
-            wrote = jnp.any(oh, axis=1)                      # (E, Nf)
+            eord = jnp.sum(_bint((ekey[None, :, :] < ekey[:, None, :])
+                                 & emit[None, :, :]), axis=1)
+            slot = (fnext + eord) % Nf                    # (Cc, E)
+            fiota = jax.lax.broadcasted_iota(jnp.int32, (1, Nf, 1), 1)
+            oh = emit[:, None, :] & (slot[:, None, :] == fiota)  # (Cc,Nf,E)
+            wrote = jnp.max(_bint(oh), axis=0) > 0        # (Nf, E)
             ohf = jnp.where(oh, 1.0, 0.0)
-            fx = jnp.where(wrote, jnp.sum(elx[:, :, None] * ohf, axis=1), fx)
-            fy = jnp.where(wrote, jnp.sum(ely[:, :, None] * ohf, axis=1), fy)
-            fvx = jnp.where(wrote, jnp.sum(evx[:, :, None] * ohf, axis=1),
+            fx = jnp.where(wrote, jnp.sum(elx[:, None, :] * ohf, axis=0), fx)
+            fy = jnp.where(wrote, jnp.sum(ely[:, None, :] * ohf, axis=0), fy)
+            fvx = jnp.where(wrote, jnp.sum(evx[:, None, :] * ohf, axis=0),
                             fvx)
-            fvy = jnp.where(wrote, jnp.sum(evy[:, :, None] * ohf, axis=1),
+            fvy = jnp.where(wrote, jnp.sum(evy[:, None, :] * ohf, axis=0),
                             fvy)
             falive = falive | wrote
-            fnext = fnext + jnp.sum(jnp.where(emit, 1, 0), axis=1)
+            fnext = fnext + jnp.sum(_bint(emit), axis=0, keepdims=True)
             cmass = jnp.where(emit, cmass - C.FOOD_MASS, cmass)
         feed_cd = jnp.where(do_feed, C.FEED_COOLDOWN, feed_cd)
         feed_cd = jnp.where(palive_p, feed_cd, feed_cd_in)
 
-        # --- split -------------------------------------------------------
+        # split
         split_cd = jnp.maximum(split_cd_in - 1, 0)
-        do_split = (action_eff == 2) & (split_cd == 0) & do_actions
+        do_split = (action_eff == 2) & (split_cd == 0)
+        if not do_actions:
+            do_split = jnp.zeros_like(do_split)
         limit = jnp.maximum(C.PLAYER_CELL_LIMIT - n_start - num_new - n_auto,
                             0)
-        s_elig = calive & (cmass >= C.CELL_SPLIT_MINIMUM) & _e1(do_split)
+        s_elig = calive & (cmass >= C.CELL_SPLIT_MINIMUM) & do_split
         skey = jnp.where(s_elig, rank, _BIG_I)
-        sord = jnp.sum(jnp.where((skey[:, :, None] > skey[:, None, :])
-                                 & s_elig[:, None, :], 1, 0), axis=2)
-        chosen = s_elig & (sord < limit[:, None])
-        s_rem, s_nf = _split_cells(cx, cy, cmass, tx, ty, elapsed, W, H)
+        sord = jnp.sum(_bint((skey[None, :, :] < skey[:, None, :])
+                             & s_elig[None, :, :]), axis=1)
+        chosen = s_elig & (sord < limit)
+        s_rem, s_nf = split_fields(cx, cy, cmass, tx, ty, elapsed)
         cmass = jnp.where(chosen, s_rem, cmass)
-        crecomb = jnp.where(chosen, (elapsed + C.RECOMBINE_TICKS)[:, None],
-                            crecomb)
+        crecomb = jnp.where(chosen, elapsed + C.RECOMBINE_TICKS, crecomb)
         split_cd = jnp.where(do_split, C.SPLIT_COOLDOWN, split_cd)
         split_cd = jnp.where(palive_p, split_cd, split_cd_in)
 
-        # --- place created cells (disrupt pops, auto-splits, splits) -----
-        do_place = phases >= 3
-        # disrupt pop candidates: up to PLAYER_CELL_LIMIT per env
-        K = C.PLAYER_CELL_LIMIT
-        if do_place:
-            kk = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
-            d_mask = _e1(disr) & (kk < num_new[:, None])
-            cth, sth = _dir_cos_sin(hit_cvx, hit_cvy)
-            # angle = 2*theta + 2*pi*k/n (SPEC Q3 doubled-direction quirk):
-            # cos/sin composed from double-angle + phi_k terms
+        # --- place created cells (SPEC M8) --------------------------------
+        if phases >= 3:
+            K = C.PLAYER_CELL_LIMIT
+            kk = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)   # (K, 1)
+            d_mask = disr & (kk < num_new)                # (K, E)
+            cth, sth = _dir_cos_sin(hit_cvx, hit_cvy)     # (1, E)
             c2 = cth * cth - sth * sth
             s2 = 2.0 * cth * sth
             nnf = jnp.maximum(num_new, 1).astype(jnp.float32)
-            phik = 2.0 * jnp.pi * kk.astype(jnp.float32) / nnf[:, None]
+            phik = 2.0 * jnp.pi * kk.astype(jnp.float32) / nnf
             cphi = jnp.cos(phik)
             sphi = jnp.sin(phik)
-            cos_ang = c2[:, None] * cphi - s2[:, None] * sphi
-            sin_ang = s2[:, None] * cphi + c2[:, None] * sphi
+            cos_ang = c2 * cphi - s2 * sphi               # (K, E)
+            sin_ang = s2 * cphi + c2 * sphi
             pop_speed = _max_speed(np.float32(C.CELL_POP_SIZE))
             d_mass = jnp.maximum(jnp.minimum(
-                pop_mass[:, None] - C.CELL_POP_SIZE * kk, C.CELL_POP_SIZE), 1)
+                pop_mass - C.CELL_POP_SIZE * kk, C.CELL_POP_SIZE), 1)
 
-            # assemble candidate list: [disrupt K] + [auto Cc] + [split Cc]
             def cat(*parts):
-                return jnp.concatenate(parts, axis=1)
+                return jnp.concatenate(parts, axis=0)
 
-            NEWK = K + 2 * Cc
-            cand_mask = cat(jnp.where(d_mask, 1, 0),
-                            jnp.where(do_aspl, 1, 0),
-                            jnp.where(chosen, 1, 0)) > 0
-            # creation order: disrupts (kk), then autos, then splits; orders are
-            # disjoint blocks so offset by counts
-            a_ord = jnp.sum(jnp.where(
-                (jnp.where(do_aspl, rank, _BIG_I)[:, :, None]
-                 > jnp.where(do_aspl, rank, _BIG_I)[:, None, :])
-                & do_aspl[:, None, :], 1, 0), axis=2)
+            a_ordkey = jnp.where(do_aspl, rank, _BIG_I)
+            a_ord = jnp.sum(_bint((a_ordkey[None, :, :]
+                                   < a_ordkey[:, None, :])
+                                  & do_aspl[None, :, :]), axis=1)
+            cand_mask = cat(_bint(d_mask), _bint(do_aspl),
+                            _bint(chosen)) > 0            # (NEWK, E)
             cand_order = cat(
-                jnp.where(d_mask, kk, _BIG_I),
-                jnp.where(do_aspl, num_new[:, None] + a_ord, _BIG_I),
-                jnp.where(chosen, (num_new + n_auto)[:, None] + sord, _BIG_I))
-            cand_x = cat(jnp.broadcast_to(hit_vx[:, None], (E, K)),
-                         a_nf["x"], s_nf["x"])
-            cand_y = cat(jnp.broadcast_to(hit_vy[:, None], (E, K)),
-                         a_nf["y"], s_nf["y"])
-            cand_vx = cat(jnp.broadcast_to(hit_cvx[:, None], (E, K)),
-                          a_nf["vx"], s_nf["vx"])
-            cand_vy = cat(jnp.broadcast_to(hit_cvy[:, None], (E, K)),
-                          a_nf["vy"], s_nf["vy"])
+                jnp.where(d_mask, jnp.broadcast_to(kk, (K, E)), _BIG_I),
+                jnp.where(do_aspl, num_new + a_ord, _BIG_I),
+                jnp.where(chosen, num_new + n_auto + sord, _BIG_I))
+            cand_x = cat(jnp.broadcast_to(hit_vx, (K, E)), a_nf["x"],
+                         s_nf["x"])
+            cand_y = cat(jnp.broadcast_to(hit_vy, (K, E)), a_nf["y"],
+                         s_nf["y"])
+            cand_vx = cat(jnp.broadcast_to(hit_cvx, (K, E)), a_nf["vx"],
+                          s_nf["vx"])
+            cand_vy = cat(jnp.broadcast_to(hit_cvy, (K, E)), a_nf["vy"],
+                          s_nf["vy"])
             cand_svx = cat(cos_ang * pop_speed, a_nf["vx"], s_nf["vx"])
             cand_svy = cat(sin_ang * pop_speed, a_nf["vy"], s_nf["vy"])
             cand_mass = cat(d_mass, a_nf["mass"], s_nf["mass"])
 
             free = ~calive
-            num_free = jnp.sum(jnp.where(free, 1, 0), axis=1, keepdims=True)
-            free_rank = _cumsum1(jnp.where(free, 1, 0)) - 1
+            num_free = jnp.sum(_bint(free), axis=0, keepdims=True)
+            free_rank = _cumsum0(_bint(free)) - 1         # (Cc, E)
             orderv = jnp.where(cand_mask, cand_order, _BIG_I)
             valid = cand_mask & (orderv < num_free)
-            # ids in creation order
-            ids = next_id[:, None] + orderv
-            next_id = next_id + jnp.sum(jnp.where(valid, 1, 0), axis=1)
-            oh2 = (_e2(valid) & free[:, None, :]
-                   & (free_rank[:, None, :] == orderv[:, :, None]))  # (E,NEWK,Cc)
-            claimed = jnp.any(oh2, axis=1)
+            ids = next_id + orderv
+            next_id = next_id + jnp.sum(_bint(valid), axis=0, keepdims=True)
+            # (NEWK, Cc, E) one-hot: candidate claims matching free-rank slot
+            oh2 = (valid[:, None, :] & free[None, :, :]
+                   & (free_rank[None, :, :] == orderv[:, None, :]))
+            claimed = jnp.max(_bint(oh2), axis=0) > 0     # (Cc, E)
             oh2f = jnp.where(oh2, 1.0, 0.0)
 
             def wr_f(old, vals):
                 return jnp.where(claimed,
-                                 jnp.sum(vals[:, :, None] * oh2f, axis=1), old)
+                                 jnp.sum(vals[:, None, :] * oh2f, axis=0),
+                                 old)
 
             def wr_i(old, vals):
                 return jnp.where(claimed,
-                                 jnp.sum(jnp.where(oh2, vals[:, :, None], 0),
-                                         axis=1), old)
+                                 jnp.sum(jnp.where(oh2, vals[:, None, :], 0),
+                                         axis=0), old)
 
             cx = wr_f(cx, cand_x)
             cy = wr_f(cy, cand_y)
@@ -714,52 +712,51 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99):
             svy = wr_f(svy, cand_svy)
             cmass = wr_i(cmass, jnp.maximum(cand_mass, C.CELL_MIN_SIZE))
             cid = wr_i(cid, ids)
-            crecomb = jnp.where(claimed, (elapsed + C.RECOMBINE_TICKS)[:, None],
+            crecomb = jnp.where(claimed, elapsed + C.RECOMBINE_TICKS,
                                 crecomb)
             calive = calive | claimed
 
-        # --- recombine (SPEC M7): fixed-trip merge loop -------------------
+        # --- recombine (SPEC M7) ------------------------------------------
         def rec_body(_, carry):
             cmass, calive_i = carry
-            calive = calive_i > 0
-            rk = _rank_of(cid, calive)
-            can = calive & (elapsed[:, None] >= crecomb)
+            calive2 = calive_i > 0
+            rk = rank_of(cid, calive2)
+            can2 = calive2 & (elapsed >= crecomb)
             radm = _radius(cmass)
-            dx = cx[:, None, :] - cx[:, :, None]
-            dy = cy[:, None, :] - cy[:, :, None]
+            dx = cx[None, :, :] - cx[:, None, :]
+            dy = cy[None, :, :] - cy[:, None, :]
             d2 = dx * dx + dy * dy
-            rs = radm[:, :, None] + radm[:, None, :]
-            lower = rk[:, :, None] < rk[:, None, :]
-            elig = (_e2(can) & can[:, None, :] & lower
+            rs = radm[:, None, :] + radm[None, :, :]
+            lw = rk[:, None, :] < rk[None, :, :]
+            elig = (can2[:, None, :] & can2[None, :, :] & lw
                     & (rs * rs >= d2))
-            keyr = jnp.where(elig, rk[:, :, None] * Cc + rk[:, None, :],
+            keyr = jnp.where(elig, rk[:, None, :] * Cc + rk[None, :, :],
                              _BIG_I)
-            bst = jnp.min(jnp.min(keyr, axis=2), axis=1)
+            bst = jnp.min(jnp.min(keyr, axis=1), axis=0, keepdims=True)
             has = bst < _BIG_I
-            wpair = elig & (keyr == bst[:, None, None])
-            wi = jnp.any(wpair, axis=2)
-            wj = jnp.any(wpair, axis=1)
-            gain = jnp.sum(jnp.where(wj, cmass, 0), axis=1)
-            cmass = jnp.where(wi & _e1(has), cmass + gain[:, None],
-                              cmass)
-            calive = calive & ~(wj & _e1(has))
-            return cmass, jnp.where(calive, 1, 0)
+            wpair = elig & (keyr == bst[None])
+            wi = jnp.max(_bint(wpair), axis=1) > 0
+            wj = jnp.max(_bint(wpair), axis=0) > 0
+            gain = jnp.sum(jnp.where(wj, cmass, 0), axis=0, keepdims=True)
+            cmass = jnp.where(wi & has, cmass + gain, cmass)
+            calive2 = calive2 & ~(wj & has)
+            return cmass, _bint(calive2)
 
         if phases >= 6:
             cmass, calive_i = jax.lax.fori_loop(
-                0, Cc // 2, rec_body, (cmass, jnp.where(calive, 1, 0)))
+                0, Cc // 2, rec_body, (cmass, _bint(calive)))
             calive = calive_i > 0
 
-        # --- anti-team + decay -------------------------------------------
+        # --- anti-team + decay --------------------------------------------
         last_decay = last_decay_in
         anti_team = anti_team_in
         if ms.mass_decay and phases >= 7:
             due = palive_p & (elapsed % 60 == 0)
-            fall_off = elapsed[:, None] - C.ANTI_TEAM_ACTIVATION_TICKS
+            fall_off = elapsed - C.ANTI_TEAM_ACTIVATION_TICKS
             expired = vticks < fall_off
-            vticks = jnp.where(_e1(due) & expired,
-                               np.int32(-(2**30)), vticks)
-            n_recent = jnp.sum(jnp.where(vticks != np.int32(-(2**30)), 1, 0), axis=1)
+            vticks = jnp.where(due & expired, np.int32(-(2**30)), vticks)
+            n_recent = jnp.sum(_bint(vticks != np.int32(-(2**30))), axis=0,
+                               keepdims=True)
             anti_team = jnp.where(due & (n_recent > 0),
                                   jnp.power(1.1, (n_recent - 1)
                                             .astype(jnp.float32)),
@@ -767,12 +764,12 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99):
             do_decay = due & (elapsed - last_decay >= C.DECAY_TICKS)
             decayed = jnp.maximum(
                 (cmass.astype(jnp.float32)
-                 * (1.0 - C.PLAYER_DECAY_RATE * anti_team[:, None]))
+                 * (1.0 - C.PLAYER_DECAY_RATE * anti_team))
                 .astype(jnp.int32), C.CELL_MIN_SIZE)
-            cmass = jnp.where(_e1(do_decay) & calive, decayed, cmass)
+            cmass = jnp.where(do_decay & calive, decayed, cmass)
             last_decay = jnp.where(do_decay, elapsed, last_decay)
 
-        # --- foods move + virus feeding ----------------------------------
+        # --- foods move + virus feeding (SPEC M4) -------------------------
         if Nf > 0 and phases >= 8:
             moving = falive & ((fvx != 0.0) | (fvy != 0.0))
             pfvx, pfvy = fvx, fvy
@@ -780,24 +777,24 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99):
             rf = _radius(np.float32(C.FOOD_MASS))
             nfx = fx + nfvx * dt
             nfy = fy + nfvy * dt
-            nfx, nfy = _clampb(nfx, nfy, rf, W, H)
+            nfx, nfy = clampb(nfx, nfy, rf)
             fx = jnp.where(moving, nfx, fx)
             fy = jnp.where(moving, nfy, fy)
             fvx = jnp.where(moving, nfvx, fvx)
             fvy = jnp.where(moving, nfvy, fvy)
             if Nv > 0:
                 radv2 = _radius(vmass)
-                cdx = fx[:, :, None] - vx_[:, None, :]
-                cdy = fy[:, :, None] - vy_[:, None, :]
+                cdx = fx[:, None, :] - vx_[None, :, :]    # (Nf, Nv, E)
+                cdy = fy[:, None, :] - vy_[None, :, :]
                 cd2 = cdx * cdx + cdy * cdy
-                rmv = jnp.maximum(rf, radv2[:, None, :])
-                coll = (_e2(moving) & valive[:, None, :]
-                        & (rmv * rmv >= cd2))                # (E, Nf, Nv)
-                viota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, Nv), 2)
-                hitv = jnp.min(jnp.where(coll, viota, _BIG_I), axis=2)
-                fhit = hitv < _BIG_I
-                hitm = _e2(fhit) & (hitv[:, :, None] == viota)
-                hcount = jnp.sum(jnp.where(hitm, 1, 0), axis=1)  # (E, Nv)
+                rmv = jnp.maximum(rf, radv2[None, :, :])
+                coll = (moving[:, None, :] & valive[None, :, :]
+                        & (rmv * rmv >= cd2))
+                viota2 = jax.lax.broadcasted_iota(jnp.int32, (1, Nv, 1), 1)
+                hitv = jnp.min(jnp.where(coll, viota2, _BIG_I), axis=1)
+                fhit = hitv < _BIG_I                      # (Nf, E)
+                hitm = fhit[:, None, :] & (hitv[:, None, :] == viota2)
+                hcount = jnp.sum(_bint(hitm), axis=0)     # (Nv, E)
                 nh = vhits + hcount
                 burst = valive & (nh > C.NUMBER_OF_FOOD_HITS)
                 post = jnp.maximum(nh - (C.NUMBER_OF_FOOD_HITS + 1), 0)
@@ -806,64 +803,64 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99):
                                   C.VIRUS_INITIAL_MASS + post * C.FOOD_MASS,
                                   vmass + hcount * C.FOOD_MASS)
                 falive = falive & ~fhit
-                # spawn: lowest-slot burst, lowest dead slot, lowest food
-                any_burst = jnp.any(burst, axis=1)
-                viota2 = jax.lax.broadcasted_iota(jnp.int32, (1, Nv), 1)
-                bslot = jnp.min(jnp.where(burst, viota2, _BIG_I), axis=1)
-                f_hit_b = fhit & (hitv == bslot[:, None])
-                fiota = jax.lax.broadcasted_iota(jnp.int32, (1, Nf), 1)
-                src = jnp.min(jnp.where(f_hit_b, fiota, _BIG_I), axis=1)
-                src_oh = (fiota == jnp.where(src < _BIG_I, src, -1)
-                          [:, None])
-                svx_f = jnp.sum(jnp.where(src_oh, pfvx, 0.0), axis=1)
-                svy_f = jnp.sum(jnp.where(src_oh, pfvy, 0.0), axis=1)
-                b_oh = (viota2 == jnp.where(bslot < _BIG_I, bslot, -1)
-                        [:, None])
-                bx = jnp.sum(jnp.where(b_oh, vx_, 0.0), axis=1)
-                by = jnp.sum(jnp.where(b_oh, vy_, 0.0), axis=1)
+                any_burst = jnp.max(_bint(burst), axis=0,
+                                    keepdims=True) > 0    # (1, E)
+                viota1 = jax.lax.broadcasted_iota(jnp.int32, (Nv, 1), 0)
+                bslot = jnp.min(jnp.where(burst, viota1, _BIG_I), axis=0,
+                                keepdims=True)            # (1, E)
+                f_hit_b = fhit & (hitv == bslot)
+                fiota1 = jax.lax.broadcasted_iota(jnp.int32, (Nf, 1), 0)
+                src = jnp.min(jnp.where(f_hit_b, fiota1, _BIG_I), axis=0,
+                              keepdims=True)
+                src_oh = fiota1 == jnp.where(src < _BIG_I, src, -1)
+                svx_f = jnp.sum(jnp.where(src_oh, pfvx, 0.0), axis=0,
+                                keepdims=True)
+                svy_f = jnp.sum(jnp.where(src_oh, pfvy, 0.0), axis=0,
+                                keepdims=True)
+                b_oh = viota1 == jnp.where(bslot < _BIG_I, bslot, -1)
+                bx = jnp.sum(jnp.where(b_oh, vx_, 0.0), axis=0,
+                             keepdims=True)
+                by = jnp.sum(jnp.where(b_oh, vy_, 0.0), axis=0,
+                             keepdims=True)
                 spx = bx + svx_f * dt * 10.0
                 spy = by + svy_f * dt * 10.0
                 rnew = _radius(np.float32(C.VIRUS_INITIAL_MASS))
-                spx, spy = _clampb(spx, spy, rnew, W, H)
-                dead_rank = _cumsum1(jnp.where(valive, 0, 1)) - 1
-                dslot_oh = ((~valive) & (dead_rank == 0)
-                            & _e1(any_burst))
-                vx_ = jnp.where(dslot_oh, spx[:, None], vx_)
-                vy_ = jnp.where(dslot_oh, spy[:, None], vy_)
-                vvx = jnp.where(dslot_oh, svx_f[:, None], vvx)
-                vvy = jnp.where(dslot_oh, svy_f[:, None], vvy)
+                spx, spy = clampb(spx, spy, rnew)
+                vdead_rank = _cumsum0(_bint(~valive)) - 1
+                dslot_oh = (~valive) & (vdead_rank == 0) & any_burst
+                vx_ = jnp.where(dslot_oh, spx, vx_)
+                vy_ = jnp.where(dslot_oh, spy, vy_)
+                vvx = jnp.where(dslot_oh, svx_f, vvx)
+                vvy = jnp.where(dslot_oh, svy_f, vvy)
                 vmass = jnp.where(dslot_oh, C.VIRUS_INITIAL_MASS, vmass)
                 vhits = jnp.where(dslot_oh, 0, vhits)
                 valive = valive | dslot_oh
 
-        # --- regeneration ------------------------------------------------
+        # --- regeneration -------------------------------------------------
         if ms.pellet_regen and phases >= 9:
-            due_r = (ticks % C.REGEN_PERIOD) == 0
-            n_alive = jnp.sum(jnp.where(palive, 1, 0), axis=1)
+            due_r = (ticks % C.REGEN_PERIOD) == 0         # (1, E)
+            n_alive = jnp.sum(_bint(palive), axis=0, keepdims=True)
             deficit = jnp.maximum(cfg.num_pellets - n_alive, 0)
-            dead_order = _cumsum1(jnp.where(palive, 0, 1)) - 1
-            fill = _e1(due_r) & ~palive & (dead_order < deficit[:, None])
+            dead_order = _cumsum0(_bint(~palive)) - 1
+            fill = due_r & ~palive & (dead_order < deficit)
             rp = _radius(np.float32(C.PELLET_MASS))
-            piota = jax.lax.broadcasted_iota(jnp.int32, (1, Np), 1)
-            nx_ = _uniform(0.0, W - 2 * rp, seed[:, None], 1,
-                           ticks[:, None], piota, 0) + rp
-            ny_ = _uniform(0.0, H - 2 * rp, seed[:, None], 1,
-                           ticks[:, None], piota, 1) + rp
+            piota = jax.lax.broadcasted_iota(jnp.int32, (Np, 1), 0)
+            nx_ = _uniform(0.0, W - 2 * rp, seed, 1, ticks, piota, 0) + rp
+            ny_ = _uniform(0.0, H - 2 * rp, seed, 1, ticks, piota, 1) + rp
             px = jnp.where(fill, nx_, px)
             py = jnp.where(fill, ny_, py)
             palive = palive | fill
             if Nv > 0:
-                nv_alive = jnp.sum(jnp.where(valive, 1, 0), axis=1)
+                nv_alive = jnp.sum(_bint(valive), axis=0, keepdims=True)
                 vdef = jnp.maximum(cfg.num_viruses - nv_alive, 0)
-                vdead_order = _cumsum1(jnp.where(valive, 0, 1)) - 1
-                vfill = (_e1(due_r) & ~valive
-                         & (vdead_order < vdef[:, None]))
+                vdead_order = _cumsum0(_bint(~valive)) - 1
+                vfill = due_r & ~valive & (vdead_order < vdef)
                 rv = _radius(np.float32(C.VIRUS_INITIAL_MASS))
-                viota3 = jax.lax.broadcasted_iota(jnp.int32, (1, Nv), 1)
-                nvx_ = _uniform(0.0, W - 2 * rv, seed[:, None], 2,
-                                ticks[:, None], viota3, 0) + rv
-                nvy_ = _uniform(0.0, H - 2 * rv, seed[:, None], 2,
-                                ticks[:, None], viota3, 1) + rv
+                viota3 = jax.lax.broadcasted_iota(jnp.int32, (Nv, 1), 0)
+                nvx_ = _uniform(0.0, W - 2 * rv, seed, 2, ticks, viota3,
+                                0) + rv
+                nvy_ = _uniform(0.0, H - 2 * rv, seed, 2, ticks, viota3,
+                                1) + rv
                 vx_ = jnp.where(vfill, nvx_, vx_)
                 vy_ = jnp.where(vfill, nvy_, vy_)
                 vvx = jnp.where(vfill, 0.0, vvx)
@@ -872,32 +869,31 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99):
                 vhits = jnp.where(vfill, 0, vhits)
                 valive = valive | vfill
 
-        # --- writeback (2D whole-array stores) ---------------------------
-        keep = calive
-        o_tx[...] = tx[:, None]
-        o_ty[...] = ty[:, None]
-        o_action[...] = action[:, None]
-        o_split_cd[...] = split_cd[:, None]
-        o_feed_cd[...] = feed_cd[:, None]
-        o_elapsed[...] = elapsed[:, None]
-        o_last_decay[...] = last_decay[:, None]
-        o_anti_team[...] = anti_team[:, None]
+        # --- writeback ----------------------------------------------------
+        o_tx[...] = tx
+        o_ty[...] = ty
+        o_action[...] = action
+        o_split_cd[...] = split_cd
+        o_feed_cd[...] = feed_cd
+        o_elapsed[...] = elapsed
+        o_last_decay[...] = last_decay
+        o_anti_team[...] = anti_team
         o_vticks[...] = vticks
-        o_vptr[...] = vptr[:, None]
-        o_food_eaten[...] = food_eaten[:, None]
-        o_highest[...] = highest[:, None]
-        o_viruses_eaten[...] = viruses_eaten[:, None]
-        o_cx[...] = jnp.where(keep, cx, 0.0)
-        o_cy[...] = jnp.where(keep, cy, 0.0)
-        o_cvx[...] = jnp.where(keep, cvx, 0.0)
-        o_cvy[...] = jnp.where(keep, cvy, 0.0)
-        o_svx[...] = jnp.where(keep, svx, 0.0)
-        o_svy[...] = jnp.where(keep, svy, 0.0)
-        o_cmass[...] = jnp.where(keep, cmass, 0)
+        o_vptr[...] = vptr
+        o_food_eaten[...] = food_eaten
+        o_highest[...] = highest
+        o_viruses_eaten[...] = viruses_eaten
+        o_cx[...] = jnp.where(calive, cx, 0.0)
+        o_cy[...] = jnp.where(calive, cy, 0.0)
+        o_cvx[...] = jnp.where(calive, cvx, 0.0)
+        o_cvy[...] = jnp.where(calive, cvy, 0.0)
+        o_svx[...] = jnp.where(calive, svx, 0.0)
+        o_svy[...] = jnp.where(calive, svy, 0.0)
+        o_cmass[...] = jnp.where(calive, cmass, 0)
         o_calive[...] = calive
         o_cid[...] = cid
         o_crecomb[...] = crecomb
-        o_next_id[...] = next_id[:, None]
+        o_next_id[...] = next_id
         o_px[...] = px
         o_py[...] = py
         o_palive[...] = palive
@@ -913,39 +909,24 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99):
         o_fvx[...] = fvx
         o_fvy[...] = fvy
         o_falive[...] = falive
-        o_fnext[...] = fnext[:, None]
-        o_ticks[...] = (ticks + 1)[:, None]
-        o_seed[...] = seed[:, None]
-
-    def _split_cells(cx, cy, cmass, tx, ty, elapsed, W, H):
-        """cell_split fields for every cell (masking applied by caller)."""
-        split_mass = cmass // 2
-        remaining = jnp.maximum(cmass - split_mass, C.CELL_MIN_SIZE)
-        radr = _radius(remaining)
-        dx = tx[:, None] - cx
-        dy = ty[:, None] - cy
-        n = jnp.maximum(jnp.sqrt(dx * dx + dy * dy), 1e-12)
-        dx = dx / n
-        dy = dy / n
-        lx = cx + dx * radr
-        ly = cy + dy * radr
-        lx, ly = _clampb(lx, ly, radr, W, H)
-        spd = _split_speed(split_mass)
-        return remaining, dict(x=lx, y=ly, vx=dx * spd, vy=dy * spd,
-                               mass=split_mass)
+        o_fnext[...] = fnext
+        o_ticks[...] = ticks + 1
+        o_seed[...] = seed
 
     return kernel
 
 
-# (name, kind): kind "s" = per-env scalar -> (N,1); "p" = per-player (N,P=1)
-# kept as-is; "v2" = (... ,2) vector field split into _x/_y; "2d" = already 2D
+# ------------------------------------------------------------- wrapper
+# (name, kind): "s" = per-env scalar -> (1, N); "p" = per-player (P=1) ->
+# (1, N); "pk"/"pc" = (N,1,F) -> (F, N); "v2p" = (N,1,2) -> two (1, N);
+# "v2c" = (N,1,F,2) -> two (F, N); "v2" = (N,F,2) -> two (F, N);
+# "2d" = (N,F) -> (F, N)
 _SPLIT_PLAN = [
-    ("target", "v2p"),          # (N,1,2) -> tx, ty (N,1)
+    ("target", "v2p"),
     ("action", "p"), ("split_cooldown", "p"), ("feed_cooldown", "p"),
     ("elapsed_ticks", "p"), ("last_decay_tick", "p"),
     ("anti_team_decay", "p"),
-    ("virus_eaten_ticks", "pk"),   # (N,1,K) -> (N,K)
-    ("virus_eaten_ptr", "p"),
+    ("virus_eaten_ticks", "pk"), ("virus_eaten_ptr", "p"),
     ("food_eaten", "p"), ("highest_mass", "p"), ("viruses_eaten", "p"),
     ("cell_pos", "v2c"), ("cell_vel", "v2c"), ("cell_split_vel", "v2c"),
     ("cell_mass", "pc"), ("cell_alive", "pc"), ("cell_id", "pc"),
@@ -959,29 +940,27 @@ _SPLIT_PLAN = [
 
 
 def _to_kernel_arrays(states: GameState):
-    """GameState (batched, P=1) -> flat list of clean 2D arrays."""
+    """GameState (batched, P=1) -> flat list of (feature, N) arrays."""
     out = []
     for name, kind in _SPLIT_PLAN:
         x = getattr(states, name)
         if kind == "s":
-            out.append(x[:, None])
+            out.append(x[None, :])
         elif kind == "p":
-            out.append(x)                        # (N, 1)
-        elif kind == "pk":
-            out.append(x[:, 0, :])               # (N, K)
-        elif kind == "pc":
-            out.append(x[:, 0, :])               # (N, Cc)
+            out.append(x.T)                        # (1, N)
+        elif kind in ("pk", "pc"):
+            out.append(jnp.transpose(x[:, 0, :]))  # (F, N)
         elif kind == "v2p":
-            out.append(x[:, 0, 0:1])             # tx (N,1)
-            out.append(x[:, 0, 1:2])             # ty (N,1)
+            out.append(x[:, 0, 0][None, :])
+            out.append(x[:, 0, 1][None, :])
         elif kind == "v2c":
-            out.append(x[:, 0, :, 0])            # (N, Cc)
-            out.append(x[:, 0, :, 1])
+            out.append(jnp.transpose(x[:, 0, :, 0]))
+            out.append(jnp.transpose(x[:, 0, :, 1]))
         elif kind == "v2":
-            out.append(x[:, :, 0])               # (N, F)
-            out.append(x[:, :, 1])
+            out.append(jnp.transpose(x[:, :, 0]))
+            out.append(jnp.transpose(x[:, :, 1]))
         elif kind == "2d":
-            out.append(x)
+            out.append(jnp.transpose(x))
         else:
             raise ValueError(kind)
     return out
@@ -993,26 +972,29 @@ def _from_kernel_arrays(states: GameState, outs):
     i = 0
     for name, kind in _SPLIT_PLAN:
         if kind == "s":
-            kw[name] = outs[i][:, 0]
+            kw[name] = outs[i][0]
             i += 1
         elif kind == "p":
-            kw[name] = outs[i]
+            kw[name] = outs[i].T
             i += 1
         elif kind in ("pk", "pc"):
-            kw[name] = outs[i][:, None, :]
+            kw[name] = jnp.transpose(outs[i])[:, None, :]
             i += 1
         elif kind == "v2p":
-            kw[name] = jnp.stack([outs[i][:, 0], outs[i + 1][:, 0]],
+            kw[name] = jnp.stack([outs[i][0], outs[i + 1][0]],
                                  axis=-1)[:, None, :]
             i += 2
         elif kind == "v2c":
-            kw[name] = jnp.stack([outs[i], outs[i + 1]], axis=-1)[:, None]
+            kw[name] = jnp.stack([jnp.transpose(outs[i]),
+                                  jnp.transpose(outs[i + 1])],
+                                 axis=-1)[:, None]
             i += 2
         elif kind == "v2":
-            kw[name] = jnp.stack([outs[i], outs[i + 1]], axis=-1)
+            kw[name] = jnp.stack([jnp.transpose(outs[i]),
+                                  jnp.transpose(outs[i + 1])], axis=-1)
             i += 2
         elif kind == "2d":
-            kw[name] = outs[i]
+            kw[name] = jnp.transpose(outs[i])
             i += 1
     return states.replace(**kw)
 
@@ -1024,13 +1006,13 @@ def supports(cfg: EnvConfig) -> bool:
 
 @functools.partial(jax.jit, static_argnums=(0, 2, 3, 4))
 def fused_engine_tick(cfg: EnvConfig, states: GameState,
-                      block_envs: int = 256,
+                      block_envs: int = 512,
                       interpret: bool = False,
                       phases: int = 99) -> GameState:
     """One engine tick over a BATCH of envs via the fused kernel.
 
-    states: a vmapped GameState with leading env axis N (N % block_envs == 0,
-    or block_envs is clamped to N).
+    states: a vmapped GameState with leading env axis N. block_envs should
+    be a multiple of 128 (the lane width) that divides N.
     """
     assert supports(cfg), "fused tick requires num_players == 1"
     N = states.ticks.shape[0]
@@ -1040,9 +1022,9 @@ def fused_engine_tick(cfg: EnvConfig, states: GameState,
     ins = _to_kernel_arrays(states)
 
     def spec_for(x):
-        blk = (E,) + x.shape[1:]
+        blk = x.shape[:-1] + (E,)
         nd = x.ndim
-        return pl.BlockSpec(blk, lambda i, nd=nd: (i,) + (0,) * (nd - 1))
+        return pl.BlockSpec(blk, lambda i, nd=nd: (0,) * (nd - 1) + (i,))
 
     in_specs = [spec_for(x) for x in ins]
     out_specs = in_specs

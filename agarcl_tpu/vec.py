@@ -47,7 +47,11 @@ class VecEnv:
 
     def __init__(self, cfg: EnvConfig, num_envs: int, obs_type: str = "ram",
                  obs_config=None, auto_reset: bool = False,
-                 respawn_main_during_obs: bool = False, donate: bool = True):
+                 respawn_main_during_obs: bool = False, donate: bool = True,
+                 backend: str = "xla", block_envs: int = 256):
+        """backend: "xla" (vmapped op-graph tick, any config) or "fused"
+        (single-Pallas-kernel tick — single-agent configs on TPU; ~8x the
+        XLA path's throughput)."""
         self.cfg = cfg
         self.num_envs = num_envs
         self.obs_type = obs_type
@@ -55,6 +59,13 @@ class VecEnv:
         self._frame_fn = frame_fn
         self.num_frames = num_frames
         self.auto_reset = auto_reset
+        self.backend = backend
+        if backend == "fused":
+            from agarcl_tpu.ops.fused_tick import supports
+            assert supports(cfg), \
+                "fused backend requires a single-player config"
+            assert not auto_reset and not respawn_main_during_obs, \
+                "fused backend: auto_reset/screen-respawn not supported yet"
 
         def _reset_one(seed):
             return env_reset(cfg, seed)
@@ -83,7 +94,15 @@ class VecEnv:
             return state, obs, rewards, dones
 
         self._reset_b = jax.jit(jax.vmap(_reset_one))
-        step_b = jax.vmap(_step_one, in_axes=(0, 0))
+        if backend == "fused":
+            from agarcl_tpu.ops.fused_step import fused_env_step
+
+            def step_b(s, a):
+                return fused_env_step(cfg, s, a, obs_fn=frame_fn,
+                                      num_frames=num_frames,
+                                      block_envs=block_envs)
+        else:
+            step_b = jax.vmap(_step_one, in_axes=(0, 0))
         self._step_b = jax.jit(step_b, donate_argnums=(0,) if donate else ())
         self._obs_b = (jax.jit(jax.vmap(frame_fn))
                        if frame_fn is not None else None)

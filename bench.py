@@ -24,7 +24,9 @@ def main():
     cfg = EnvConfig(num_agents=1, ticks_per_step=4, arena_size=350,
                     num_pellets=500, num_viruses=10, num_bots=0,
                     reward_type=True, mode=4)
-    env = VecEnv(cfg, NUM_ENVS, obs_type="ram")
+    from agarcl_tpu.ops.fused_tick import supports
+    backend = "fused" if supports(cfg) else "xla"
+    env = VecEnv(cfg, NUM_ENVS, obs_type="ram", backend=backend)
     states, _ = env.reset(0)
 
     actions = jnp.zeros((NUM_ENVS, cfg.num_agents, 3), jnp.float32)

@@ -98,3 +98,36 @@ def test_fused_supports_gate():
     assert supports(CFG)
     assert not supports(EnvConfig(num_agents=2))
     assert not supports(EnvConfig(num_agents=1, num_bots=1, mode=0))
+
+
+def test_fused_env_step_matches_xla(monkeypatch):
+    """fused_env_step (interpret mode) vs the vmapped XLA env_step: rewards,
+    dones, and state must agree through actions/obs/respawn logic."""
+    import agarcl_tpu.ops.fused_step as FS
+    import agarcl_tpu.ops.fused_tick as FT
+    from agarcl_tpu.env import env_step
+    from agarcl_tpu.obs.ram import RamObsConfig, ram_frame
+
+    cfg = EnvConfig(num_agents=1, ticks_per_step=4, arena_size=100,
+                    num_pellets=40, num_viruses=2, num_bots=0, mode=4)
+    ocfg = RamObsConfig()
+    frame_fn = functools.partial(ram_frame, cfg, ocfg)
+    N = 4
+    states = jax.vmap(functools.partial(env_reset, cfg))(
+        jnp.arange(N, dtype=jnp.uint32))
+    acts = jnp.asarray(np.random.default_rng(0).uniform(-1, 1, (N, 1, 3)),
+                       jnp.float32)
+    acts = acts.at[..., 2].set(0.0)
+
+    s_f, obs_f, r_f, d_f = FS.fused_env_step(cfg, states, acts,
+                                             obs_fn=frame_fn, num_frames=1,
+                                             block_envs=4, interpret=True)
+    step_x = jax.jit(jax.vmap(functools.partial(
+        env_step, cfg, obs_fn=frame_fn, num_frames=1)))
+    s_x, obs_x, r_x, d_x = step_x(states, acts)
+    np.testing.assert_allclose(np.asarray(r_f), np.asarray(r_x), atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(d_f), np.asarray(d_x))
+    np.testing.assert_array_equal(np.asarray(s_f.cell_mass),
+                                  np.asarray(s_x.cell_mass))
+    np.testing.assert_allclose(np.asarray(obs_f), np.asarray(obs_x),
+                               atol=5e-3)
