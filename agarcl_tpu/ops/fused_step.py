@@ -23,7 +23,7 @@ from agarcl_tpu.state import GameState
 
 def fused_env_step(cfg: EnvConfig, states: GameState, actions,
                    obs_fn=None, num_frames: int = 1,
-                   block_envs: int = 256, interpret: bool = False):
+                   block_envs: int = 128, interpret: bool = False):
     """One env step over a BATCH of envs via the fused tick kernel.
 
     states: vmapped GameState (leading axis N); actions (N, A, 3).

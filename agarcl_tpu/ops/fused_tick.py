@@ -1006,7 +1006,7 @@ def supports(cfg: EnvConfig) -> bool:
 
 @functools.partial(jax.jit, static_argnums=(0, 2, 3, 4))
 def fused_engine_tick(cfg: EnvConfig, states: GameState,
-                      block_envs: int = 512,
+                      block_envs: int = 128,
                       interpret: bool = False,
                       phases: int = 99) -> GameState:
     """One engine tick over a BATCH of envs via the fused kernel.

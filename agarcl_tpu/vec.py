@@ -48,7 +48,7 @@ class VecEnv:
     def __init__(self, cfg: EnvConfig, num_envs: int, obs_type: str = "ram",
                  obs_config=None, auto_reset: bool = False,
                  respawn_main_during_obs: bool = False, donate: bool = True,
-                 backend: str = "xla", block_envs: int = 256):
+                 backend: str = "xla", block_envs: int = 128):
         """backend: "xla" (vmapped op-graph tick, any config) or "fused"
         (single-Pallas-kernel tick — single-agent configs on TPU; ~8x the
         XLA path's throughput)."""
