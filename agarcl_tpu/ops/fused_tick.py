@@ -425,13 +425,21 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99):
                              jnp.where(has_b, bvy_upd, cvy))
             return ncx, ncy, ncvx, ncvy
 
-        if phases >= 2:
-            def relax_body(_, carry):
-                return pair_pass(*carry, False)
+        # single-cell fast path: when no env in this block has 2+ live
+        # cells, the pairwise relaxation and recombine phases are no-ops —
+        # skip them entirely (lax.cond lowers to a real branch in Mosaic).
+        n_live = jnp.sum(_bint(calive), axis=0, keepdims=True)    # (1, E)
+        any_multi = jnp.max(n_live) >= 2
 
-            cx, cy, cvx, cvy = jax.lax.fori_loop(
-                0, 5, relax_body, (cx, cy, cvx, cvy))
-            cx, cy, cvx, cvy = pair_pass(cx, cy, cvx, cvy, True)
+        if phases >= 2:
+            def run_relax(carry):
+                def relax_body(_, c):
+                    return pair_pass(*c, False)
+                c = jax.lax.fori_loop(0, 5, relax_body, carry)
+                return pair_pass(*c, True)
+
+            cx, cy, cvx, cvy = jax.lax.cond(
+                any_multi, run_relax, lambda c: c, (cx, cy, cvx, cvy))
 
         # --- virus events (SPEC M2) ---------------------------------------
         n_start = jnp.sum(_bint(calive), axis=0, keepdims=True)   # (1, E)
@@ -743,8 +751,16 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99):
             return cmass, _bint(calive2)
 
         if phases >= 6:
-            cmass, calive_i = jax.lax.fori_loop(
-                0, Cc // 2, rec_body, (cmass, _bint(calive)))
+            # skip when nothing can merge anywhere in the block
+            rec_count = jnp.sum(_bint(calive & (elapsed >= crecomb)),
+                                axis=0, keepdims=True)
+            rec_possible = jnp.max(rec_count) >= 2
+
+            def run_rec(carry):
+                return jax.lax.fori_loop(0, Cc // 2, rec_body, carry)
+
+            cmass, calive_i = jax.lax.cond(
+                rec_possible, run_rec, lambda c: c, (cmass, _bint(calive)))
             calive = calive_i > 0
 
         # --- anti-team + decay --------------------------------------------
