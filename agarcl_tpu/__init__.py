@@ -27,5 +27,16 @@ __version__ = "0.1.0"
 __all__ = [
     "EnvConfig", "ModeSpec", "GameState", "zero_state", "env_reset",
     "env_step", "jit_env_reset", "jit_env_step", "apply_actions",
-    "respawn_players", "__version__",
+    "respawn_players", "VecEnv", "__version__",
 ]
+
+
+def __getattr__(name):
+    # lazy convenience exports (avoid importing jax-heavy modules eagerly)
+    if name == "VecEnv":
+        from agarcl_tpu.vec import VecEnv
+        return VecEnv
+    if name == "AgarioEnv":
+        from agarcl_tpu.gym_env import AgarioEnv
+        return AgarioEnv
+    raise AttributeError(name)

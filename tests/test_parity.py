@@ -155,3 +155,43 @@ def test_parity_mode5_heavy_agent():
         return np.concatenate([rng.uniform(-1, 1, (1, 2)),
                                np.full((1, 1), act)], axis=1)
     run_parity(MODE5, 4, 20, policy, pos_tol=5e-2)
+
+
+def test_parity_three_way_fused_oracle():
+    """Close the triangle: the fused Pallas tick (interpret), the XLA tick,
+    and the C++ oracle agree on one trajectory with virus pops and splits."""
+    from agarcl_tpu.ops.fused_tick import fused_engine_tick
+    from agarcl_tpu.engine.tick import engine_tick
+
+    cfg = EnvConfig(num_agents=1, ticks_per_step=4, arena_size=100,
+                    num_pellets=50, num_viruses=3, num_bots=0, mode=4)
+    seed = 21
+    js = env_reset(cfg, seed)
+    fs = jax.tree.map(lambda x: x[None], js)   # batch of 1 for the kernel
+    oe = OracleEnv(cfg)
+    oe.reset(seed)
+    tick1 = jax.jit(functools.partial(engine_tick, cfg))
+    rng = np.random.default_rng(seed)
+    for t in range(10):
+        dx, dy = rng.uniform(-1, 1, 2)
+        act = 2.0 if t == 3 else 0.0
+        actions = np.array([[dx, dy, act]], np.float32)
+        # XLA path (per-env)
+        from agarcl_tpu.env import apply_actions
+        js = apply_actions(cfg, js, actions)
+        for _ in range(cfg.ticks_per_step):
+            js = tick1(js)
+        # fused path (batched, interpret)
+        fs = jax.vmap(functools.partial(apply_actions, cfg))(
+            fs, actions[None])
+        for _ in range(cfg.ticks_per_step):
+            fs = fused_engine_tick(cfg, fs, 1, True)
+        # oracle
+        oe.step(actions)
+        os_ = oe.get_state()
+        np.testing.assert_array_equal(np.asarray(js.cell_mass),
+                                      os_["cell_mass"] * os_["cell_alive"])
+        np.testing.assert_array_equal(np.asarray(fs.cell_mass[0]),
+                                      np.asarray(js.cell_mass))
+        np.testing.assert_array_equal(np.asarray(fs.pellet_alive[0]),
+                                      np.asarray(js.pellet_alive))
