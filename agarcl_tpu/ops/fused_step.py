@@ -23,11 +23,14 @@ from agarcl_tpu.state import GameState
 
 def fused_env_step(cfg: EnvConfig, states: GameState, actions,
                    obs_fn=None, num_frames: int = 1,
-                   block_envs: int = 128, interpret: bool = False):
+                   block_envs: int = 128, interpret: bool = False,
+                   auto_reset: bool = False):
     """One env step over a BATCH of envs via the fused tick kernel.
 
     states: vmapped GameState (leading axis N); actions (N, A, 3).
-    Returns (states, obs|None, rewards (N, A), dones (N, A)).
+    Returns (states, obs|None, rewards (N, A), dones (N, A)). With
+    auto_reset, envs whose done flag fires are replaced by fresh resets
+    (seeds derived on device).
     """
     assert supports(cfg)
     A = cfg.num_agents
@@ -75,4 +78,15 @@ def fused_env_step(cfg: EnvConfig, states: GameState, actions,
         rewards = rewards - (before - penalty)
 
     states = states.replace(dones=dones)
+    if auto_reset:
+        from agarcl_tpu import prng
+        from agarcl_tpu.env import env_reset
+        done_env = jnp.any(dones, axis=1)                # (N,)
+        reset_seed = prng.hash_u32(states.seed, 7,
+                                   states.ticks.astype(jnp.uint32), 0, 0)
+        fresh = jax.vmap(functools.partial(env_reset, cfg))(reset_seed)
+        states = jax.tree.map(
+            lambda f, s: jnp.where(
+                done_env.reshape((-1,) + (1,) * (s.ndim - 1)), f, s),
+            fresh, states)
     return states, obs, rewards, dones

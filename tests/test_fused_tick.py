@@ -131,3 +131,23 @@ def test_fused_env_step_matches_xla(monkeypatch):
                                   np.asarray(s_x.cell_mass))
     np.testing.assert_allclose(np.asarray(obs_f), np.asarray(obs_x),
                                atol=5e-3)
+
+
+def test_fused_autoreset(monkeypatch):
+    """Fused-path auto_reset: a done env gets a fresh state in interpret
+    mode."""
+    import agarcl_tpu.ops.fused_step as FS
+    cfg = EnvConfig(num_agents=1, ticks_per_step=2, arena_size=80,
+                    num_pellets=20, num_viruses=0, num_bots=0, mode=3)
+    N = 4
+    states = jax.vmap(functools.partial(env_reset, cfg))(
+        jnp.arange(N, dtype=jnp.uint32))
+    # env 0 crosses the mode-3 mass cap -> done -> reset
+    states = states.replace(cell_mass=states.cell_mass.at[0, 0, 0].set(23500))
+    acts = jnp.zeros((N, 1, 3), jnp.float32)
+    s2, obs, r, d = FS.fused_env_step(cfg, states, acts, block_envs=4,
+                                      interpret=True, auto_reset=True)
+    assert bool(d[0, 0])
+    assert int(s2.player_mass()[0, 0]) == 25        # reset to spawn mass
+    assert int(s2.player_mass()[1, 0]) >= 25        # others untouched
+    assert int(s2.ticks[0]) == 0
