@@ -10,7 +10,6 @@ that is passed as a static argument to jitted step functions.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 from agarcl_tpu import constants as C
 

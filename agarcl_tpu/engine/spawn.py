@@ -14,7 +14,6 @@ import jax.numpy as jnp
 from agarcl_tpu import constants as C
 from agarcl_tpu import prng
 from agarcl_tpu.config import EnvConfig
-from agarcl_tpu.engine import geometry as G
 
 _INIT_TICK = jnp.int32(-1)  # "tick" counter value for initial placement draws
 

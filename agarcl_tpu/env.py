@@ -15,7 +15,6 @@ import jax
 import jax.numpy as jnp
 
 from agarcl_tpu import constants as C
-from agarcl_tpu import prng
 from agarcl_tpu.config import EnvConfig
 from agarcl_tpu.engine import spawn as S
 from agarcl_tpu.engine.tick import engine_tick

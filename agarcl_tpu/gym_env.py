@@ -27,7 +27,6 @@ import jax.numpy as jnp
 import numpy as np
 from gymnasium import spaces
 
-from agarcl_tpu import constants as C
 from agarcl_tpu.config import EnvConfig
 from agarcl_tpu.env import env_reset, env_step
 from agarcl_tpu.io.snapshot import load_env_state as _load_snapshot

@@ -9,7 +9,6 @@ shards the env axis across chips/hosts.
 from __future__ import annotations
 
 import functools
-from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
