@@ -1,0 +1,168 @@
+"""RAM observation as a single Pallas kernel (env-in-lanes layout).
+
+The XLA `obs.ram.ram_frame` path is layout-hostile on TPU: vmapping per-env
+frames materializes (N, Np, 2) relative-position tensors whose trailing
+size-2 axes pad to 128 lanes, and `lax.top_k` + gathers over the pellet
+table dominate the step (measured ~10.8 ms at 8192 envs — more than the
+four engine ticks combined). This kernel computes the identical feature
+vector with the env axis in lanes: every tensor is (feature, E), the
+k-nearest-pellet selection is an iterative min-extraction (two min-reduces
+per neighbor: distance, then lowest-index tiebreak — the same stable order
+`top_k(-d2)` produces), and the whole frame is built in VMEM per 128-env
+block.
+
+Feature layout matches obs/ram.py `ram_frame` exactly (single-agent
+configs, the same restriction as the fused tick — `supports(cfg)`):
+
+  [ cx/W, cy/H, total_mass,
+    per cell slot: rel_x, rel_y, mass, vel_x, vel_y, alive,
+    Kp nearest pellets: rel_x, rel_y, alive,
+    Kv nearest viruses: rel_x, rel_y, mass, alive,
+    per player: rel_x, rel_y, total_mass, alive (self slot zeroed) ]
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from agarcl_tpu.config import EnvConfig
+from agarcl_tpu.obs.ram import RamObsConfig, ram_size
+from agarcl_tpu.state import GameState
+
+_INF = 1e30       # stand-in for +inf in masked distances
+_ALIVE_THRESH = 1e29
+
+
+def _nearest_rows(d2_masked, idx, k, cols):
+    """Iteratively extract the k nearest entries (stable lowest-index
+    tiebreak, matching top_k(-d2)); returns k * (len(cols)+1) rows of
+    (1, E): per neighbor, each col masked by alive, then the alive flag.
+
+    d2_masked: (M, E) f32 with dead entries at _INF; idx: (M, E) i32 row
+    index; cols: list of (M, E) f32 feature planes to select from.
+    """
+    rows = []
+    big_i = jnp.int32(d2_masked.shape[0])
+    for _ in range(k):
+        cur = jnp.min(d2_masked, axis=0, keepdims=True)          # (1, E)
+        ismin = d2_masked == cur
+        isel = jnp.min(jnp.where(ismin, idx, big_i), axis=0,
+                       keepdims=True)
+        first = ismin & (idx == isel)                            # one entry
+        alivef = jnp.where(cur < _ALIVE_THRESH, 1.0, 0.0)
+        for c in cols:
+            rows.append(jnp.sum(jnp.where(first, c, 0.0), axis=0,
+                                keepdims=True) * alivef)
+        rows.append(alivef)
+        d2_masked = jnp.where(first, _INF, d2_masked)
+    return rows
+
+
+def _make_obs_kernel(cfg: EnvConfig, ocfg: RamObsConfig, inv_w, inv_h):
+    kp = min(ocfg.num_pellets, cfg.pellet_capacity)
+    kv = min(ocfg.num_viruses, cfg.virus_capacity)
+    Cc = cfg.max_cells
+
+    def kernel(cpx, cpy, cvx, cvy, cmass, calive,
+               ppx, ppy, palive, vpx, vpy, vmass, valive, o_ref):
+        # centroid + total mass (state.py player_centroid / player_mass)
+        af = jnp.where(calive[:] > 0, 1.0, 0.0)                  # (Cc, E)
+        w = cmass[:].astype(jnp.float32) * af
+        total = jnp.sum(w, axis=0, keepdims=True)                # (1, E)
+        denom = jnp.maximum(total, 1.0)
+        cx = jnp.sum(cpx[:] * w, axis=0, keepdims=True) / denom
+        cy = jnp.sum(cpy[:] * w, axis=0, keepdims=True) / denom
+
+        rows = [cx * inv_w, cy * inv_h, total]
+
+        # own cell slots: rel_x, rel_y, mass, vel_x, vel_y, alive
+        relx = (cpx[:] - cx) * af
+        rely = (cpy[:] - cy) * af
+        mass = cmass[:].astype(jnp.float32) * af
+        velx = cvx[:] * af
+        vely = cvy[:] * af
+        for c in range(Cc):
+            rows += [relx[c:c + 1], rely[c:c + 1], mass[c:c + 1],
+                     velx[c:c + 1], vely[c:c + 1], af[c:c + 1]]
+
+        # Kp nearest pellets: rel_x, rel_y, alive
+        prx = ppx[:] - cx
+        pry = ppy[:] - cy
+        d2 = prx * prx + pry * pry
+        d2 = jnp.where(palive[:] > 0, d2, _INF)
+        pidx = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0)
+        rows += _nearest_rows(d2, pidx, kp, [prx, pry])
+
+        # Kv nearest viruses: rel_x, rel_y, mass, alive
+        vrx = vpx[:] - cx
+        vry = vpy[:] - cy
+        vd2 = vrx * vrx + vry * vry
+        vd2 = jnp.where(valive[:] > 0, vd2, _INF)
+        vidx = jax.lax.broadcasted_iota(jnp.int32, vd2.shape, 0)
+        rows += _nearest_rows(vd2, vidx, kv,
+                              [vrx, vry, vmass[:].astype(jnp.float32)])
+
+        # other-player block: single-agent configs have only the self slot,
+        # which ram_frame zeroes (obs/ram.py keep mask)
+        zero = jnp.zeros_like(cx)
+        rows += [zero, zero, zero, zero]
+
+        o_ref[:] = jnp.concatenate(rows, axis=0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 3, 4))
+def fused_ram_obs(cfg: EnvConfig, ocfg: RamObsConfig, states: GameState,
+                  block_envs: int = 128, interpret: bool = False):
+    """(N, 1, ram_size) f32 — batched RAM observation via one pallas_call.
+
+    Bit-for-bit the same features as jax.vmap(ram_frame) up to f32
+    reduction-order noise in the centroid sums.
+    """
+    from agarcl_tpu.ops.fused_tick import supports
+    assert supports(cfg), "fused ram obs requires num_players == 1"
+    N = states.ticks.shape[0]
+    E = min(block_envs, N)
+    assert N % E == 0, (N, E)
+    R = ram_size(cfg, ocfg)
+
+    b2i = lambda b: jnp.where(b, 1, 0).astype(jnp.int32)
+    ins = [
+        jnp.transpose(states.cell_pos[:, 0, :, 0]),      # (Cc, N)
+        jnp.transpose(states.cell_pos[:, 0, :, 1]),
+        jnp.transpose(states.cell_vel[:, 0, :, 0]),
+        jnp.transpose(states.cell_vel[:, 0, :, 1]),
+        jnp.transpose(states.cell_mass[:, 0, :]),
+        jnp.transpose(b2i(states.cell_alive[:, 0, :])),
+        jnp.transpose(states.pellet_pos[:, :, 0]),       # (Np, N)
+        jnp.transpose(states.pellet_pos[:, :, 1]),
+        jnp.transpose(b2i(states.pellet_alive)),
+        jnp.transpose(states.virus_pos[:, :, 0]),        # (Nv, N)
+        jnp.transpose(states.virus_pos[:, :, 1]),
+        jnp.transpose(states.virus_mass),
+        jnp.transpose(b2i(states.virus_alive)),
+    ]
+
+    def spec_for(x):
+        return pl.BlockSpec((x.shape[0], E), lambda i: (0, i))
+
+    kernel = _make_obs_kernel(cfg, ocfg,
+                              1.0 / cfg.arena_width,
+                              1.0 / cfg.arena_height)
+    out = pl.pallas_call(
+        kernel,
+        grid=(N // E,),
+        in_specs=[spec_for(x) for x in ins],
+        out_specs=pl.BlockSpec((R, E), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((R, N), jnp.float32),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(*ins)
+    return jnp.transpose(out)[:, None, :]                # (N, 1, R)

@@ -52,9 +52,21 @@ def fused_env_step(cfg: EnvConfig, states: GameState, actions,
                              length=cfg.ticks_per_step - F)
     obs = None
     if obs_fn is not None:
+        # ram frames go through the env-in-lanes Pallas kernel (fused_obs):
+        # the vmapped XLA ram_frame costs more than the four engine ticks
+        # combined (top_k + gathers + trailing size-2 layout padding)
+        from agarcl_tpu.obs.ram import ram_frame
+        batched_obs = jax.vmap(obs_fn)
+        if (isinstance(obs_fn, functools.partial)
+                and obs_fn.func is ram_frame):
+            from agarcl_tpu.ops.fused_obs import fused_ram_obs
+            ocfg = obs_fn.args[1]
+            def batched_obs(s):
+                return fused_ram_obs(cfg, ocfg, s, block_envs, interpret)
+
         def body_obs(s, _):
             s = tick(s)
-            return s, jax.vmap(obs_fn)(s)
+            return s, batched_obs(s)
         states, obs = jax.lax.scan(body_obs, states, None, length=F)
         # obs: (F, N, ...) -> (N, F, ...) to match the vmapped XLA path
         obs = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), obs)

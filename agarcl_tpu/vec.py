@@ -109,20 +109,23 @@ class VecEnv:
 
         def _multi_step(states, actions, k):
             # chain k env-steps inside one program (amortizes dispatch; the
-            # shape a fused actor-learner loop would use)
+            # shape a fused actor-learner loop would use). obs is stacked
+            # per step — keeping it in the scan output forces it to be
+            # computed every step (discarding it would let XLA dead-code
+            # the whole observation path and overstate throughput).
             def body(s, _):
                 s, obs, rewards, dones = step_b(s, actions)
-                return s, (rewards, dones)
-            states, (rewards, dones) = jax.lax.scan(
+                return s, (obs, rewards, dones)
+            states, (obs, rewards, dones) = jax.lax.scan(
                 body, states, None, length=k)
-            return states, rewards, dones
+            return states, obs, rewards, dones
 
         self._multi_step = jax.jit(_multi_step, static_argnums=2,
                                    donate_argnums=(0,) if donate else ())
 
     def reset(self, seed: int = 0):
         seeds = jnp.arange(self.num_envs, dtype=jnp.uint32) + jnp.uint32(
-            seed * 0x9E3779B9)
+            (seed * 0x9E3779B9) & 0xFFFFFFFF)
         states = self._reset_b(seeds)
         obs = self._obs_b(states) if self._obs_b is not None else None
         self._episode = 0
@@ -135,6 +138,7 @@ class VecEnv:
     def multi_step(self, states: GameState, actions, k: int):
         """Run k env-steps in one device program with the same actions —
         the dispatch-amortized path for throughput-critical loops.
-        Returns (states, rewards (k, N, A), dones (k, N, A))."""
+        Returns (states, obs (k, N, ...) or None, rewards (k, N, A),
+        dones (k, N, A)); obs is produced every step (never dead-coded)."""
         return self._multi_step(states, jnp.asarray(actions, jnp.float32),
                                 k)

@@ -35,15 +35,15 @@ def main():
                               minval=-1.0, maxval=1.0)
     actions = actions.at[..., :2].set(dirs)
 
-    states, rewards, dones = env.multi_step(states, actions,
-                                            STEPS_PER_CALL)  # compile
-    jax.block_until_ready(rewards)
+    states, obs, rewards, dones = env.multi_step(states, actions,
+                                                 STEPS_PER_CALL)  # compile
+    jax.block_until_ready(obs)
 
     t0 = time.perf_counter()
     for _ in range(TIMED_CALLS):
-        states, rewards, dones = env.multi_step(states, actions,
-                                                STEPS_PER_CALL)
-    jax.block_until_ready(rewards)
+        states, obs, rewards, dones = env.multi_step(states, actions,
+                                                     STEPS_PER_CALL)
+    jax.block_until_ready(obs)
     dt = time.perf_counter() - t0
 
     sps = NUM_ENVS * STEPS_PER_CALL * TIMED_CALLS / dt

@@ -151,3 +151,37 @@ def test_fused_autoreset(monkeypatch):
     assert int(s2.player_mass()[0, 0]) == 25        # reset to spawn mass
     assert int(s2.player_mass()[1, 0]) >= 25        # others untouched
     assert int(s2.ticks[0]) == 0
+
+
+def test_fused_ram_obs_parity():
+    """fused_obs kernel (interpret) == vmapped ram_frame after steps with
+    splits and eaten pellets."""
+    from agarcl_tpu.obs.ram import RamObsConfig, ram_frame
+    from agarcl_tpu.ops.fused_obs import fused_ram_obs
+    from agarcl_tpu.vec import VecEnv
+    cfg = EnvConfig(num_agents=1, ticks_per_step=4, arena_size=120,
+                    num_pellets=100, num_viruses=4, num_bots=0, mode=4)
+    ocfg = RamObsConfig()
+    env = VecEnv(cfg, 8, obs_type="ram", backend="xla", donate=False)
+    states, _ = env.reset(5)
+    acts = jnp.tile(jnp.asarray([[0.6, -0.4, 1.0]], jnp.float32), (8, 1, 1))
+    for _ in range(3):
+        states, obs, r, d = env.step(states, acts)
+    ref = jax.jit(jax.vmap(functools.partial(ram_frame, cfg, ocfg)))(states)
+    got = fused_ram_obs(cfg, ocfg, states, block_envs=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_multi_step_returns_obs():
+    """VecEnv.multi_step stacks a per-step observation (never dead-coded)."""
+    from agarcl_tpu.vec import VecEnv
+    cfg = EnvConfig(num_agents=1, ticks_per_step=2, arena_size=80,
+                    num_pellets=20, num_viruses=0, num_bots=0, mode=4)
+    env = VecEnv(cfg, 4, obs_type="ram", backend="xla", donate=False)
+    states, obs0 = env.reset(0)
+    acts = jnp.zeros((4, 1, 3), jnp.float32)
+    states, obs, r, d = env.multi_step(states, acts, 3)
+    assert obs.shape[:2] == (3, 4)
+    assert r.shape == (3, 4, 1) and d.shape == (3, 4, 1)
+    assert np.all(np.isfinite(np.asarray(obs)))
