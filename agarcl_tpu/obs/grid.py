@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 
 from agarcl_tpu.config import EnvConfig
@@ -68,17 +69,47 @@ def grid_frame(cfg: EnvConfig, ocfg: GridObsConfig,
     pmass = state.player_mass()[:A].astype(jnp.float32)
     view = jnp.clip(2.0 * pmass, 100.0, 300.0)[:, None]      # (A,1)
 
-    def scat(pos, alive, mass, op):
-        """Scatter per agent over entity axis; (A, G, G) int32."""
+    def bins(pos, alive):
         gx, gy, inside = _to_grid(pos[None, :, :], centroid[:, None, :],
                                   view[..., None], G)
-        ok = inside & alive[None, :]
+        return gx, gy, inside & alive[None, :]
+
+    def scat(pos, alive, mass, op, unroll=False):
+        """Rasterize entities per agent; (A, G, G) int32.
+
+        "add" avoids TPU scatters entirely: the grid is two one-hot
+        matmuls, einsum('aeg,aeh->agh') — integer-exact in f32 (HIGHEST
+        precision; all channel sums < 2^24) and MXU-shaped. "max"/"min"
+        with unroll=True (small entity counts: viruses, cells) become a
+        chain of elementwise maxes XLA fuses into one kernel; otherwise
+        they fall back to scatter (multi-player paths).
+        """
+        gx, gy, ok = bins(pos, alive)
+        if op == "add":
+            v = mass.astype(jnp.float32)[None, :] * ok       # (A, Ne)
+            iota = jnp.arange(G, dtype=jnp.int32)
+            ohx = (gx[..., None] == iota).astype(jnp.float32)
+            ohy = (gy[..., None] == iota).astype(jnp.float32)
+            out = jnp.einsum('aeg,aeh->agh', ohx * v[..., None], ohy,
+                             precision=jax.lax.Precision.HIGHEST)
+            return jnp.round(out).astype(jnp.int32)
+        if op in ("max", "min") and unroll:
+            m = jnp.where(ok, mass.astype(jnp.int32)[None, :], 0)
+            acc = jnp.zeros((A, G, G), jnp.int32) if op == "max" \
+                else jnp.full((A, G, G), _INF)
+            iota = jnp.arange(G, dtype=jnp.int32)
+            for e in range(gx.shape[1]):
+                cell = ((gx[:, e, None, None] == iota[:, None])
+                        & (gy[:, e, None, None] == iota[None, :]))
+                val = jnp.where(
+                    cell & ok[:, e, None, None],
+                    m[:, e, None, None],
+                    0 if op == "max" else _INF)
+                acc = (jnp.maximum(acc, val) if op == "max"
+                       else jnp.minimum(acc, val))
+            return acc if op == "max" else jnp.where(acc == _INF, 0, acc)
         gx = jnp.where(ok, gx, G)                            # dropped
         m = mass.astype(jnp.int32)[None, :] * ok
-        if op == "add":
-            out = jnp.zeros((A, G, G), jnp.int32)
-            return out.at[jnp.arange(A)[:, None], gx, gy].add(
-                m, mode="drop")
         if op == "max":
             out = jnp.zeros((A, G, G), jnp.int32)
             return out.at[jnp.arange(A)[:, None], gx, gy].max(
@@ -103,11 +134,13 @@ def grid_frame(cfg: EnvConfig, ocfg: GridObsConfig,
 
     if ocfg.observe_pellets:
         ones = jnp.ones_like(state.pellet_alive, jnp.int32)
-        chans.append(scat(state.pellet_pos, state.pellet_alive, ones, "max"))
-        chans.append(scat(state.pellet_pos, state.pellet_alive, ones, "add"))
+        counts = scat(state.pellet_pos, state.pellet_alive, ones, "add")
+        # presence (scatter-max of ones) == count clipped to 1
+        chans.append(jnp.minimum(counts, 1))
+        chans.append(counts)
     if ocfg.observe_viruses:
         chans.append(scat(state.virus_pos, state.virus_alive,
-                          state.virus_mass, "max"))
+                          state.virus_mass, "max", unroll=True))
         chans.append(scat(state.virus_pos, state.virus_alive,
                           state.virus_mass, "add"))
 
@@ -127,13 +160,22 @@ def grid_frame(cfg: EnvConfig, ocfg: GridObsConfig,
             out.append(scat(flat_pos, own[a_idx], flat_mass, "add")[a_idx])
         chans.append(jnp.stack(out))
     if ocfg.observe_others:
-        mins, maxs = [], []
-        for a_idx in range(A):
-            others = flat_alive & (owner != a_idx)
-            mins.append(scat(flat_pos, others, flat_mass, "min")[a_idx])
-            maxs.append(scat(flat_pos, others, flat_mass, "max")[a_idx])
-        chans.append(jnp.stack(mins))
-        chans.append(jnp.stack(maxs))
+        if P == 1:
+            # single-player worlds have no other cells; both channels are 0
+            zeros = jnp.zeros((A, G, G), jnp.int32)
+            chans.append(zeros)
+            chans.append(zeros)
+        else:
+            unroll = P * Cc <= 64
+            mins, maxs = [], []
+            for a_idx in range(A):
+                others = flat_alive & (owner != a_idx)
+                mins.append(scat(flat_pos, others, flat_mass, "min",
+                                 unroll=unroll)[a_idx])
+                maxs.append(scat(flat_pos, others, flat_mass, "max",
+                                 unroll=unroll)[a_idx])
+            chans.append(jnp.stack(mins))
+            chans.append(jnp.stack(maxs))
 
     return jnp.stack(chans, axis=1)                          # (A, C, G, G)
 

@@ -120,3 +120,70 @@ def test_gobigger_structured_obs():
     in_view = (np.abs(ppos - np.asarray(pos)) < 50.0).all(axis=1)
     assert len(ps.food_infos) >= max(0, in_view.sum() - 2)
     assert gs.team_num == 1
+
+
+def test_grid_rasterizer_matches_numpy_scatter():
+    """The matmul/unroll rasterizer must agree bin-for-bin with a scalar
+    numpy scatter implementing GridEnvironment.hpp:251-279 semantics
+    (trunc binning; add / max / min-with-0-for-empty per channel)."""
+    cfg = EnvConfig(num_agents=2, ticks_per_step=2, arena_size=100,
+                    num_pellets=40, num_viruses=5, num_bots=2, mode=0)
+    G = 32
+    ocfg = GridObsConfig(grid_size=G)
+    s = reset(cfg, seed=11)
+    # make some cells/viruses share bins to exercise max/min tie paths
+    s = s.replace(cell_mass=s.cell_mass.at[1, 0].set(77))
+    got = np.asarray(grid_frame(cfg, ocfg, s))
+
+    centroid = np.asarray(s.player_centroid())
+    pmass = np.asarray(s.player_mass()).astype(np.float64)
+    for a in range(cfg.num_agents):
+        view = float(np.clip(2.0 * pmass[a], 100.0, 300.0))
+
+        def bins(pos, alive):
+            out = []
+            for i in range(pos.shape[0]):
+                if not alive[i]:
+                    continue
+                gx = int(np.trunc(G * (pos[i, 0] - centroid[a, 0]) / view
+                                  + G / 2.0))
+                gy = int(np.trunc(G * (pos[i, 1] - centroid[a, 1]) / view
+                                  + G / 2.0))
+                if 0 <= gx < G and 0 <= gy < G:
+                    out.append((gx, gy, i))
+            return out
+
+        ppos = np.asarray(s.pellet_pos); palive = np.asarray(s.pellet_alive)
+        add = np.zeros((G, G), np.int64)
+        for gx, gy, _ in bins(ppos, palive):
+            add[gx, gy] += 1
+        np.testing.assert_array_equal(got[a, 1], np.minimum(add, 1))
+        np.testing.assert_array_equal(got[a, 2], add)
+
+        vpos = np.asarray(s.virus_pos); valive = np.asarray(s.virus_alive)
+        vmass = np.asarray(s.virus_mass)
+        vmax = np.zeros((G, G), np.int64)
+        vadd = np.zeros((G, G), np.int64)
+        for gx, gy, i in bins(vpos, valive):
+            vmax[gx, gy] = max(vmax[gx, gy], vmass[i])
+            vadd[gx, gy] += vmass[i]
+        np.testing.assert_array_equal(got[a, 3], vmax)
+        np.testing.assert_array_equal(got[a, 4], vadd)
+
+        P, Cc = np.asarray(s.cell_mass).shape
+        cpos = np.asarray(s.cell_pos).reshape(P * Cc, 2)
+        cmass = np.asarray(s.cell_mass).reshape(P * Cc)
+        calive = np.asarray(s.cell_alive).reshape(P * Cc)
+        owner = np.repeat(np.arange(P), Cc)
+        own = np.zeros((G, G), np.int64)
+        for gx, gy, i in bins(cpos, calive & (owner == a)):
+            own[gx, gy] += cmass[i]
+        np.testing.assert_array_equal(got[a, 5], own)
+        omin = np.full((G, G), 2**30, np.int64)
+        omax = np.zeros((G, G), np.int64)
+        for gx, gy, i in bins(cpos, calive & (owner != a)):
+            omin[gx, gy] = min(omin[gx, gy], cmass[i])
+            omax[gx, gy] = max(omax[gx, gy], cmass[i])
+        omin[omin == 2**30] = 0
+        np.testing.assert_array_equal(got[a, 6], omin)
+        np.testing.assert_array_equal(got[a, 7], omax)
