@@ -195,3 +195,54 @@ def test_parity_three_way_fused_oracle():
                                       np.asarray(js.cell_mass))
         np.testing.assert_array_equal(np.asarray(fs.pellet_alive[0]),
                                       np.asarray(js.pellet_alive))
+
+
+@pytest.mark.parametrize("mode", [8, 9, 10])
+def test_parity_duel_other_bot_types(mode):
+    """Modes 8-10: HungryShy / Aggressive / AggressiveShy duel bots — the
+    remaining three bot policies cross-validated against the oracle
+    (mode 7 / HungryBot is covered above)."""
+    cfg = EnvConfig(num_agents=1, ticks_per_step=4, arena_size=100,
+                    num_pellets=50, num_viruses=2, num_bots=0, mode=mode)
+    def policy(t, rng):
+        return np.concatenate([rng.uniform(-1, 1, (1, 2)),
+                               np.zeros((1, 1))], axis=1)
+    run_parity(cfg, 13 + mode, 20, policy, pos_tol=5e-2)
+
+
+def test_parity_mode2_decay_squared():
+    """Mode 2: squared pellet ring + mass decay, no regen."""
+    cfg = EnvConfig(num_agents=1, ticks_per_step=4, arena_size=100,
+                    num_pellets=50, num_viruses=1, num_bots=0, mode=2)
+    def policy(t, rng):
+        act = 1.0 if t % 6 == 4 else 0.0
+        return np.concatenate([rng.uniform(-1, 1, (1, 2)),
+                               np.full((1, 1), act)], axis=1)
+    run_parity(cfg, 17, 20, policy)
+
+
+def test_parity_mode6_heavy_regen():
+    """Mode 6: heavy 1000-mass agent, uniform pellets, decay + regen.
+
+    pos_tol is loose: a split 16-cell 1000-mass blob runs many relaxation
+    iterations per tick, so XLA-vs-g++ last-ulp float differences compound
+    in positions (~0.09 world units by step 13) while every integer
+    observable (masses, alive sets, food_eaten) stays exactly equal.
+    """
+    cfg = EnvConfig(num_agents=1, ticks_per_step=4, arena_size=100,
+                    num_pellets=50, num_viruses=2, num_bots=0, mode=6)
+    def policy(t, rng):
+        act = 2.0 if t in (2, 9) else 0.0
+        return np.concatenate([rng.uniform(-1, 1, (1, 2)),
+                               np.full((1, 1), act)], axis=1)
+    run_parity(cfg, 23, 20, policy, pos_tol=3e-1)
+
+
+def test_parity_long_horizon():
+    """100 env-steps (400 ticks) of random walk with periodic splits/feeds:
+    drift between the engines would compound and surface here."""
+    def policy(t, rng):
+        act = 2.0 if t % 17 == 5 else (1.0 if t % 11 == 7 else 0.0)
+        return np.concatenate([rng.uniform(-1, 1, (1, 2)),
+                               np.full((1, 1), act)], axis=1)
+    run_parity(PCFG, 29, 100, policy, pos_tol=5e-2)
