@@ -38,6 +38,7 @@ from __future__ import annotations
 import dataclasses
 import math
 
+import jax
 import jax.numpy as jnp
 
 from agarcl_tpu.config import EnvConfig
@@ -69,19 +70,38 @@ def _pixel_world_coords(center, z, S):
     return wx, wy, half, pixel_half
 
 
-def _circle_cover(wx, wy, pos, rad, alive):
+def _circle_cover(wx, wy, pos, rad, alive, chunk: int = 32):
     """(A, S, S) bool: any live circle covers the pixel center.
 
     wx/wy: (A, S); pos: (N, 2); rad: (N,); alive: (N,).
+
+    Entities are folded in chunks under lax.scan with a running
+    any-accumulator: the (A, chunk, S, S) coverage tensor of each chunk is
+    consumed by its own reduction inside one fused loop, so the full
+    (A, N, S, S) tensor (1.8 GB at 500 pellets x 84^2 x 512 envs under
+    vmap) is never materialized. Bit-identical to the direct reduction.
     """
-    dx = wx[:, None, :] - pos[None, :, 0, None]              # (A, N, S)
-    dy = wy[:, None, :] - pos[None, :, 1, None]
-    r2 = (rad * rad)[None, :, None]
-    # coverage[a, i, j] = any_n (dx[a,n,j]^2 + dy[a,n,i]^2 <= r2)
-    cov = (dx[:, :, None, :] ** 2 + dy[:, :, :, None] ** 2) \
-        <= r2[:, :, :, None]
-    cov = cov & alive[None, :, None, None]
-    return jnp.any(cov, axis=1)
+    A, S = wx.shape
+    N = pos.shape[0]
+    C = min(chunk, N)
+    K = -(-N // C)
+    pad = K * C - N
+    px = jnp.pad(pos[:, 0], (0, pad)).reshape(K, C)
+    py = jnp.pad(pos[:, 1], (0, pad)).reshape(K, C)
+    r2 = jnp.pad(rad * rad, (0, pad)).reshape(K, C)
+    ok = jnp.pad(alive, (0, pad)).reshape(K, C)
+
+    def body(acc, ch):
+        cpx, cpy, cr2, cok = ch
+        dx = wx[:, None, :] - cpx[None, :, None]             # (A, C, S)
+        dy = wy[:, None, :] - cpy[None, :, None]
+        d2 = (dx * dx)[:, :, None, :] + (dy * dy)[:, :, :, None]
+        cov = (d2 <= cr2[None, :, None, None]) & cok[None, :, None, None]
+        return acc | jnp.any(cov, axis=1), None
+
+    acc0 = jnp.zeros((A, S, S), bool)
+    acc, _ = jax.lax.scan(body, acc0, (px, py, r2, ok))
+    return acc
 
 
 def _grid_cover(wx, wy, pixel_half, arena_w, arena_h):
@@ -96,7 +116,7 @@ def _grid_cover(wx, wy, pixel_half, arena_w, arena_h):
     # also only inside the arena span of the lines (0..arena)
     in_x = (wx >= -1e-3) & (wx <= arena_w + 1e-3)
     in_y = (wy >= -1e-3) & (wy <= arena_h + 1e-3)
-    return (on_v & in_y[:, :, None] & in_x[:, None, :]) | \
+    return (on_v[:, None, :] & in_y[:, :, None] & in_x[:, None, :]) | \
         (on_h[:, :, None] & in_x[:, None, :] & in_y[:, :, None])
 
 

@@ -31,6 +31,10 @@ def make_obs_fn(cfg: EnvConfig, obs_type: str, obs_config=None):
     if obs_type == "grid":
         ocfg = obs_config or GridObsConfig()
         return functools.partial(grid_frame, cfg, ocfg), ocfg.num_frames
+    if obs_type == "screen":
+        from agarcl_tpu.obs.screen import ScreenObsConfig, screen_frame
+        ocfg = obs_config or ScreenObsConfig()
+        return functools.partial(screen_frame, cfg, ocfg), ocfg.num_frames
     raise ValueError(f"unknown obs_type {obs_type!r}")
 
 

@@ -187,3 +187,20 @@ def test_grid_rasterizer_matches_numpy_scatter():
         omin[omin == 2**30] = 0
         np.testing.assert_array_equal(got[a, 6], omin)
         np.testing.assert_array_equal(got[a, 7], omax)
+
+
+def test_screen_multi_agent():
+    """screen_frame for num_agents > 1: the grid-line coverage broadcast
+    used to raise for A=2 (on_v lacked its row axis); each agent renders
+    from its own centroid."""
+    cfg = EnvConfig(num_agents=2, ticks_per_step=2, arena_size=100,
+                    num_pellets=30, num_viruses=2, num_bots=0, mode=3)
+    s = reset(cfg, seed=4)
+    ocfg = ScreenObsConfig(screen_len=32, agent_view=True)
+    f = np.asarray(screen_frame(cfg, ocfg, s))
+    assert f.shape == (2, 32, 32, 4)
+    # each agent sees itself (alpha-230 main-player pixels)
+    assert (f[0, :, :, 3] == 230).any()
+    assert (f[1, :, :, 3] == 230).any()
+    # and sees the other agent only if in view; frames differ
+    assert not np.array_equal(f[0], f[1])
