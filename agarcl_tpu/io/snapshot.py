@@ -105,14 +105,53 @@ def save_env_state(cfg: EnvConfig, state: GameState, filename: str) -> None:
         json.dump(data, f, indent=4)
 
 
+def roster_from_snapshot(data: dict) -> tuple:
+    """Derive the per-player bot-type roster from a snapshot's player list.
+
+    Mirrors Engine::load_env_state's name dispatch
+    (/root/reference/agario/engine/Engine.hpp:274-284): "HungryBot" etc.
+    select the bot class, any other name is a plain agent. A player flagged
+    is_bot whose name matches no bot class is an error (the reference would
+    silently demote it to a policy-less Player, losing its behaviour).
+    """
+    types = []
+    for pdata in data["players"]:
+        name = pdata.get("name", "")
+        bt = _NAME_TO_TYPE.get(name, 0)
+        if pdata.get("is_bot", bool(bt)) and not bt:
+            raise ValueError(
+                f"snapshot player {name!r} is flagged is_bot but matches no "
+                f"known bot class (expected one of {sorted(_NAME_TO_TYPE)})")
+        types.append(bt)
+    return tuple(types)
+
+
 def load_env_state(cfg: EnvConfig, filename: str) -> GameState:
     """Rebuild a GameState from a snapshot file.
 
-    The snapshot's player list must fit cfg's (num_agents, bot roster);
-    entities beyond cfg capacities are dropped with a warning.
+    The snapshot's player roster (derived from each player's name/is_bot via
+    `roster_from_snapshot`, matching the reference's name dispatch) must agree
+    slot-for-slot with cfg's roster — a mismatch raises rather than silently
+    running a bot's cells under an agent policy. Entities beyond cfg
+    capacities are dropped.
     """
     with open(filename) as f:
         data = json.load(f)
+
+    file_roster = roster_from_snapshot(data)
+    cfg_roster = cfg.bot_types()
+    if file_roster != cfg_roster:
+        names = {k: v or "agent" for k, v in _BOT_NAMES.items()}
+        raise ValueError(
+            "snapshot roster does not match the environment config: file has "
+            f"{[names[t] for t in file_roster]}, config expects "
+            f"{[names[t] for t in cfg_roster]} (num_agents={cfg.num_agents}, "
+            f"mode={cfg.mode}, num_bots={cfg.num_bots})")
+    if "mode_number" in data and int(data["mode_number"]) != cfg.mode:
+        raise ValueError(
+            f"snapshot mode_number={data['mode_number']} does not match the "
+            f"environment config mode={cfg.mode} (the reference re-applies "
+            "the file's mode on load, Engine.hpp:263)")
 
     state = zero_state(cfg)
     P, Cc = cfg.num_players, cfg.max_cells
