@@ -5,6 +5,7 @@ Baseline = the BASELINE.md target of 1,000,000 env-steps/s/chip (the reference
 publishes no numbers; its single-core C++ engine is O(100-1k) steps/s).
 """
 
+import argparse
 import json
 import time
 
@@ -18,6 +19,13 @@ TIMED_CALLS = 4
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--envs", type=int, default=NUM_ENVS)
+    ap.add_argument("--steps", type=int, default=STEPS_PER_CALL)
+    ap.add_argument("--iters", type=int, default=TIMED_CALLS)
+    args = ap.parse_args()
+    num_envs, steps_per_call, timed_calls = args.envs, args.steps, args.iters
+
     from agarcl_tpu import EnvConfig
     from agarcl_tpu.vec import VecEnv
 
@@ -25,28 +33,30 @@ def main():
                     num_pellets=500, num_viruses=10, num_bots=0,
                     reward_type=True, mode=4)
     from agarcl_tpu.ops.fused_tick import supports
-    backend = "fused" if supports(cfg) else "xla"
-    env = VecEnv(cfg, NUM_ENVS, obs_type="ram", backend=backend)
+    # Mosaic kernels need real TPU hardware; CI smoke-runs fall back to XLA.
+    backend = ("fused" if supports(cfg) and jax.default_backend() != "cpu"
+               else "xla")
+    env = VecEnv(cfg, num_envs, obs_type="ram", backend=backend)
     states, _ = env.reset(0)
 
-    actions = jnp.zeros((NUM_ENVS, cfg.num_agents, 3), jnp.float32)
+    actions = jnp.zeros((num_envs, cfg.num_agents, 3), jnp.float32)
     key = jax.random.PRNGKey(0)
-    dirs = jax.random.uniform(key, (NUM_ENVS, cfg.num_agents, 2),
+    dirs = jax.random.uniform(key, (num_envs, cfg.num_agents, 2),
                               minval=-1.0, maxval=1.0)
     actions = actions.at[..., :2].set(dirs)
 
     states, obs, rewards, dones = env.multi_step(states, actions,
-                                                 STEPS_PER_CALL)  # compile
+                                                 steps_per_call)  # compile
     jax.block_until_ready(obs)
 
     t0 = time.perf_counter()
-    for _ in range(TIMED_CALLS):
+    for _ in range(timed_calls):
         states, obs, rewards, dones = env.multi_step(states, actions,
-                                                     STEPS_PER_CALL)
+                                                     steps_per_call)
     jax.block_until_ready(obs)
     dt = time.perf_counter() - t0
 
-    sps = NUM_ENVS * STEPS_PER_CALL * TIMED_CALLS / dt
+    sps = num_envs * steps_per_call * timed_calls / dt
     print(json.dumps({
         "metric": "env_steps_per_sec_per_chip_8192envs_ram",
         "value": round(sps, 1),
