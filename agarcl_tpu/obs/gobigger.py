@@ -200,3 +200,11 @@ def to_player_states(cfg: EnvConfig, ocfg: GoBiggerObsConfig,
     gs = GlobalState(ocfg.map_width, ocfg.map_height, ocfg.frame_limit,
                      int(f["last_frame"][0]), A)
     return gs, players
+
+
+def batch_player_states(cfg: EnvConfig, ocfg: GoBiggerObsConfig,
+                        frame: Dict, env: int) -> tuple:
+    """Rim conversion for one env of a VecEnv batch: slice the leading env
+    axis off every array in the batched frame, then convert as usual."""
+    one = {k: np.asarray(v)[env] for k, v in frame.items()}
+    return to_player_states(cfg, ocfg, one)

@@ -22,7 +22,7 @@ from agarcl_tpu.state import GameState
 
 def make_obs_fn(cfg: EnvConfig, obs_type: str, obs_config=None):
     """Returns (frame_fn, num_frames) for an observation type
-    ('none' | 'ram' | 'grid')."""
+    ('none' | 'ram' | 'grid' | 'screen' | 'gobigger')."""
     if obs_type == "none":
         return None, 1
     if obs_type == "ram":
@@ -35,6 +35,13 @@ def make_obs_fn(cfg: EnvConfig, obs_type: str, obs_config=None):
         from agarcl_tpu.obs.screen import ScreenObsConfig, screen_frame
         ocfg = obs_config or ScreenObsConfig()
         return functools.partial(screen_frame, cfg, ocfg), ocfg.num_frames
+    if obs_type == "gobigger":
+        # structured dict frame (a pytree of fixed-shape arrays + masks) —
+        # vmaps/scan-stacks like any tensor obs; use
+        # obs.gobigger.batch_player_states for the host-side rim conversion
+        from agarcl_tpu.obs.gobigger import GoBiggerObsConfig, gobigger_frame
+        ocfg = obs_config or GoBiggerObsConfig()
+        return functools.partial(gobigger_frame, cfg, ocfg), 1
     raise ValueError(f"unknown obs_type {obs_type!r}")
 
 

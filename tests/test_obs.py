@@ -122,6 +122,35 @@ def test_gobigger_structured_obs():
     assert gs.team_num == 1
 
 
+def test_gobigger_vecenv_batched():
+    """VecEnv(obs_type='gobigger'): the structured dict frame vmaps over the
+    env axis and each env's slice converts through the host rim
+    (GoBiggerEnvironment.hpp:446-548 semantics, batched)."""
+    from agarcl_tpu.obs.gobigger import batch_player_states
+    from agarcl_tpu.vec import VecEnv
+
+    ocfg = GoBiggerObsConfig()
+    env = VecEnv(BASE, 4, obs_type="gobigger", obs_config=ocfg)
+    states, obs = env.reset(5)
+    assert obs["foods"].shape[:2] == (4, 1)          # (N, A, K, F)
+    actions = np.zeros((4, 1, 3), np.float32)
+    actions[:, :, :2] = 0.5
+    states, obs, rewards, dones = env.step(states, actions)
+    assert obs["clones"].shape[0] == 4
+    assert rewards.shape == (4, 1)
+    # per-env rim conversion matches the single-env converter
+    for e in range(4):
+        gs, players = batch_player_states(BASE, ocfg, obs, e)
+        assert players[0].score >= 25.0
+        assert len(players[0].clone_infos) >= 1
+    # envs were seeded differently -> frames differ across the batch
+    f = np.asarray(obs["foods_mask"])
+    assert not (f[0] == f[1]).all() or not (f[0] == f[2]).all()
+    # multi_step stacks the dict obs per step
+    states, obs, rewards, dones = env.multi_step(states, actions, 3)
+    assert obs["foods"].shape[:3] == (3, 4, 1)
+
+
 def test_grid_rasterizer_matches_numpy_scatter():
     """The matmul/unroll rasterizer must agree bin-for-bin with a scalar
     numpy scatter implementing GridEnvironment.hpp:251-279 semantics
