@@ -40,6 +40,31 @@ class Client:
         self.state = self._reset(np.uint32(seed))
         self.action = 0
         self.direction = np.zeros(2, np.float32)
+        self._mouse = None  # last cursor pixel (xpos, ypos), y down from top
+
+    def to_target(self, xpos, ypos):
+        """Screen pixel -> world target through the camera transform,
+        matching Renderer::to_target (renderer.hpp:62-78): unproject NDC at
+        the far plane through inverse(perspective * lookAt). The camera sits
+        over the player centroid at z = clamp(100 + mass/10, 100, 900)
+        (renderer.hpp:91-93) with a 45-degree fov and square aspect, so the
+        inverse is the closed form  centroid + ndc * tan(22.5deg) * (1 + z)
+        (verified against the full matrix inverse)."""
+        S = float(self.ocfg.screen_len)
+        ndc_x = 2.0 * (xpos / S) - 1.0
+        ndc_y = 1.0 - 2.0 * (ypos / S)
+        mass = float(np.asarray(self.state.player_mass())[0])
+        cz = min(max(100.0 + mass / 10.0, 100.0), 900.0)
+        half = np.tan(np.radians(45.0) / 2.0)
+        cx, cy = np.asarray(self.state.player_centroid()[0])
+        return (cx + ndc_x * half * (1.0 + cz),
+                cy + ndc_y * half * (1.0 + cz))
+
+    def set_mouse(self, xpos, ypos):
+        """Record the cursor pixel; each step() re-derives the world target
+        from it (the reference client reads the cursor every frame,
+        client.hpp:171-187)."""
+        self._mouse = (float(xpos), float(ypos))
 
     def leaderboard(self):
         """Sorted (name, mass) like GameState's operator<< (GameState.hpp:72-94)."""
@@ -51,6 +76,13 @@ class Client:
         return [(names[i], int(masses[i])) for i in order]
 
     def step(self):
+        if self._mouse is not None:
+            tx, ty = self.to_target(*self._mouse)
+            cx, cy = np.asarray(self.state.player_centroid()[0])
+            # apply_actions sets target = centroid + 10*(dx,dy) without
+            # clipping, so this reproduces the unprojected target exactly
+            self.direction = np.array([(tx - cx) / 10.0, (ty - cy) / 10.0],
+                                      np.float32)
         acts = np.array([[self.direction[0], self.direction[1],
                           float(self.action)]], np.float32)
         self.state, obs, rewards, dones = self._step(self.state, acts)
@@ -71,10 +103,9 @@ class Client:
 
         def on_move(event):
             if event.inaxes is ax and event.xdata is not None:
-                S = self.ocfg.screen_len
-                self.direction = np.clip(np.array(
-                    [(event.xdata - S / 2) / (S / 2),
-                     -(event.ydata - S / 2) / (S / 2)]), -1, 1)
+                # imshow origin='upper' puts ydata 0 at the top of the
+                # window, same convention as the GLFW cursor
+                self.set_mouse(event.xdata, event.ydata)
 
         def on_key(event):
             if event.key == " ":

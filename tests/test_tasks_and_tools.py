@@ -67,6 +67,47 @@ def test_client_ascii_headless(capsys):
     assert len(lb) == 3
 
 
+def test_client_mouse_unprojection():
+    """to_target matches the full inverse(perspective*lookAt) unprojection of
+    renderer.hpp:62-78 (NDC at the far plane, camera z law renderer.hpp:91-93)."""
+    import numpy as np
+    from agarcl_tpu.client import Client
+    c = Client(arena_size=100, num_pellets=20, num_viruses=0, num_bots=0,
+               screen=64)
+    cx, cy = np.asarray(c.state.player_centroid()[0])
+    mass = float(np.asarray(c.state.player_mass())[0])
+    cz = min(max(100.0 + mass / 10.0, 100.0), 900.0)
+    half = np.tan(np.radians(22.5))
+
+    # center pixel -> the centroid itself
+    tx, ty = c.to_target(32.0, 32.0)
+    assert abs(tx - cx) < 1e-4 and abs(ty - cy) < 1e-4
+    # top-right corner -> ndc (1, 1) -> centroid + tan(22.5)*(1+z) both axes
+    tx, ty = c.to_target(64.0, 0.0)
+    assert abs(tx - (cx + half * (1 + cz))) < 1e-3
+    assert abs(ty - (cy + half * (1 + cz))) < 1e-3
+    # the stored mouse drives the *exact* target through apply_actions
+    c.set_mouse(48.0, 16.0)
+    want = c.to_target(48.0, 16.0)
+    c.step()
+    got = np.asarray(c.state.target[0])
+    assert np.allclose(got, want, atol=1e-3)
+
+
+def test_client_matplotlib_headless():
+    """play() smoke test on the Agg backend (VERDICT item 10: the GUI path
+    was never exercised)."""
+    import matplotlib
+    matplotlib.use("Agg", force=True)
+    from agarcl_tpu.client import Client
+    c = Client(arena_size=100, num_pellets=20, num_viruses=0, num_bots=2,
+               screen=64)
+    c.set_mouse(40.0, 20.0)
+    c.play(max_fps=1000.0, max_seconds=0.3)
+    # the loop stepped the sim at least once
+    assert int(np.asarray(c.state.ticks)) > 0
+
+
 def test_native_checkpoint_roundtrip():
     import functools
     import jax
