@@ -196,9 +196,9 @@ def to_player_states(cfg: EnvConfig, ocfg: GoBiggerObsConfig,
                             int(r[7]), int(r[8]))
                   for r in f["clones"][a][f["clones_mask"][a]]]
         players[a] = PlayerState(a, foods, viruses, spores, clones, "",
-                                 float(f["score"][a]))
+                                 float(np.asarray(f["score"][a]).reshape(-1)[0]))
     gs = GlobalState(ocfg.map_width, ocfg.map_height, ocfg.frame_limit,
-                     int(f["last_frame"][0]), A)
+                     int(np.asarray(f["last_frame"]).reshape(-1)[0]), A)
     return gs, players
 
 

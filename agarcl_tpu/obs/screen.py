@@ -40,6 +40,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from agarcl_tpu.config import EnvConfig
 from agarcl_tpu.state import GameState
@@ -47,6 +48,10 @@ from agarcl_tpu.engine import geometry as G
 
 _TAN_HALF_FOV = math.tan(math.radians(45.0 / 2.0))
 _NUM_GRID_LINES = 8  # renderer.hpp:26
+# class radii as static floats (same f32 rounding as G.radius, which would
+# trace under jit): radius = sqrt(mass/pi), utils.hpp:8-11
+_RAD_PELLET = float(np.sqrt(np.float32(1.0) / np.float32(np.pi)))
+_RAD_FOOD = float(np.sqrt(np.float32(10.0) / np.float32(np.pi)))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -104,6 +109,53 @@ def _circle_cover(wx, wy, pos, rad, alive, chunk: int = 32):
     return acc
 
 
+def _strip_K(r: float, S: int) -> int:
+    """Static row budget for _strip_cover: the number of consecutive pixel
+    rows that can intersect a circle of radius r at the finest pixel pitch
+    (camera floor z=100 -> pitch 2*100*tan(22.5)/S), plus rounding margin."""
+    pitch_min = 2.0 * 100.0 * _TAN_HALF_FOV / S
+    return min(S, int(math.ceil(2.0 * r / pitch_min)) + 3)
+
+
+def _strip_cover(wx, wy, center, half, pos, rad, alive, K: int):
+    """(A, S, S) bool coverage via row-strip decomposition — the MXU path
+    for numerous small entities (pellets/foods).
+
+    Each circle intersects at most K consecutive pixel rows (K static per
+    entity class via _strip_K); strip (n, k) carries the class test restricted
+    to row base_n + k, which factors the coverage test exactly into a row
+    one-hot (S, N*K) times a per-strip column mask (N*K, S) — one bf16/f32
+    matmul instead of S*S*N scalar tests. Pixel-exact vs the direct test:
+    the strip predicate is the same f32 `dx*dx + dy*dy <= r*r` with wy
+    rebuilt from the row index by the identical expression.
+
+    wx, wy: (A, S) pixel-center world coords; center: (A, 2); half: (A,);
+    pos: (N, 2); rad: scalar or (N,); alive: (N,).
+    """
+    A, S = wx.shape
+    N = pos.shape[0]
+    r = jnp.broadcast_to(jnp.asarray(rad, jnp.float32), (N,))
+    r2 = r * r
+    delta = 2.0 * half / S                                     # pixel pitch (A,)
+    u = (pos[None, :, 1] - wy[:, 0:1]) / delta[:, None]        # (A, N) frac row
+    base = jnp.floor(u - r[None, :] / delta[:, None]).astype(jnp.int32) - 1
+    rows = base[:, :, None] + jnp.arange(K, dtype=jnp.int32)   # (A, N, K)
+    rows_f = rows.astype(jnp.float32)
+    idx = (rows_f + 0.5) * 2.0 / S - 1.0                       # == pixel grid expr
+    wy_rows = center[:, None, None, 1] + idx * half[:, None, None]
+    dy2 = jnp.square(wy_rows - pos[None, :, None, 1])          # (A, N, K)
+    dx2 = jnp.square(wx[:, None, :] - pos[None, :, 0:1])       # (A, N, S)
+    cover = (dx2[:, :, None, :] + dy2[..., None] <= r2[None, :, None, None]) \
+        & alive[None, :, None, None]                           # (A, N, K, S)
+    X = cover.reshape(A, N * K, S).astype(jnp.bfloat16)
+    onehot = (rows.reshape(A, 1, N * K)
+              == jnp.arange(S, dtype=jnp.int32)[None, :, None])
+    R = onehot.astype(jnp.bfloat16)                            # (A, S, N*K)
+    count = jnp.einsum("ais,asj->aij", R, X,
+                       preferred_element_type=jnp.float32)
+    return count >= 0.5
+
+
 def _grid_cover(wx, wy, pixel_half, arena_w, arena_h):
     """(A, S, S) bool — pixel lies on one of the 8x8 arena grid lines
     (renderables.hpp:245-340: lines at k/(NLines-1) * arena)."""
@@ -134,16 +186,12 @@ def _class_map(cfg: EnvConfig, state: GameState, S: int):
     grid = _grid_cover(wx, wy, ph, cfg.arena_width, cfg.arena_height)
     cls = jnp.where(grid, 1, cls)
 
-    rad_pellet = G.radius(jnp.float32(1.0))
-    Np = state.pellet_alive.shape[0]
-    pel = _circle_cover(wx, wy, state.pellet_pos,
-                        jnp.full((Np,), rad_pellet), state.pellet_alive)
+    pel = _strip_cover(wx, wy, centroid, half, state.pellet_pos, _RAD_PELLET,
+                       state.pellet_alive, _strip_K(_RAD_PELLET, S))
     cls = jnp.where(pel, 2, cls)
 
-    rad_food = G.radius(jnp.float32(10.0))
-    Nf = state.food_alive.shape[0]
-    foo = _circle_cover(wx, wy, state.food_pos,
-                        jnp.full((Nf,), rad_food), state.food_alive)
+    foo = _strip_cover(wx, wy, centroid, half, state.food_pos, _RAD_FOOD,
+                       state.food_alive, _strip_K(_RAD_FOOD, S))
     cls = jnp.where(foo, 3, cls)
 
     # players: main agent first, then others drawn over it

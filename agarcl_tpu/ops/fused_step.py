@@ -56,6 +56,7 @@ def fused_env_step(cfg: EnvConfig, states: GameState, actions,
         # the vmapped XLA ram_frame costs more than the four engine ticks
         # combined (top_k + gathers + trailing size-2 layout padding)
         from agarcl_tpu.obs.ram import ram_frame
+        from agarcl_tpu.obs.screen import screen_frame
         batched_obs = jax.vmap(obs_fn)
         if (isinstance(obs_fn, functools.partial)
                 and obs_fn.func is ram_frame):
@@ -63,6 +64,17 @@ def fused_env_step(cfg: EnvConfig, states: GameState, actions,
             ocfg = obs_fn.args[1]
             def batched_obs(s):
                 return fused_ram_obs(cfg, ocfg, s, block_envs, interpret)
+        elif (isinstance(obs_fn, functools.partial)
+                and obs_fn.func is screen_frame):
+            # screen frames: per-env-block Pallas rasterizer (fused_screen).
+            # Its kernel unrolls over the env block, so it uses its own
+            # small block size, not the tick's.
+            from agarcl_tpu.ops import fused_screen
+            if fused_screen.supports(cfg):
+                ocfg = obs_fn.args[1]
+                def batched_obs(s):
+                    return fused_screen.fused_screen_frame(
+                        cfg, ocfg, s, block_envs=8, interpret=interpret)
 
         def body_obs(s, _):
             s = tick(s)

@@ -185,3 +185,50 @@ def test_multi_step_returns_obs():
     assert obs.shape[:2] == (3, 4)
     assert r.shape == (3, 4, 1) and d.shape == (3, 4, 1)
     assert np.all(np.isfinite(np.asarray(obs)))
+
+
+def test_fused_screen_obs_parity():
+    """fused_screen kernel (interpret) == vmapped screen_frame, pixel-exact,
+    including a bot opponent (other-player class) and viruses."""
+    from agarcl_tpu.obs.screen import ScreenObsConfig, screen_frame
+    from agarcl_tpu.ops.fused_screen import fused_screen_frame
+    from agarcl_tpu.vec import VecEnv
+    cfg = EnvConfig(num_agents=1, ticks_per_step=4, arena_size=120,
+                    num_pellets=100, num_viruses=4, num_bots=1, mode=7)
+    ocfg = ScreenObsConfig(screen_len=64, agent_view=True)
+    env = VecEnv(cfg, 8, obs_type="none", backend="xla", donate=False)
+    states, _ = env.reset(11)
+    acts = jnp.tile(jnp.asarray([[0.6, -0.4, 0.0]], jnp.float32), (8, 1, 1))
+    for _ in range(3):
+        states, obs, r, d = env.step(states, acts)
+    ref = jax.jit(jax.vmap(functools.partial(screen_frame, cfg, ocfg)))(
+        states)
+    got = fused_screen_frame(cfg, ocfg, states, block_envs=4, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_fused_env_step_screen_obs():
+    """fused_env_step with screen obs routes through the Pallas rasterizer
+    (interpret mode) and matches the vmapped XLA env_step pixel-exactly."""
+    import agarcl_tpu.ops.fused_step as FS
+    from agarcl_tpu.env import env_step
+    from agarcl_tpu.obs.screen import ScreenObsConfig, screen_frame
+
+    cfg = EnvConfig(num_agents=1, ticks_per_step=2, arena_size=100,
+                    num_pellets=40, num_viruses=2, num_bots=0, mode=4)
+    ocfg = ScreenObsConfig(screen_len=32, agent_view=True)
+    frame_fn = functools.partial(screen_frame, cfg, ocfg)
+    N = 8
+    states = jax.vmap(functools.partial(env_reset, cfg))(
+        jnp.arange(N, dtype=jnp.uint32))
+    acts = jnp.tile(jnp.asarray([[0.5, 0.5, 0.0]], jnp.float32), (N, 1, 1))
+
+    s_f, obs_f, r_f, d_f = FS.fused_env_step(
+        cfg, states, acts, obs_fn=frame_fn, num_frames=ocfg.num_frames,
+        block_envs=8, interpret=True)
+    step_x = jax.jit(jax.vmap(functools.partial(
+        env_step, cfg, obs_fn=frame_fn, num_frames=ocfg.num_frames)))
+    s_x, obs_x, r_x, d_x = step_x(states, acts)
+    np.testing.assert_array_equal(np.asarray(obs_f), np.asarray(obs_x))
+    np.testing.assert_allclose(np.asarray(r_f), np.asarray(r_x), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(d_f), np.asarray(d_x))
