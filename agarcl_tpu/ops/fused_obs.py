@@ -11,8 +11,8 @@ per neighbor: distance, then lowest-index tiebreak — the same stable order
 `top_k(-d2)` produces), and the whole frame is built in VMEM per 128-env
 block.
 
-Feature layout matches obs/ram.py `ram_frame` exactly (single-agent
-configs, the same restriction as the fused tick — `supports(cfg)`):
+Feature layout matches obs/ram.py `ram_frame` exactly for any roster the
+fused tick supports (multi-player included; one frame per agent):
 
   [ cx/W, cy/H, total_mass,
     per cell slot: rel_x, rel_y, mass, vel_x, vel_y, alive,
@@ -67,50 +67,76 @@ def _make_obs_kernel(cfg: EnvConfig, ocfg: RamObsConfig, inv_w, inv_h):
     kp = min(ocfg.num_pellets, cfg.pellet_capacity)
     kv = min(ocfg.num_viruses, cfg.virus_capacity)
     Cc = cfg.max_cells
+    P = cfg.num_players
+    A = cfg.num_agents
 
     def kernel(cpx, cpy, cvx, cvy, cmass, calive,
                ppx, ppy, palive, vpx, vpy, vmass, valive, o_ref):
-        # centroid + total mass (state.py player_centroid / player_mass)
-        af = jnp.where(calive[:] > 0, 1.0, 0.0)                  # (Cc, E)
-        w = cmass[:].astype(jnp.float32) * af
-        total = jnp.sum(w, axis=0, keepdims=True)                # (1, E)
-        denom = jnp.maximum(total, 1.0)
-        cx = jnp.sum(cpx[:] * w, axis=0, keepdims=True) / denom
-        cy = jnp.sum(cpy[:] * w, axis=0, keepdims=True) / denom
+        E = cpx.shape[1]
+        # per-player centroid + total mass (state.py player_centroid /
+        # player_mass); cells arrive flat (P*Cc, E)
+        af_all = jnp.where(calive[:] > 0, 1.0, 0.0)              # (PC, E)
+        w_all = cmass[:].astype(jnp.float32) * af_all
+        if P == 1:
+            tot = jnp.sum(w_all, axis=0, keepdims=True)          # (P, E)
+            sx = jnp.sum(cpx[:] * w_all, axis=0, keepdims=True)
+            sy = jnp.sum(cpy[:] * w_all, axis=0, keepdims=True)
+            pal = jnp.max(af_all, axis=0, keepdims=True)
+        else:
+            tot = jnp.sum(w_all.reshape(P, Cc, E), axis=1)
+            sx = jnp.sum((cpx[:] * w_all).reshape(P, Cc, E), axis=1)
+            sy = jnp.sum((cpy[:] * w_all).reshape(P, Cc, E), axis=1)
+            pal = jnp.max(af_all.reshape(P, Cc, E), axis=1)
+        den = jnp.maximum(tot, 1.0)
+        cenx = sx / den
+        ceny = sy / den
 
-        rows = [cx * inv_w, cy * inv_h, total]
+        rows = []
+        for a in range(A):
+            sl = slice(a * Cc, (a + 1) * Cc)
+            cx = cenx[a:a + 1]                                   # (1, E)
+            cy = ceny[a:a + 1]
+            rows += [cx * inv_w, cy * inv_h, tot[a:a + 1]]
 
-        # own cell slots: rel_x, rel_y, mass, vel_x, vel_y, alive
-        relx = (cpx[:] - cx) * af
-        rely = (cpy[:] - cy) * af
-        mass = cmass[:].astype(jnp.float32) * af
-        velx = cvx[:] * af
-        vely = cvy[:] * af
-        for c in range(Cc):
-            rows += [relx[c:c + 1], rely[c:c + 1], mass[c:c + 1],
-                     velx[c:c + 1], vely[c:c + 1], af[c:c + 1]]
+            # own cell slots: rel_x, rel_y, mass, vel_x, vel_y, alive
+            af = af_all[sl]
+            relx = (cpx[sl] - cx) * af
+            rely = (cpy[sl] - cy) * af
+            mass = cmass[sl].astype(jnp.float32) * af
+            velx = cvx[sl] * af
+            vely = cvy[sl] * af
+            for c in range(Cc):
+                rows += [relx[c:c + 1], rely[c:c + 1], mass[c:c + 1],
+                         velx[c:c + 1], vely[c:c + 1], af[c:c + 1]]
 
-        # Kp nearest pellets: rel_x, rel_y, alive
-        prx = ppx[:] - cx
-        pry = ppy[:] - cy
-        d2 = prx * prx + pry * pry
-        d2 = jnp.where(palive[:] > 0, d2, _INF)
-        pidx = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0)
-        rows += _nearest_rows(d2, pidx, kp, [prx, pry])
+            # Kp nearest pellets: rel_x, rel_y, alive
+            prx = ppx[:] - cx
+            pry = ppy[:] - cy
+            d2 = prx * prx + pry * pry
+            d2 = jnp.where(palive[:] > 0, d2, _INF)
+            pidx = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0)
+            rows += _nearest_rows(d2, pidx, kp, [prx, pry])
 
-        # Kv nearest viruses: rel_x, rel_y, mass, alive
-        vrx = vpx[:] - cx
-        vry = vpy[:] - cy
-        vd2 = vrx * vrx + vry * vry
-        vd2 = jnp.where(valive[:] > 0, vd2, _INF)
-        vidx = jax.lax.broadcasted_iota(jnp.int32, vd2.shape, 0)
-        rows += _nearest_rows(vd2, vidx, kv,
-                              [vrx, vry, vmass[:].astype(jnp.float32)])
+            # Kv nearest viruses: rel_x, rel_y, mass, alive
+            vrx = vpx[:] - cx
+            vry = vpy[:] - cy
+            vd2 = vrx * vrx + vry * vry
+            vd2 = jnp.where(valive[:] > 0, vd2, _INF)
+            vidx = jax.lax.broadcasted_iota(jnp.int32, vd2.shape, 0)
+            rows += _nearest_rows(vd2, vidx, kv,
+                                  [vrx, vry, vmass[:].astype(jnp.float32)])
 
-        # other-player block: single-agent configs have only the self slot,
-        # which ram_frame zeroes (obs/ram.py keep mask)
-        zero = jnp.zeros_like(cx)
-        rows += [zero, zero, zero, zero]
+            # per-player block: rel_x, rel_y, total_mass, alive; self slot
+            # zeroed (obs/ram.py:88-96 keep mask)
+            zero = jnp.zeros_like(cx)
+            for p in range(P):
+                if p == a:
+                    rows += [zero, zero, zero, zero]
+                else:
+                    keep = pal[p:p + 1]
+                    rows += [(cenx[p:p + 1] - cx) * keep,
+                             (ceny[p:p + 1] - cy) * keep,
+                             tot[p:p + 1] * keep, keep]
 
         o_ref[:] = jnp.concatenate(rows, axis=0)
 
@@ -120,26 +146,25 @@ def _make_obs_kernel(cfg: EnvConfig, ocfg: RamObsConfig, inv_w, inv_h):
 @functools.partial(jax.jit, static_argnums=(0, 1, 3, 4))
 def fused_ram_obs(cfg: EnvConfig, ocfg: RamObsConfig, states: GameState,
                   block_envs: int = 128, interpret: bool = False):
-    """(N, 1, ram_size) f32 — batched RAM observation via one pallas_call.
+    """(N, A, ram_size) f32 — batched RAM observation via one pallas_call.
 
     Bit-for-bit the same features as jax.vmap(ram_frame) up to f32
     reduction-order noise in the centroid sums.
     """
-    from agarcl_tpu.ops.fused_tick import supports
-    assert supports(cfg), "fused ram obs requires num_players == 1"
     N = states.ticks.shape[0]
+    A = cfg.num_agents
     E = min(block_envs, N)
     assert N % E == 0, (N, E)
     R = ram_size(cfg, ocfg)
 
     b2i = lambda b: jnp.where(b, 1, 0).astype(jnp.int32)
     ins = [
-        jnp.transpose(states.cell_pos[:, 0, :, 0]),      # (Cc, N)
-        jnp.transpose(states.cell_pos[:, 0, :, 1]),
-        jnp.transpose(states.cell_vel[:, 0, :, 0]),
-        jnp.transpose(states.cell_vel[:, 0, :, 1]),
-        jnp.transpose(states.cell_mass[:, 0, :]),
-        jnp.transpose(b2i(states.cell_alive[:, 0, :])),
+        jnp.transpose(states.cell_pos[..., 0].reshape(N, -1)),   # (PC, N)
+        jnp.transpose(states.cell_pos[..., 1].reshape(N, -1)),
+        jnp.transpose(states.cell_vel[..., 0].reshape(N, -1)),
+        jnp.transpose(states.cell_vel[..., 1].reshape(N, -1)),
+        jnp.transpose(states.cell_mass.reshape(N, -1)),
+        jnp.transpose(b2i(states.cell_alive).reshape(N, -1)),
         jnp.transpose(states.pellet_pos[:, :, 0]),       # (Np, N)
         jnp.transpose(states.pellet_pos[:, :, 1]),
         jnp.transpose(b2i(states.pellet_alive)),
@@ -159,10 +184,10 @@ def fused_ram_obs(cfg: EnvConfig, ocfg: RamObsConfig, states: GameState,
         kernel,
         grid=(N // E,),
         in_specs=[spec_for(x) for x in ins],
-        out_specs=pl.BlockSpec((R, E), lambda i: (0, i)),
-        out_shape=jax.ShapeDtypeStruct((R, N), jnp.float32),
+        out_specs=pl.BlockSpec((A * R, E), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((A * R, N), jnp.float32),
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )(*ins)
-    return jnp.transpose(out)[:, None, :]                # (N, 1, R)
+    return jnp.transpose(out).reshape(N, A, R)

@@ -1,4 +1,4 @@
-"""Fused single-agent tick: the whole engine tick as ONE Pallas kernel.
+"""Fused tick: the whole engine tick as ONE Pallas kernel.
 
 Why: the XLA op-graph tick materializes dozens of padded intermediates per
 tick — cost analysis shows ~45 GB of HBM traffic per 8192-env step (vs ~70 MB
@@ -8,11 +8,11 @@ touches HBM exactly twice per block (read state, write state).
 
 Layout — env-in-lanes: every array inside the kernel is (feature..., E) with
 the env-block axis E LAST, so the 128-wide vector lanes are always fully
-packed by envs (E a multiple of 128). Feature axes (16 cells, pellet chunks,
-virus slots) live in sublanes; pairwise tensors are (Ci, Cj, E). The wrapper
-feeds transposed (feature, N) arrays so the kernel needs no relayouts. The
-earlier (env, feature) orientation padded every 16-wide cell axis to 128
-lanes — an 8x VPU/VMEM waste.
+packed by envs (E a multiple of 128). Feature axes (P*Cc cells, pellet
+chunks, virus slots) live in sublanes; pairwise tensors are (Ci, Cj, E).
+The wrapper feeds transposed (feature, N) arrays so the kernel needs no
+relayouts. The earlier (env, feature) orientation padded every 16-wide cell
+axis to 128 lanes — an 8x VPU/VMEM waste.
 
 Mosaic lowering rules baked in (each was a discovered blocker):
 no dynamic_slice (static chunk slices), no cumsum (log-shift prefix sums),
@@ -21,8 +21,11 @@ no atan (algebraic cos/sin), no i1 minor-dim inserts / transposes / bitcasts
 broadcasts on leading dims, which are legal), no uint32->f32 casts (via
 int32), and scf.for cannot carry i1 (loop carries are int32).
 
-Scope: the single-agent fast path (num_players == 1 — the BASELINE bench
-configs). Multi-player configs use the XLA tick (engine/tick.py). Semantics
+Scope: num_players <= 5 (supports()). Cells are flat (P*Cc, E) with
+per-player phases running on static per-player slices; the four scripted
+bot policies (engine/bots.py, /root/reference/agario/bots/*.hpp) and
+cross-player eating (Engine.hpp:150-200) run in-kernel, so the duel modes
+7-10 and small mode-0 rosters stay on the fused fast path. Semantics
 identical to the XLA tick (same SPEC.md pins); tests/test_fused_tick.py
 checks field-exact agreement, and the C++ oracle transitively covers it.
 """
@@ -129,32 +132,92 @@ def _bint(b):
 
 # ------------------------------------------------------------------ kernel
 def _make_kernel(cfg: EnvConfig, phases: int = 99):
+    P = cfg.num_players
     Cc = cfg.max_cells
+    PC = P * Cc
     Np = cfg.pellet_capacity
     Nv = cfg.virus_capacity
     Nf = cfg.food_capacity
     W, H = cfg.arena_width, cfg.arena_height
     dt = np.float32(cfg.dt)
     ms = cfg.mode_spec
+    bt_list = cfg.bot_types()
 
     def clampb(x, y, rad):
         cx_ = jnp.maximum(0.0, jnp.maximum(jnp.minimum(x, W - rad), rad))
         cy_ = jnp.maximum(0.0, jnp.maximum(jnp.minimum(y, H - rad), rad))
         return cx_, cy_
 
-    def rank_of(cid, calive):
-        """(Cc, E) counting rank by id among live cells."""
-        key = jnp.where(calive, cid, _BIG_I)
-        lt = key[None, :, :] < key[:, None, :]   # [i, j, E]: key_j < key_i
-        return jnp.sum(_bint(lt), axis=1)
+    # ---- per-player plumbing over the flat (P*Cc, E) cell axis ----------
+    # Mosaic cannot slice / concat / reshape i1 vectors (it lowers them to
+    # vreg bitcasts that fail to compile), so every helper routes bools
+    # through int32 and compares back at the end.
+    def pslice(x, p):
+        if x.dtype == jnp.bool_:
+            return _bint(x)[p * Cc:(p + 1) * Cc] > 0
+        return x[p * Cc:(p + 1) * Cc]
 
-    def split_fields(cx, cy, cmass, tx, ty, elapsed):
-        """cell_split fields for every cell, (Cc, E) arrays."""
+    def prow(x, p):
+        """Row p of a (P, E) per-player array (bool-safe)."""
+        if x.dtype == jnp.bool_:
+            return _bint(x)[p:p + 1] > 0
+        return x[p:p + 1]
+
+    def pcat(parts):
+        if len(parts) == 1:
+            return parts[0]
+        if parts[0].dtype == jnp.bool_:
+            return jnp.concatenate([_bint(x) for x in parts], axis=0) > 0
+        return jnp.concatenate(parts, axis=0)
+
+    def pexpand(y):
+        """(P, E) per-player row -> (PC, E)-broadcastable."""
+        if P == 1:
+            return y
+        if y.dtype == jnp.bool_:
+            return pexpand(_bint(y)) > 0
+        E = y.shape[-1]
+        return jnp.broadcast_to(y[:, None, :], (P, Cc, E)).reshape(PC, E)
+
+    def preduce(x, op):
+        """(PC, E) -> (P, E) per-player reduction."""
+        if P == 1:
+            return op(x, axis=0, keepdims=True)
+        E = x.shape[-1]
+        return op(x.reshape(P, Cc, E), axis=1)
+
+    def fexpand(y, F):
+        """(P, E) -> (P*F, E) broadcast over a per-player F-sized axis."""
+        if P == 1:
+            return y
+        if y.dtype == jnp.bool_:
+            return fexpand(_bint(y), F) > 0
+        E = y.shape[-1]
+        return jnp.broadcast_to(y[:, None, :], (P, F, E)).reshape(P * F, E)
+
+    def freduce(x, F, op):
+        """(P*F, E) -> (P, E)."""
+        if P == 1:
+            return op(x, axis=0, keepdims=True)
+        E = x.shape[-1]
+        return op(x.reshape(P, F, E), axis=1)
+
+    def rank_of(cid, calive):
+        """(PC, E) per-player counting rank by id among live cells."""
+        outs = []
+        for p in range(P):
+            key = jnp.where(pslice(calive, p), pslice(cid, p), _BIG_I)
+            lt = key[None, :, :] < key[:, None, :]
+            outs.append(jnp.sum(_bint(lt), axis=1))
+        return pcat(outs)
+
+    def split_fields(cx, cy, cmass, txc, tyc):
+        """cell_split fields for every cell, (PC, E) arrays."""
         split_mass = cmass // 2
         remaining = jnp.maximum(cmass - split_mass, C.CELL_MIN_SIZE)
         radr = _radius(remaining)
-        dx = tx - cx
-        dy = ty - cy
+        dx = txc - cx
+        dy = tyc - cy
         n = jnp.maximum(jnp.sqrt(dx * dx + dy * dy), 1e-12)
         dx = dx / n
         dy = dy / n
@@ -169,6 +232,7 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99):
                elapsed_ref, last_decay_ref, anti_team_ref,
                vticks_ref, vptr_ref,
                food_eaten_ref, highest_ref, viruses_eaten_ref,
+               cells_eaten_ref,
                cx_ref, cy_ref, cvx_ref, cvy_ref, svx_ref, svy_ref,
                cmass_ref, calive_ref, cid_ref, crecomb_ref, next_id_ref,
                px_ref, py_ref, palive_ref,
@@ -178,7 +242,7 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99):
                ticks_ref, seed_ref,
                o_tx, o_ty, o_action, o_split_cd, o_feed_cd, o_elapsed,
                o_last_decay, o_anti_team, o_vticks, o_vptr,
-               o_food_eaten, o_highest, o_viruses_eaten,
+               o_food_eaten, o_highest, o_viruses_eaten, o_cells_eaten,
                o_cx, o_cy, o_cvx, o_cvy, o_svx, o_svy,
                o_cmass, o_calive, o_cid, o_crecomb, o_next_id,
                o_px, o_py, o_palive,
@@ -186,7 +250,7 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99):
                o_fx, o_fy, o_fvx, o_fvy, o_falive, o_fnext,
                o_ticks, o_seed):
         E = tx_ref.shape[1]
-        tx = tx_ref[...]                     # (1, E)
+        tx = tx_ref[...]                     # (P, E)
         ty = ty_ref[...]
         action = action_ref[...]
         split_cd_in = split_cd_ref[...]
@@ -197,12 +261,13 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99):
         food_eaten_in = food_eaten_ref[...]
         highest_in = highest_ref[...]
         viruses_eaten_in = viruses_eaten_ref[...]
-        ticks = ticks_ref[...]
+        cells_eaten_in = cells_eaten_ref[...]
+        ticks = ticks_ref[...]               # (1, E)
         seed = seed_ref[...]
-        vticks = vticks_ref[...]             # (K, E)
-        vptr = vptr_ref[...]
+        vticks = vticks_ref[...]             # (P*K, E)
+        vptr = vptr_ref[...]                 # (P, E)
 
-        cx = cx_ref[...]                     # (Cc, E)
+        cx = cx_ref[...]                     # (PC, E)
         cy = cy_ref[...]
         cvx = cvx_ref[...]
         cvy = cvy_ref[...]
@@ -231,13 +296,181 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99):
         falive = falive_ref[...]
         fnext = fnext_ref[...]
 
-        palive_p = jnp.max(_bint(calive), axis=0, keepdims=True) > 0  # (1,E)
+        cells_eaten = cells_eaten_in
+
+        # --- bot decisions (SPEC Q12: every BOT_ACTION_PERIOD ticks from
+        # the start-of-tick snapshot; XLA twin engine/bots.py) -------------
+        if any(b > 0 for b in bt_list) and phases >= 1:
+            w0 = jnp.where(calive, cmass, 0).astype(jnp.float32)
+            pm0 = preduce(w0, jnp.sum)                        # (P, E)
+            den0 = jnp.maximum(pm0, 1.0)
+            cenx = preduce(w0 * cx, jnp.sum) / den0
+            ceny = preduce(w0 * cy, jnp.sum) / den0
+            palive0 = preduce(_bint(calive), jnp.max) > 0     # (P, E)
+
+            # nearest pellet (Bot.hpp:92-129): chunked first-min; strict <
+            # across chunks preserves argmin's first-index tie pick
+            bd = jnp.full((P, E), _BIG, jnp.float32)
+            bpx = jnp.zeros((P, E), jnp.float32)
+            bpy = jnp.zeros((P, E), jnp.float32)
+            BCH = 128
+            nb = (Np + BCH - 1) // BCH
+            padb = nb * BCH - Np
+            if padb:
+                pxb = jnp.concatenate(
+                    [px, jnp.zeros((padb, E), px.dtype)], axis=0)
+                pyb = jnp.concatenate(
+                    [py, jnp.zeros((padb, E), py.dtype)], axis=0)
+                pab = jnp.concatenate(
+                    [_bint(palive), jnp.zeros((padb, E), jnp.int32)], axis=0)
+            else:
+                pxb, pyb, pab = px, py, _bint(palive)
+            ciota = jax.lax.broadcasted_iota(jnp.int32, (1, BCH, 1), 1)
+            for k in range(nb):
+                cpx = jax.lax.slice_in_dim(pxb, k * BCH, (k + 1) * BCH,
+                                           axis=0)
+                cpy = jax.lax.slice_in_dim(pyb, k * BCH, (k + 1) * BCH,
+                                           axis=0)
+                cpa = jax.lax.slice_in_dim(pab, k * BCH, (k + 1) * BCH,
+                                           axis=0)
+                ddx = cenx[:, None, :] - cpx[None, :, :]      # (P, BCH, E)
+                ddy = ceny[:, None, :] - cpy[None, :, :]
+                d = jnp.sqrt(ddx * ddx + ddy * ddy)
+                okk = (cpa[None, :, :] > 0) & (d > 0.01)
+                dm = jnp.where(okk, d, _BIG)
+                m = jnp.min(dm, axis=1)                       # (P, E)
+                ismin = okk & (dm == m[:, None, :])
+                isel = jnp.min(jnp.where(ismin, ciota, _BIG_I), axis=1)
+                ohf = jnp.where(ismin & (ciota == isel[:, None, :]),
+                                1.0, 0.0)
+                sx = jnp.sum(cpx[None, :, :] * ohf, axis=1)
+                sy = jnp.sum(cpy[None, :, :] * ohf, axis=1)
+                take = m < bd
+                bd = jnp.where(take, m, bd)
+                bpx = jnp.where(take, sx, bpx)
+                bpy = jnp.where(take, sy, bpy)
+            has_pel = bd < _BIG
+            any_pel = jnp.max(_bint(palive), axis=0, keepdims=True) > 0
+            piot = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+            rndx = jnp.floor(_uniform(np.float32(0.0), np.float32(W),
+                                      seed, 4, ticks, piot, 0))
+            rndy = jnp.floor(_uniform(np.float32(0.0), np.float32(H),
+                                      seed, 4, ticks, piot, 1))
+            ptx = jnp.where(has_pel, bpx, jnp.where(any_pel, 0.0, rndx))
+            pty = jnp.where(has_pel, bpy, jnp.where(any_pel, 0.0, rndy))
+
+            # Flee/hunt pair terms unroll over the tiny static opponent
+            # axis j: Mosaic cannot relayout reductions over a small (<8)
+            # middle dim of a (P, P, E) vector ("Invalid relayout:
+            # non-singleton logical dimension is replicated"), so every
+            # pairwise quantity is accumulated j-by-j on (P, E) tiles.
+            need_flee = any(b in (2, 4) for b in bt_list)
+            need_hunt = any(b in (3, 4) for b in bt_list)
+            if need_flee or need_hunt:
+                piv = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+            if need_flee:
+                # HungryShyBot.hpp:24-49 — the mass test is vacuous (SPEC Q1)
+                fj = jnp.full((P, E), _BIG_I, jnp.int32)
+                for j in range(P):
+                    dxj = cenx - prow(cenx, j)
+                    dyj = ceny - prow(ceny, j)
+                    dj = jnp.sqrt(dxj * dxj + dyj * dyj)
+                    scaryj = ((piv != j) & prow(palive0, j)
+                              & (dj < np.float32(C.SHY_RADIUS))
+                              & (prow(pm0, j) > 0))           # (P, E)
+                    fj = jnp.minimum(fj, jnp.where(scaryj, j, _BIG_I))
+                has_flee = fj < _BIG_I                        # (P, E)
+                fcx = jnp.zeros((P, E), jnp.float32)
+                fcy = jnp.zeros((P, E), jnp.float32)
+                for j in range(P):
+                    selj = fj == j
+                    fcx = jnp.where(selj, prow(cenx, j), fcx)
+                    fcy = jnp.where(selj, prow(ceny, j), fcy)
+                fltx = 2.0 * cenx - fcx
+                flty = 2.0 * ceny - fcy
+            if need_hunt:
+                # AggressiveBot.hpp:27-55 + Bot.hpp:56-67
+                lm = jnp.where(calive, cmass, -1)
+                bigm = jnp.maximum(preduce(lm, jnp.max), 0)   # (P, E)
+                bigf = bigm.astype(jnp.float32)
+                hj = jnp.full((P, E), _BIG_I, jnp.int32)
+                hunt_j = []   # per-j (edm_j, w_j) for the prey-centroid pass
+                for j in range(P):
+                    cmj = pslice(cmass, j).astype(jnp.float32)  # (Cc, E)
+                    caj = pslice(calive, j)
+                    canj = ((bigm[:, None, :] > C.CELL_EAT_REQUIREMENT)
+                            & (bigf[:, None, :]
+                               > cmj[None] * np.float32(C.CELL_EAT_MARGIN))
+                            & caj[None])                      # (P, Cc, E)
+                    wj = jnp.where(canj, cmj[None], 0.0)
+                    edmj = jnp.sum(wj, axis=1)                # (P, E)
+                    hunt_j.append((edmj, wj))
+                    dxj = cenx - prow(cenx, j)
+                    dyj = ceny - prow(ceny, j)
+                    dj = jnp.sqrt(dxj * dxj + dyj * dyj)
+                    nearj = ((piv != j) & prow(palive0, j)
+                             & (dj <= np.float32(C.AGGRESSIVE_RADIUS))
+                             & (edmj > 0))
+                    hj = jnp.minimum(hj, jnp.where(nearj, j, _BIG_I))
+                has_hunt = hj < _BIG_I
+                hj0 = jnp.where(has_hunt, hj, 0)
+                wsum = jnp.zeros((P, E), jnp.float32)
+                pnx = jnp.zeros((P, E), jnp.float32)
+                pny = jnp.zeros((P, E), jnp.float32)
+                for j in range(P):
+                    selj = hj0 == j
+                    edmj, wj = hunt_j[j]
+                    cxj = pslice(cx, j)
+                    cyj = pslice(cy, j)
+                    wsum = jnp.where(selj, edmj, wsum)
+                    pnx = jnp.where(selj,
+                                    jnp.sum(cxj[None] * wj, axis=1), pnx)
+                    pny = jnp.where(selj,
+                                    jnp.sum(cyj[None] * wj, axis=1), pny)
+                wsum = jnp.maximum(wsum, 1.0)
+                preyx = pnx / wsum
+                preyy = pny / wsum
+                hntx = cenx + 3.0 * (preyx - cenx)
+                hnty = ceny + 3.0 * (preyy - ceny)
+
+            do_bot = (ticks % C.BOT_ACTION_PERIOD) == 0       # (1, E)
+            ntx, nty, nact = [], [], []
+            for p, b in enumerate(bt_list):
+                rtx, rty, rac = tx[p:p + 1], ty[p:p + 1], action[p:p + 1]
+                if b > 0:
+                    btx, bty = ptx[p:p + 1], pty[p:p + 1]
+                    if b in (3, 4):
+                        btx = jnp.where(prow(has_hunt, p), hntx[p:p + 1],
+                                        btx)
+                        bty = jnp.where(prow(has_hunt, p), hnty[p:p + 1],
+                                        bty)
+                    if b in (2, 4):
+                        btx = jnp.where(prow(has_flee, p), fltx[p:p + 1],
+                                        btx)
+                        bty = jnp.where(prow(has_flee, p), flty[p:p + 1],
+                                        bty)
+                    do = do_bot & prow(palive0, p)
+                    rtx = jnp.where(do, btx, rtx)
+                    rty = jnp.where(do, bty, rty)
+                    rac = jnp.where(do, 0, rac)
+                ntx.append(rtx)
+                nty.append(rty)
+                nact.append(rac)
+            tx = pcat(ntx)
+            ty = pcat(nty)
+            action = pcat(nact)
+
+        palive_p = preduce(_bint(calive), jnp.max) > 0        # (P, E)
         action_eff = jnp.where(palive_p, action, 0)
-        elapsed = elapsed_in + _bint(palive_p)
+        elapsed = elapsed_in + _bint(palive_p)                # (P, E)
+
+        txc = pexpand(tx)                                     # vs (PC, E)
+        tyc = pexpand(ty)
+        elc = pexpand(elapsed)
 
         # --- movement (Engine.hpp:609-630) --------------------------------
-        nvx = 3.0 * (tx - cx)
-        nvy = 3.0 * (ty - cy)
+        nvx = 3.0 * (txc - cx)
+        nvy = 3.0 * (tyc - cy)
         sp = jnp.sqrt(nvx * nvx + nvy * nvy)
         lim = _max_speed(cmass)
         scale = jnp.where(sp > lim, lim / jnp.maximum(sp, 1e-12), 1.0)
@@ -257,9 +490,14 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99):
         svy = jnp.where(calive, svy, 0.0)
 
         rank = (rank_of(cid, calive) if phases >= 2
-                else jnp.zeros((Cc, E), jnp.int32))
+                else jnp.zeros((PC, E), jnp.int32))
+        if P > 1:
+            pidc = jax.lax.broadcasted_iota(jnp.int32, (PC, 1), 0) // Cc
+            gkey = pidc * Cc + rank                           # (PC, E)
+        else:
+            gkey = rank
 
-        # --- self-collision relaxation (SPEC M6) --------------------------
+        # --- self-collision relaxation (SPEC M6), per player --------------
         def avoid_static(pax, pay, vax, vay, pbx, pby, vbx, vby, ra, rb):
             dx = pbx - pax
             dy = pby - pay
@@ -294,7 +532,7 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99):
             nby = jnp.where(ov, nby, pby)
             return nax, nvax, nay, nvay, nbx, nvbx, nby, nvby
 
-        def separate(pax, pay, pbx, pby, ma, mb, ra, rb):
+        def separate(pax, pay, pbx, pby, ma, mb, ra, rb, mass_p, txp, typ):
             dx = pbx - pax
             dy = pby - pay
             d = jnp.sqrt(dx * dx + dy * dy)
@@ -304,8 +542,8 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99):
             rx = dx / denom
             ry = dy / denom
             depth = td - d
-            txx = tx[None]                      # (1, 1, E)
-            tyy = ty[None]
+            txx = txp[None]                     # (1, 1, E)
+            tyy = typ[None]
             da = (txx - pax) ** 2 + (tyy - pay) ** 2
             db = (txx - pbx) ** 2 + (tyy - pby) ** 2
             s1 = jnp.where(ma < mb, 1, -1)
@@ -320,33 +558,34 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99):
             nby = jnp.where(ov & ~a_small, pby + my, pby)
             return nax, nay, nbx, nby
 
-        def pair_pass(cx, cy, cvx, cvy, static_only):
-            # [i, j, E] pairwise: d = pos_j - pos_i
+        def pair_pass(cx, cy, cvx, cvy, cmass_p, calive_p, rank_p,
+                      svx_p, svy_p, txp, typ, static_only):
+            # [i, j, E] pairwise within one player's (Cc, E) block
             dx = cx[None, :, :] - cx[:, None, :]
             dy = cy[None, :, :] - cy[:, None, :]
             d2 = dx * dx + dy * dy
-            radc = _radius(cmass)
+            radc = _radius(cmass_p)
             rs = radc[:, None, :] + radc[None, :, :]
             eye = (jax.lax.broadcasted_iota(jnp.int32, (Cc, Cc, 1), 0)
                    == jax.lax.broadcasted_iota(jnp.int32, (Cc, Cc, 1), 1))
-            both = calive[:, None, :] & calive[None, :, :] & ~eye
+            both = calive_p[:, None, :] & calive_p[None, :, :] & ~eye
             touch = both & (rs * rs >= d2)
-            key = jnp.where(touch, rank[None, :, :], _BIG_I)
+            key = jnp.where(touch, rank_p[None, :, :], _BIG_I)
             minkey = jnp.min(key, axis=1, keepdims=True)
             chose = touch & (key == minkey)
             # mutual: chose[i,j] & chose[j,i] — transpose via int32
             chose_t = jnp.swapaxes(_bint(chose), 0, 1) > 0
             M = chose & chose_t
-            Mlow = M & (rank[:, None, :] < rank[None, :, :])
+            Mlow = M & (rank_p[:, None, :] < rank_p[None, :, :])
 
             pax, pay = cx[:, None, :], cy[:, None, :]
             pbx, pby = cx[None, :, :], cy[None, :, :]
             vax, vay = cvx[:, None, :], cvy[:, None, :]
             vbx, vby = cvx[None, :, :], cvy[None, :, :]
-            sax, say = svx[:, None, :], svy[:, None, :]
-            sbx, sby = svx[None, :, :], svy[None, :, :]
-            ma = cmass[:, None, :].astype(jnp.float32)
-            mb = cmass[None, :, :].astype(jnp.float32)
+            sax, say = svx_p[:, None, :], svy_p[:, None, :]
+            sbx, sby = svx_p[None, :, :], svy_p[None, :, :]
+            ma = cmass_p[:, None, :].astype(jnp.float32)
+            mb = cmass_p[None, :, :].astype(jnp.float32)
             ra = radc[:, None, :]
             rb = radc[None, :, :]
 
@@ -386,12 +625,14 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99):
                 ddy1 = npby - npay
                 dd21 = ddx1 * ddx1 + ddy1 * ddy1
                 still = (ra + rb) * (ra + rb) >= dd21
-                near = jnp.abs(cmass[:, None, :] - cmass[None, :, :]) <= 10
+                near = jnp.abs(cmass_p[:, None, :]
+                               - cmass_p[None, :, :]) <= 10
                 s_ax, s_vax, s_ay, s_vay, s_bx, s_vbx, s_by, s_vby = \
                     avoid_static(npax, npay, vax, vay, npbx, npby, vbx,
                                  vby, ra, rb)
                 p_ax, p_ay, p_bx, p_by = separate(
-                    npax, npay, npbx, npby, ma, mb, ra, rb)
+                    npax, npay, npbx, npby, ma, mb, ra, rb, cmass_p,
+                    txp, typ)
                 us = still & near
                 up = still & ~near
                 npax = jnp.where(us, s_ax, jnp.where(up, p_ax, npax))
@@ -425,62 +666,100 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99):
                              jnp.where(has_b, bvy_upd, cvy))
             return ncx, ncy, ncvx, ncvy
 
-        # single-cell fast path: when no env in this block has 2+ live
-        # cells, the pairwise relaxation and recombine phases are no-ops —
-        # skip them entirely (lax.cond lowers to a real branch in Mosaic).
-        n_live = jnp.sum(_bint(calive), axis=0, keepdims=True)    # (1, E)
-        any_multi = jnp.max(n_live) >= 2
-
         if phases >= 2:
-            def run_relax(carry):
-                def relax_body(_, c):
-                    return pair_pass(*c, False)
-                c = jax.lax.fori_loop(0, 5, relax_body, carry)
-                return pair_pass(*c, True)
+            ncx, ncy, ncvx, ncvy = [], [], [], []
+            for p in range(P):
+                c0 = (pslice(cx, p), pslice(cy, p),
+                      pslice(cvx, p), pslice(cvy, p))
+                extra = (pslice(cmass, p), pslice(calive, p),
+                         pslice(rank, p), pslice(svx, p), pslice(svy, p),
+                         tx[p:p + 1], ty[p:p + 1])
+                # single-cell fast path: skip the pairwise relaxation when
+                # no env in this block gives the player 2+ live cells
+                # (lax.cond lowers to a real branch in Mosaic)
+                nl = jnp.sum(_bint(pslice(calive, p)), axis=0,
+                             keepdims=True)
+                multi = jnp.max(nl) >= 2
 
-            cx, cy, cvx, cvy = jax.lax.cond(
-                any_multi, run_relax, lambda c: c, (cx, cy, cvx, cvy))
+                def run_relax(c, extra=extra):
+                    def relax_body(_, cc):
+                        return pair_pass(*cc, *extra, False)
+                    cc = jax.lax.fori_loop(0, 5, relax_body, c)
+                    return pair_pass(*cc, *extra, True)
 
-        # --- virus events (SPEC M2) ---------------------------------------
-        n_start = jnp.sum(_bint(calive), axis=0, keepdims=True)   # (1, E)
+                out = jax.lax.cond(multi, run_relax, lambda c: c, c0)
+                ncx.append(out[0])
+                ncy.append(out[1])
+                ncvx.append(out[2])
+                ncvy.append(out[3])
+            cx = pcat(ncx)
+            cy = pcat(ncy)
+            cvx = pcat(ncvx)
+            cvy = pcat(ncvy)
+
+        # --- virus events (SPEC M2): per-player best pair, then per-virus
+        # lowest-pid arbitration ------------------------------------------
+        n_start = preduce(_bint(calive), jnp.sum)             # (P, E)
         viruses_eaten = viruses_eaten_in
-        disr = jnp.zeros((1, E), bool)
-        num_new = jnp.zeros((1, E), jnp.int32)
-        pop_mass = jnp.zeros((1, E), jnp.int32)
-        hit_cvx = hit_cvy = hit_vx = hit_vy = jnp.zeros((1, E), jnp.float32)
+        disr = jnp.zeros((P, E), bool)
+        num_new = jnp.zeros((P, E), jnp.int32)
+        pop_mass = jnp.zeros((P, E), jnp.int32)
+        hit_cvx = hit_cvy = jnp.zeros((P, E), jnp.float32)
+        hit_vx = hit_vy = jnp.zeros((P, E), jnp.float32)
         if Nv > 0 and phases >= 3:
             radc = _radius(cmass)
             radv = _radius(vmass)
-            ddx = cx[:, None, :] - vx_[None, :, :]        # (Cc, Nv, E)
+            ddx = cx[:, None, :] - vx_[None, :, :]        # (PC, Nv, E)
             ddy = cy[:, None, :] - vy_[None, :, :]
             d2 = ddx * ddx + ddy * ddy
             rm = jnp.maximum(radc[:, None, :], radv[None, :, :])
             can = (cmass[:, None, :].astype(jnp.float32)
-                   > vmass[None, :, :].astype(jnp.float32) * C.CELL_EAT_MARGIN)
+                   > vmass[None, :, :].astype(jnp.float32)
+                   * C.CELL_EAT_MARGIN)
             elig = (calive[:, None, :] & valive[None, :, :] & can
                     & (rm * rm >= d2))
             viota = jax.lax.broadcasted_iota(jnp.int32, (1, Nv, 1), 1)
             pkey = jnp.where(elig, rank[:, None, :] * Nv + viota, _BIG_I)
-            best = jnp.min(jnp.min(pkey, axis=1), axis=0,
-                           keepdims=True)                 # (1, E)
+            rowmin = jnp.min(pkey, axis=1)                # (PC, E)
+            best = preduce(rowmin, jnp.min)               # (P, E)
             hit = best < _BIG_I
+            win_pair = elig & (pkey == pexpand(best)[:, None, :])
+            if P == 1:
+                won = hit
+                wv = [jnp.max(_bint(win_pair), axis=0) > 0]   # (Nv, E)
+                wwon = wv
+            else:
+                wpi = _bint(win_pair)
+                wv = [jnp.max(wpi[p * Cc:(p + 1) * Cc], axis=0) > 0
+                      for p in range(P)]
+                claim_pid = jnp.full((Nv, E), _BIG_I, jnp.int32)
+                for p in range(P):
+                    cp = jnp.where(wv[p] & prow(hit, p), p, _BIG_I)
+                    claim_pid = jnp.minimum(claim_pid, cp)
+                won_rows, wwon = [], []
+                for p in range(P):
+                    winp = wv[p] & (claim_pid == p)
+                    wwon.append(winp)
+                    won_rows.append(
+                        prow(hit, p)
+                        & (jnp.max(_bint(winp), axis=0, keepdims=True) > 0))
+                won = pcat(won_rows)                      # (P, E)
+            win_cell = (jnp.max(_bint(win_pair), axis=1) > 0) \
+                & pexpand(won)                            # (PC, E)
+            vgain = pcat([jnp.sum(jnp.where(wwon[p], vmass, 0), axis=0,
+                                  keepdims=True) for p in range(P)])
+            viruses_eaten = viruses_eaten + _bint(won)
+            KT = vticks.shape[0] // P
+            kiota = jax.lax.broadcasted_iota(jnp.int32, (P * KT, 1), 0) % KT
+            push_oh = fexpand(won, KT) & (kiota == fexpand(vptr, KT) % KT)
+            vticks = jnp.where(push_oh, fexpand(elapsed, KT), vticks)
+            vptr = vptr + _bint(won)
             can_eat_virus = n_start >= C.NUM_CELLS_TO_SPLIT
-            win_pair = elig & (pkey == best[None])
-            win_cell = jnp.max(_bint(win_pair), axis=1) > 0   # (Cc, E)
-            win_virus = jnp.max(_bint(win_pair), axis=0) > 0  # (Nv, E)
-            vgain = jnp.sum(jnp.where(win_virus, vmass, 0), axis=0,
-                            keepdims=True)
-            viruses_eaten = viruses_eaten + _bint(hit)
-            K_T = vticks.shape[0]
-            kiota = jax.lax.broadcasted_iota(jnp.int32, (K_T, 1), 0)
-            push_oh = hit & (kiota == vptr % K_T)
-            vticks = jnp.where(push_oh, elapsed, vticks)
-            vptr = vptr + _bint(hit)
-            eat = hit & can_eat_virus
-            cmass = jnp.where(win_cell & eat, cmass + vgain, cmass)
-            disr = hit & ~can_eat_virus
-            total = jnp.sum(jnp.where(win_cell, cmass, 0), axis=0,
-                            keepdims=True)
+            eat = won & can_eat_virus
+            cmass = jnp.where(win_cell & pexpand(eat),
+                              cmass + pexpand(vgain), cmass)
+            disr = won & ~can_eat_virus
+            total = preduce(jnp.where(win_cell, cmass, 0), jnp.sum)
             cur = jnp.maximum((total.astype(jnp.float32)
                                / C.CELL_POP_REDUCTION).astype(jnp.int32),
                               C.CELL_MIN_SIZE)
@@ -490,24 +769,26 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99):
             num_new = jnp.where(
                 disr, jnp.minimum(num_new0, jnp.maximum(
                     C.PLAYER_CELL_LIMIT - n_start, 0)), 0)
-            cmass = jnp.where(win_cell & disr, cur, cmass)
-            crecomb = jnp.where(win_cell & disr,
-                                elapsed + C.RECOMBINE_TICKS, crecomb)
-            hit_cvx = jnp.sum(jnp.where(win_cell, cvx, 0.0), axis=0,
-                              keepdims=True)
-            hit_cvy = jnp.sum(jnp.where(win_cell, cvy, 0.0), axis=0,
-                              keepdims=True)
-            hit_vx = jnp.sum(jnp.where(win_virus, vx_, 0.0), axis=0,
-                             keepdims=True)
-            hit_vy = jnp.sum(jnp.where(win_virus, vy_, 0.0), axis=0,
-                             keepdims=True)
-            valive = valive & ~(win_virus & hit)
+            cmass = jnp.where(win_cell & pexpand(disr), pexpand(cur), cmass)
+            crecomb = jnp.where(win_cell & pexpand(disr),
+                                elc + C.RECOMBINE_TICKS, crecomb)
+            hit_cvx = preduce(jnp.where(win_cell, cvx, 0.0), jnp.sum)
+            hit_cvy = preduce(jnp.where(win_cell, cvy, 0.0), jnp.sum)
+            hit_vx = pcat([jnp.sum(jnp.where(wwon[p], vx_, 0.0), axis=0,
+                                   keepdims=True) for p in range(P)])
+            hit_vy = pcat([jnp.sum(jnp.where(wwon[p], vy_, 0.0), axis=0,
+                                   keepdims=True) for p in range(P)])
+            removed = wwon[0]
+            for p in range(1, P):
+                removed = removed | wwon[p]
+            valive = valive & ~(removed & (jnp.max(_bint(won), axis=0,
+                                                   keepdims=True) > 0))
 
-        # --- pellets (SPEC M1): chunked over Np ---------------------------
+        # --- pellets (SPEC M1): chunked over Np, contested by gkey --------
         radc = _radius(cmass)
         food_eaten = food_eaten_in
         highest = highest_in
-        eaten_pc = jnp.zeros((Cc, E), jnp.int32)
+        eaten_pc = jnp.zeros((PC, E), jnp.int32)
         PCHUNK = 128
         if phases >= 4:
             n_chunks = (Np + PCHUNK - 1) // PCHUNK
@@ -530,7 +811,7 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99):
                                            (k + 1) * PCHUNK, axis=0)
                 cpa = jax.lax.slice_in_dim(pal_pi, k * PCHUNK,
                                            (k + 1) * PCHUNK, axis=0)
-                # (Cc, PCHUNK, E)
+                # (PC, PCHUNK, E)
                 pdx = cx[:, None, :] - cpx[None, :, :]
                 pdy = cy[:, None, :] - cpy[None, :, :]
                 pd2 = pdx * pdx + pdy * pdy
@@ -540,19 +821,17 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99):
             pmins = []
             for k in range(n_chunks):
                 elig = chunk_elig(k)
-                pkey = jnp.where(elig, rank[:, None, :], _BIG_I)
+                pkey = jnp.where(elig, gkey[:, None, :], _BIG_I)
                 pmins.append(jnp.min(pkey, axis=0))       # (PCHUNK, E)
             for k in range(n_chunks):
                 elig = chunk_elig(k)
-                win = elig & (rank[:, None, :] == pmins[k][None, :, :])
+                win = elig & (gkey[:, None, :] == pmins[k][None, :, :])
                 eaten_pc = eaten_pc + jnp.sum(_bint(win), axis=1)
             pmin = jnp.concatenate(pmins, axis=0)[:Np]
             palive = palive & (pmin == _BIG_I)
             cmass = cmass + eaten_pc * C.PELLET_MASS
-            food_eaten = food_eaten_in + jnp.sum(eaten_pc, axis=0,
-                                                 keepdims=True)
-            pm_now = jnp.sum(jnp.where(calive, cmass, 0), axis=0,
-                             keepdims=True)
+            food_eaten = food_eaten_in + preduce(eaten_pc, jnp.sum)
+            pm_now = preduce(jnp.where(calive, cmass, 0), jnp.sum)
             highest = jnp.maximum(highest_in, pm_now)
 
         # --- auto-split + foods + feed + split (phase 5) ------------------
@@ -561,20 +840,20 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99):
             over = calive & (cmass >= C.MAX_MASS_IN_THE_GAME)
         else:
             over = jnp.zeros_like(calive)
-        may = n_start < C.PLAYER_CELL_LIMIT               # (1, E)
-        do_aspl = over & may
-        clampm = over & ~may
-        a_rem, a_nf = split_fields(cx, cy, cmass, tx, ty, elapsed)
+        may = n_start < C.PLAYER_CELL_LIMIT                   # (P, E)
+        do_aspl = over & pexpand(may)
+        clampm = over & ~pexpand(may)
+        a_rem, a_nf = split_fields(cx, cy, cmass, txc, tyc)
         cmass = jnp.where(
             do_aspl, a_rem,
             jnp.where(clampm, C.NEW_MASS_IF_NO_SPLIT, cmass))
-        crecomb = jnp.where(do_aspl, elapsed + C.RECOMBINE_TICKS, crecomb)
-        n_auto = jnp.sum(_bint(do_aspl), axis=0, keepdims=True)
+        crecomb = jnp.where(do_aspl, elc + C.RECOMBINE_TICKS, crecomb)
+        n_auto = preduce(_bint(do_aspl), jnp.sum)             # (P, E)
 
         if Nf > 0 and do_actions:
             rf = _radius(np.float32(C.FOOD_MASS))
             radc2 = _radius(cmass)
-            fdx = cx[:, None, :] - fx[None, :, :]         # (Cc, Nf, E)
+            fdx = cx[:, None, :] - fx[None, :, :]         # (PC, Nf, E)
             fdy = cy[:, None, :] - fy[None, :, :]
             fd2 = fdx * fdx + fdy * fdy
             rm2 = jnp.maximum(radc2[:, None, :], rf)
@@ -582,38 +861,40 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99):
                 C.FOOD_MASS * C.CELL_EAT_MARGIN)
             felig = (calive[:, None, :] & falive[None, :, :] & can_f
                      & (rm2 * rm2 >= fd2))
-            fkey = jnp.where(felig, rank[:, None, :], _BIG_I)
+            fkey = jnp.where(felig, gkey[:, None, :], _BIG_I)
             fmin = jnp.min(fkey, axis=0)                  # (Nf, E)
             fwin = felig & (fkey == fmin[None, :, :])
             eaten_fc = jnp.sum(_bint(fwin), axis=1)
             falive = falive & (fmin == _BIG_I)
             cmass = cmass + eaten_fc * C.FOOD_MASS
-            food_eaten = food_eaten + jnp.sum(eaten_fc, axis=0,
-                                              keepdims=True)
+            food_eaten = food_eaten + preduce(eaten_fc, jnp.sum)
 
-        # feed emission
+        # feed emission (slots land in global (pid, rank) order, SPEC Q14)
         feed_cd = jnp.maximum(feed_cd_in - 1, 0)
-        do_feed = (action_eff == 1) & (feed_cd == 0)
+        do_feed = (action_eff == 1) & (feed_cd == 0)          # (P, E)
         if not do_actions:
             do_feed = jnp.zeros_like(do_feed)
-        emit = (calive & do_feed
+        emit = (calive & pexpand(do_feed)
                 & (cmass >= C.CELL_MIN_SIZE + C.FOOD_MASS))
         if Nf > 0 and do_actions:
-            edx = tx - cx
-            edy = ty - cy
+            edx = txc - cx
+            edy = tyc - cy
             en = jnp.maximum(jnp.sqrt(edx * edx + edy * edy), 1e-12)
             edx = edx / en
             edy = edy / en
-            elx = cx + edx * radc
-            ely = cy + edy * radc
+            # radius from the CURRENT mass (post pellet/virus/auto-split/
+            # food gains), matching emit_foods (engine/actions.py:265-266)
+            rade = _radius(cmass)
+            elx = cx + edx * rade
+            ely = cy + edy * rade
             evx = edx * C.FOOD_SPEED
             evy = edy * C.FOOD_SPEED
-            ekey = jnp.where(emit, rank, _BIG_I)
+            ekey = jnp.where(emit, gkey, _BIG_I)
             eord = jnp.sum(_bint((ekey[None, :, :] < ekey[:, None, :])
                                  & emit[None, :, :]), axis=1)
-            slot = (fnext + eord) % Nf                    # (Cc, E)
+            slot = (fnext + eord) % Nf                    # (PC, E)
             fiota = jax.lax.broadcasted_iota(jnp.int32, (1, Nf, 1), 1)
-            oh = emit[:, None, :] & (slot[:, None, :] == fiota)  # (Cc,Nf,E)
+            oh = emit[:, None, :] & (slot[:, None, :] == fiota)  # (PC,Nf,E)
             wrote = jnp.max(_bint(oh), axis=0) > 0        # (Nf, E)
             ohf = jnp.where(oh, 1.0, 0.0)
             fx = jnp.where(wrote, jnp.sum(elx[:, None, :] * ohf, axis=0), fx)
@@ -630,149 +911,228 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99):
 
         # split
         split_cd = jnp.maximum(split_cd_in - 1, 0)
-        do_split = (action_eff == 2) & (split_cd == 0)
+        do_split = (action_eff == 2) & (split_cd == 0)        # (P, E)
         if not do_actions:
             do_split = jnp.zeros_like(do_split)
         limit = jnp.maximum(C.PLAYER_CELL_LIMIT - n_start - num_new - n_auto,
-                            0)
-        s_elig = calive & (cmass >= C.CELL_SPLIT_MINIMUM) & do_split
-        skey = jnp.where(s_elig, rank, _BIG_I)
-        sord = jnp.sum(_bint((skey[None, :, :] < skey[:, None, :])
-                             & s_elig[None, :, :]), axis=1)
-        chosen = s_elig & (sord < limit)
-        s_rem, s_nf = split_fields(cx, cy, cmass, tx, ty, elapsed)
+                            0)                                # (P, E)
+        s_elig = calive & (cmass >= C.CELL_SPLIT_MINIMUM) \
+            & pexpand(do_split)
+        sords = []
+        for p in range(P):
+            se = pslice(s_elig, p)
+            sk = jnp.where(se, pslice(rank, p), _BIG_I)
+            sords.append(jnp.sum(_bint((sk[None, :, :] < sk[:, None, :])
+                                       & se[None, :, :]), axis=1))
+        sord = pcat(sords)
+        chosen = s_elig & (sord < pexpand(limit))
+        s_rem, s_nf = split_fields(cx, cy, cmass, txc, tyc)
         cmass = jnp.where(chosen, s_rem, cmass)
-        crecomb = jnp.where(chosen, elapsed + C.RECOMBINE_TICKS, crecomb)
+        crecomb = jnp.where(chosen, elc + C.RECOMBINE_TICKS, crecomb)
         split_cd = jnp.where(do_split, C.SPLIT_COOLDOWN, split_cd)
         split_cd = jnp.where(palive_p, split_cd, split_cd_in)
 
         # --- place created cells (SPEC M8) --------------------------------
+        # Ids are phase-major like the XLA tick's three place_new_cells
+        # calls: all players' disrupt cells, then all autos, then all
+        # splits, pid-major within a phase (engine/actions.py:54-59).
         if phases >= 3:
             K = C.PLAYER_CELL_LIMIT
             kk = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)   # (K, 1)
-            d_mask = disr & (kk < num_new)                # (K, E)
-            cth, sth = _dir_cos_sin(hit_cvx, hit_cvy)     # (1, E)
-            c2 = cth * cth - sth * sth
-            s2 = 2.0 * cth * sth
-            nnf = jnp.maximum(num_new, 1).astype(jnp.float32)
-            phik = 2.0 * jnp.pi * kk.astype(jnp.float32) / nnf
-            cphi = jnp.cos(phik)
-            sphi = jnp.sin(phik)
-            cos_ang = c2 * cphi - s2 * sphi               # (K, E)
-            sin_ang = s2 * cphi + c2 * sphi
             pop_speed = _max_speed(np.float32(C.CELL_POP_SIZE))
-            d_mass = jnp.maximum(jnp.minimum(
-                pop_mass - C.CELL_POP_SIZE * kk, C.CELL_POP_SIZE), 1)
+
+            free_cnt = preduce(_bint(~calive), jnp.sum)       # (P, E)
+            n_vd = jnp.minimum(num_new, free_cnt)
+            n_va = jnp.minimum(n_auto, free_cnt - n_vd)
+            n_sp = preduce(_bint(chosen), jnp.sum)
+            n_vs = jnp.minimum(n_sp, free_cnt - n_vd - n_va)
+
+            def prefixes(counts):
+                pre, acc = [], jnp.zeros((1, E), jnp.int32)
+                for p in range(P):
+                    pre.append(acc)
+                    acc = acc + counts[p:p + 1]
+                return pre, acc
+
+            pre_d, tot_d = prefixes(n_vd)
+            pre_a, tot_a = prefixes(n_va)
+            pre_s, tot_s = prefixes(n_vs)
+            base_d = next_id
+            base_a = next_id + tot_d
+            base_s = next_id + tot_d + tot_a
+            next_id = next_id + tot_d + tot_a + tot_s
 
             def cat(*parts):
                 return jnp.concatenate(parts, axis=0)
 
-            a_ordkey = jnp.where(do_aspl, rank, _BIG_I)
-            a_ord = jnp.sum(_bint((a_ordkey[None, :, :]
-                                   < a_ordkey[:, None, :])
-                                  & do_aspl[None, :, :]), axis=1)
-            cand_mask = cat(_bint(d_mask), _bint(do_aspl),
-                            _bint(chosen)) > 0            # (NEWK, E)
-            cand_order = cat(
-                jnp.where(d_mask, jnp.broadcast_to(kk, (K, E)), _BIG_I),
-                jnp.where(do_aspl, num_new + a_ord, _BIG_I),
-                jnp.where(chosen, num_new + n_auto + sord, _BIG_I))
-            cand_x = cat(jnp.broadcast_to(hit_vx, (K, E)), a_nf["x"],
-                         s_nf["x"])
-            cand_y = cat(jnp.broadcast_to(hit_vy, (K, E)), a_nf["y"],
-                         s_nf["y"])
-            cand_vx = cat(jnp.broadcast_to(hit_cvx, (K, E)), a_nf["vx"],
-                          s_nf["vx"])
-            cand_vy = cat(jnp.broadcast_to(hit_cvy, (K, E)), a_nf["vy"],
-                          s_nf["vy"])
-            cand_svx = cat(cos_ang * pop_speed, a_nf["vx"], s_nf["vx"])
-            cand_svy = cat(sin_ang * pop_speed, a_nf["vy"], s_nf["vy"])
-            cand_mass = cat(d_mass, a_nf["mass"], s_nf["mass"])
+            outs = {f: [] for f in
+                    ("cx", "cy", "cvx", "cvy", "svx", "svy", "cmass",
+                     "cid", "crecomb", "calive")}
+            for p in range(P):
+                nn = num_new[p:p + 1]
+                d_mask = prow(disr, p) & (kk < nn)            # (K, E)
+                cth, sth = _dir_cos_sin(hit_cvx[p:p + 1], hit_cvy[p:p + 1])
+                c2 = cth * cth - sth * sth
+                s2 = 2.0 * cth * sth
+                nnf = jnp.maximum(nn, 1).astype(jnp.float32)
+                phik = 2.0 * jnp.pi * kk.astype(jnp.float32) / nnf
+                cphi = jnp.cos(phik)
+                sphi = jnp.sin(phik)
+                cos_ang = c2 * cphi - s2 * sphi               # (K, E)
+                sin_ang = s2 * cphi + c2 * sphi
+                d_mass = jnp.maximum(jnp.minimum(
+                    pop_mass[p:p + 1] - C.CELL_POP_SIZE * kk,
+                    C.CELL_POP_SIZE), 1)
 
-            free = ~calive
-            num_free = jnp.sum(_bint(free), axis=0, keepdims=True)
-            free_rank = _cumsum0(_bint(free)) - 1         # (Cc, E)
-            orderv = jnp.where(cand_mask, cand_order, _BIG_I)
-            valid = cand_mask & (orderv < num_free)
-            ids = next_id + orderv
-            next_id = next_id + jnp.sum(_bint(valid), axis=0, keepdims=True)
-            # (NEWK, Cc, E) one-hot: candidate claims matching free-rank slot
-            oh2 = (valid[:, None, :] & free[None, :, :]
-                   & (free_rank[None, :, :] == orderv[:, None, :]))
-            claimed = jnp.max(_bint(oh2), axis=0) > 0     # (Cc, E)
-            oh2f = jnp.where(oh2, 1.0, 0.0)
+                a_mask = pslice(do_aspl, p)                   # (Cc, E)
+                s_mask = pslice(chosen, p)
+                akey = jnp.where(a_mask, pslice(rank, p), _BIG_I)
+                a_ord = jnp.sum(_bint((akey[None, :, :] < akey[:, None, :])
+                                      & a_mask[None, :, :]), axis=1)
+                sord_p = pslice(sord, p)
 
-            def wr_f(old, vals):
-                return jnp.where(claimed,
-                                 jnp.sum(vals[:, None, :] * oh2f, axis=0),
-                                 old)
+                cand_mask = cat(_bint(d_mask), _bint(a_mask),
+                                _bint(s_mask)) > 0            # (NEWK, E)
+                cand_order = cat(
+                    jnp.where(d_mask, jnp.broadcast_to(kk, (K, E)), _BIG_I),
+                    jnp.where(a_mask, nn + a_ord, _BIG_I),
+                    jnp.where(s_mask, nn + n_auto[p:p + 1] + sord_p,
+                              _BIG_I))
+                cand_id = cat(
+                    base_d + pre_d[p] + jnp.broadcast_to(kk, (K, E)),
+                    base_a + pre_a[p] + a_ord,
+                    base_s + pre_s[p] + sord_p)
+                cand_x = cat(jnp.broadcast_to(hit_vx[p:p + 1], (K, E)),
+                             pslice(a_nf["x"], p), pslice(s_nf["x"], p))
+                cand_y = cat(jnp.broadcast_to(hit_vy[p:p + 1], (K, E)),
+                             pslice(a_nf["y"], p), pslice(s_nf["y"], p))
+                cand_vx = cat(jnp.broadcast_to(hit_cvx[p:p + 1], (K, E)),
+                              pslice(a_nf["vx"], p), pslice(s_nf["vx"], p))
+                cand_vy = cat(jnp.broadcast_to(hit_cvy[p:p + 1], (K, E)),
+                              pslice(a_nf["vy"], p), pslice(s_nf["vy"], p))
+                cand_svx = cat(cos_ang * pop_speed, pslice(a_nf["vx"], p),
+                               pslice(s_nf["vx"], p))
+                cand_svy = cat(sin_ang * pop_speed, pslice(a_nf["vy"], p),
+                               pslice(s_nf["vy"], p))
+                cand_mass = cat(d_mass, pslice(a_nf["mass"], p),
+                                pslice(s_nf["mass"], p))
 
-            def wr_i(old, vals):
-                return jnp.where(claimed,
-                                 jnp.sum(jnp.where(oh2, vals[:, None, :], 0),
-                                         axis=0), old)
+                calive_p = pslice(calive, p)
+                free = ~calive_p
+                num_free = jnp.sum(_bint(free), axis=0, keepdims=True)
+                free_rank = _cumsum0(_bint(free)) - 1         # (Cc, E)
+                orderv = jnp.where(cand_mask, cand_order, _BIG_I)
+                valid = cand_mask & (orderv < num_free)
+                # (NEWK, Cc, E): candidate claims matching free-rank slot
+                oh2 = (valid[:, None, :] & free[None, :, :]
+                       & (free_rank[None, :, :] == orderv[:, None, :]))
+                claimed = jnp.max(_bint(oh2), axis=0) > 0     # (Cc, E)
+                oh2f = jnp.where(oh2, 1.0, 0.0)
 
-            cx = wr_f(cx, cand_x)
-            cy = wr_f(cy, cand_y)
-            cvx = wr_f(cvx, cand_vx)
-            cvy = wr_f(cvy, cand_vy)
-            svx = wr_f(svx, cand_svx)
-            svy = wr_f(svy, cand_svy)
-            cmass = wr_i(cmass, jnp.maximum(cand_mass, C.CELL_MIN_SIZE))
-            cid = wr_i(cid, ids)
-            crecomb = jnp.where(claimed, elapsed + C.RECOMBINE_TICKS,
-                                crecomb)
-            calive = calive | claimed
+                def wr_f(old, vals):
+                    return jnp.where(
+                        claimed,
+                        jnp.sum(vals[:, None, :] * oh2f, axis=0), old)
 
-        # --- recombine (SPEC M7) ------------------------------------------
-        def rec_body(_, carry):
-            cmass, calive_i = carry
-            calive2 = calive_i > 0
-            rk = rank_of(cid, calive2)
-            can2 = calive2 & (elapsed >= crecomb)
-            radm = _radius(cmass)
-            dx = cx[None, :, :] - cx[:, None, :]
-            dy = cy[None, :, :] - cy[:, None, :]
-            d2 = dx * dx + dy * dy
-            rs = radm[:, None, :] + radm[None, :, :]
-            lw = rk[:, None, :] < rk[None, :, :]
-            elig = (can2[:, None, :] & can2[None, :, :] & lw
-                    & (rs * rs >= d2))
-            keyr = jnp.where(elig, rk[:, None, :] * Cc + rk[None, :, :],
-                             _BIG_I)
-            bst = jnp.min(jnp.min(keyr, axis=1), axis=0, keepdims=True)
-            has = bst < _BIG_I
-            wpair = elig & (keyr == bst[None])
-            wi = jnp.max(_bint(wpair), axis=1) > 0
-            wj = jnp.max(_bint(wpair), axis=0) > 0
-            gain = jnp.sum(jnp.where(wj, cmass, 0), axis=0, keepdims=True)
-            cmass = jnp.where(wi & has, cmass + gain, cmass)
-            calive2 = calive2 & ~(wj & has)
-            return cmass, _bint(calive2)
+                def wr_i(old, vals):
+                    return jnp.where(
+                        claimed,
+                        jnp.sum(jnp.where(oh2, vals[:, None, :], 0),
+                                axis=0), old)
 
+                outs["cx"].append(wr_f(pslice(cx, p), cand_x))
+                outs["cy"].append(wr_f(pslice(cy, p), cand_y))
+                outs["cvx"].append(wr_f(pslice(cvx, p), cand_vx))
+                outs["cvy"].append(wr_f(pslice(cvy, p), cand_vy))
+                outs["svx"].append(wr_f(pslice(svx, p), cand_svx))
+                outs["svy"].append(wr_f(pslice(svy, p), cand_svy))
+                outs["cmass"].append(wr_i(
+                    pslice(cmass, p),
+                    jnp.maximum(cand_mass, C.CELL_MIN_SIZE)))
+                outs["cid"].append(wr_i(pslice(cid, p), cand_id))
+                outs["crecomb"].append(jnp.where(
+                    claimed, elapsed[p:p + 1] + C.RECOMBINE_TICKS,
+                    pslice(crecomb, p)))
+                outs["calive"].append(calive_p | claimed)
+            cx = pcat(outs["cx"])
+            cy = pcat(outs["cy"])
+            cvx = pcat(outs["cvx"])
+            cvy = pcat(outs["cvy"])
+            svx = pcat(outs["svx"])
+            svy = pcat(outs["svy"])
+            cmass = pcat(outs["cmass"])
+            cid = pcat(outs["cid"])
+            crecomb = pcat(outs["crecomb"])
+            calive = pcat(outs["calive"])
+
+        # --- recombine (SPEC M7), per player ------------------------------
         if phases >= 6:
-            # skip when nothing can merge anywhere in the block
-            rec_count = jnp.sum(_bint(calive & (elapsed >= crecomb)),
-                                axis=0, keepdims=True)
-            rec_possible = jnp.max(rec_count) >= 2
+            ncm, ncl = [], []
+            for p in range(P):
+                cidp = pslice(cid, p)
+                crp = pslice(crecomb, p)
+                cxp = pslice(cx, p)
+                cyp = pslice(cy, p)
+                elp = elapsed[p:p + 1]
 
-            def run_rec(carry):
-                return jax.lax.fori_loop(0, Cc // 2, rec_body, carry)
+                def rec_body(_, carry, cidp=cidp, crp=crp, cxp=cxp,
+                             cyp=cyp, elp=elp):
+                    cm_, al_ = carry
+                    alive2 = al_ > 0
+                    key = jnp.where(alive2, cidp, _BIG_I)
+                    rk = jnp.sum(_bint(key[None, :, :] < key[:, None, :]),
+                                 axis=1)
+                    can2 = alive2 & (elp >= crp)
+                    radm = _radius(cm_)
+                    dx = cxp[None, :, :] - cxp[:, None, :]
+                    dy = cyp[None, :, :] - cyp[:, None, :]
+                    d2 = dx * dx + dy * dy
+                    rs = radm[:, None, :] + radm[None, :, :]
+                    lw = rk[:, None, :] < rk[None, :, :]
+                    elig = (can2[:, None, :] & can2[None, :, :] & lw
+                            & (rs * rs >= d2))
+                    keyr = jnp.where(elig,
+                                     rk[:, None, :] * Cc + rk[None, :, :],
+                                     _BIG_I)
+                    bst = jnp.min(jnp.min(keyr, axis=1), axis=0,
+                                  keepdims=True)
+                    has = bst < _BIG_I
+                    wpair = elig & (keyr == bst[None])
+                    wi = jnp.max(_bint(wpair), axis=1) > 0
+                    wj = jnp.max(_bint(wpair), axis=0) > 0
+                    gain = jnp.sum(jnp.where(wj, cm_, 0), axis=0,
+                                   keepdims=True)
+                    cm_ = jnp.where(wi & has, cm_ + gain, cm_)
+                    alive2 = alive2 & ~(wj & has)
+                    return cm_, _bint(alive2)
 
-            cmass, calive_i = jax.lax.cond(
-                rec_possible, run_rec, lambda c: c, (cmass, _bint(calive)))
-            calive = calive_i > 0
+                clp = pslice(calive, p)
+                rec_count = jnp.sum(_bint(clp & (elp >= crp)), axis=0,
+                                    keepdims=True)
+                poss = jnp.max(rec_count) >= 2
+
+                def run_rec(c, rec_body=rec_body):
+                    return jax.lax.fori_loop(0, Cc // 2, rec_body, c)
+
+                m2, a2 = jax.lax.cond(poss, run_rec, lambda c: c,
+                                      (pslice(cmass, p), _bint(clp)))
+                ncm.append(m2)
+                ncl.append(a2 > 0)
+            cmass = pcat(ncm)
+            calive = pcat(ncl)
 
         # --- anti-team + decay --------------------------------------------
         last_decay = last_decay_in
         anti_team = anti_team_in
         if ms.mass_decay and phases >= 7:
-            due = palive_p & (elapsed % 60 == 0)
+            due = palive_p & (elapsed % 60 == 0)              # (P, E)
+            KT2 = vticks.shape[0] // P
             fall_off = elapsed - C.ANTI_TEAM_ACTIVATION_TICKS
-            expired = vticks < fall_off
-            vticks = jnp.where(due & expired, np.int32(-(2**30)), vticks)
-            n_recent = jnp.sum(_bint(vticks != np.int32(-(2**30))), axis=0,
-                               keepdims=True)
+            expired = vticks < fexpand(fall_off, KT2)
+            vticks = jnp.where(fexpand(due, KT2) & expired,
+                               np.int32(-(2**30)), vticks)
+            n_recent = freduce(_bint(vticks != np.int32(-(2**30))), KT2,
+                               jnp.sum)                       # (P, E)
             anti_team = jnp.where(due & (n_recent > 0),
                                   jnp.power(1.1, (n_recent - 1)
                                             .astype(jnp.float32)),
@@ -780,10 +1140,40 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99):
             do_decay = due & (elapsed - last_decay >= C.DECAY_TICKS)
             decayed = jnp.maximum(
                 (cmass.astype(jnp.float32)
-                 * (1.0 - C.PLAYER_DECAY_RATE * anti_team))
+                 * (1.0 - C.PLAYER_DECAY_RATE * pexpand(anti_team)))
                 .astype(jnp.int32), C.CELL_MIN_SIZE)
-            cmass = jnp.where(do_decay & calive, decayed, cmass)
+            cmass = jnp.where(pexpand(do_decay) & calive, decayed, cmass)
             last_decay = jnp.where(do_decay, elapsed, last_decay)
+
+        # --- cross-player eating (Engine.hpp:150-200, SPEC M3) ------------
+        if P > 1 and phases >= 8:
+            rk2 = rank_of(cid, calive)
+            gkey2 = pidc * Cc + rk2                           # (PC, E)
+            radc3 = _radius(cmass)
+            xdx = cx[None, :, :] - cx[:, None, :]             # [i, j, E]
+            xdy = cy[None, :, :] - cy[:, None, :]
+            xd2 = xdx * xdx + xdy * xdy
+            xrm = jnp.maximum(radc3[:, None, :], radc3[None, :, :])
+            mi = cmass[:, None, :]
+            mj = cmass[None, :, :]
+            xcan = ((mi > C.CELL_EAT_REQUIREMENT)
+                    & (mi.astype(jnp.float32)
+                       > mj.astype(jnp.float32) * C.CELL_EAT_MARGIN))
+            dif_p = (jax.lax.broadcasted_iota(jnp.int32, (PC, PC, 1), 0)
+                     // Cc) != (jax.lax.broadcasted_iota(
+                         jnp.int32, (PC, PC, 1), 1) // Cc)
+            xelig = (calive[:, None, :] & calive[None, :, :] & dif_p
+                     & xcan & (xrm * xrm >= xd2))
+            xkey = jnp.where(xelig, gkey2[:, None, :], _BIG_I)   # eater i
+            minj = jnp.min(xkey, axis=0)                      # (PC, E) per j
+            eaten = minj < _BIG_I
+            xwin = xelig & (xkey == minj[None, :, :])
+            # gains use snapshot masses; chains allowed (eaten may eat)
+            gain = jnp.sum(jnp.where(xwin, mj, 0), axis=1)
+            cnt = jnp.sum(_bint(xwin), axis=1)
+            cmass = cmass + gain
+            calive = calive & ~eaten
+            cells_eaten = cells_eaten_in + preduce(cnt, jnp.sum)
 
         # --- foods move + virus feeding (SPEC M4) -------------------------
         if Nf > 0 and phases >= 8:
@@ -899,10 +1289,14 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99):
         o_food_eaten[...] = food_eaten
         o_highest[...] = highest
         o_viruses_eaten[...] = viruses_eaten
-        o_cx[...] = jnp.where(calive, cx, 0.0)
-        o_cy[...] = jnp.where(calive, cy, 0.0)
-        o_cvx[...] = jnp.where(calive, cvx, 0.0)
-        o_cvy[...] = jnp.where(calive, cvy, 0.0)
+        o_cells_eaten[...] = cells_eaten
+        # match the XLA assemble exactly (engine/tick.py:184-198): pos/vel
+        # of cells that died THIS tick stay stale until next tick's
+        # movement masks them; split_vel and mass are masked now
+        o_cx[...] = cx
+        o_cy[...] = cy
+        o_cvx[...] = cvx
+        o_cvy[...] = cvy
         o_svx[...] = jnp.where(calive, svx, 0.0)
         o_svy[...] = jnp.where(calive, svy, 0.0)
         o_cmass[...] = jnp.where(calive, cmass, 0)
@@ -933,9 +1327,9 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99):
 
 
 # ------------------------------------------------------------- wrapper
-# (name, kind): "s" = per-env scalar -> (1, N); "p" = per-player (P=1) ->
-# (1, N); "pk"/"pc" = (N,1,F) -> (F, N); "v2p" = (N,1,2) -> two (1, N);
-# "v2c" = (N,1,F,2) -> two (F, N); "v2" = (N,F,2) -> two (F, N);
+# (name, kind): "s" = per-env scalar -> (1, N); "p" = per-player -> (P, N);
+# "pk"/"pc" = (N,P,F) -> (P*F, N); "v2p" = (N,P,2) -> two (P, N);
+# "v2c" = (N,P,F,2) -> two (P*F, N); "v2" = (N,F,2) -> two (F, N);
 # "2d" = (N,F) -> (F, N)
 _SPLIT_PLAN = [
     ("target", "v2p"),
@@ -944,6 +1338,7 @@ _SPLIT_PLAN = [
     ("anti_team_decay", "p"),
     ("virus_eaten_ticks", "pk"), ("virus_eaten_ptr", "p"),
     ("food_eaten", "p"), ("highest_mass", "p"), ("viruses_eaten", "p"),
+    ("cells_eaten", "p"),
     ("cell_pos", "v2c"), ("cell_vel", "v2c"), ("cell_split_vel", "v2c"),
     ("cell_mass", "pc"), ("cell_alive", "pc"), ("cell_id", "pc"),
     ("cell_recombine_at", "pc"), ("next_cell_id", "s"),
@@ -956,22 +1351,23 @@ _SPLIT_PLAN = [
 
 
 def _to_kernel_arrays(states: GameState):
-    """GameState (batched, P=1) -> flat list of (feature, N) arrays."""
+    """GameState (batched) -> flat list of (feature, N) arrays."""
+    N = states.ticks.shape[0]
     out = []
     for name, kind in _SPLIT_PLAN:
         x = getattr(states, name)
         if kind == "s":
             out.append(x[None, :])
         elif kind == "p":
-            out.append(x.T)                        # (1, N)
+            out.append(x.T)                        # (P, N)
         elif kind in ("pk", "pc"):
-            out.append(jnp.transpose(x[:, 0, :]))  # (F, N)
+            out.append(jnp.transpose(x.reshape(N, -1)))   # (P*F, N)
         elif kind == "v2p":
-            out.append(x[:, 0, 0][None, :])
-            out.append(x[:, 0, 1][None, :])
+            out.append(jnp.transpose(x[:, :, 0]))
+            out.append(jnp.transpose(x[:, :, 1]))
         elif kind == "v2c":
-            out.append(jnp.transpose(x[:, 0, :, 0]))
-            out.append(jnp.transpose(x[:, 0, :, 1]))
+            out.append(jnp.transpose(x[..., 0].reshape(N, -1)))
+            out.append(jnp.transpose(x[..., 1].reshape(N, -1)))
         elif kind == "v2":
             out.append(jnp.transpose(x[:, :, 0]))
             out.append(jnp.transpose(x[:, :, 1]))
@@ -984,9 +1380,11 @@ def _to_kernel_arrays(states: GameState):
 
 def _from_kernel_arrays(states: GameState, outs):
     """Inverse of _to_kernel_arrays."""
+    N = states.ticks.shape[0]
     kw = {}
     i = 0
     for name, kind in _SPLIT_PLAN:
+        shp = getattr(states, name).shape
         if kind == "s":
             kw[name] = outs[i][0]
             i += 1
@@ -994,16 +1392,16 @@ def _from_kernel_arrays(states: GameState, outs):
             kw[name] = outs[i].T
             i += 1
         elif kind in ("pk", "pc"):
-            kw[name] = jnp.transpose(outs[i])[:, None, :]
+            kw[name] = jnp.transpose(outs[i]).reshape(shp)
             i += 1
         elif kind == "v2p":
-            kw[name] = jnp.stack([outs[i][0], outs[i + 1][0]],
-                                 axis=-1)[:, None, :]
+            kw[name] = jnp.stack([jnp.transpose(outs[i]),
+                                  jnp.transpose(outs[i + 1])], axis=-1)
             i += 2
         elif kind == "v2c":
-            kw[name] = jnp.stack([jnp.transpose(outs[i]),
-                                  jnp.transpose(outs[i + 1])],
-                                 axis=-1)[:, None]
+            kw[name] = jnp.stack(
+                [jnp.transpose(outs[i]).reshape(shp[:-1]),
+                 jnp.transpose(outs[i + 1]).reshape(shp[:-1])], axis=-1)
             i += 2
         elif kind == "v2":
             kw[name] = jnp.stack([jnp.transpose(outs[i]),
@@ -1016,8 +1414,9 @@ def _from_kernel_arrays(states: GameState, outs):
 
 
 def supports(cfg: EnvConfig) -> bool:
-    """The fused path covers single-player configs (no bots)."""
-    return cfg.num_players == 1
+    """The fused path covers rosters up to 5 players (agents + bots): the
+    pairwise cross-player phases scale as (P*Cc)^2 per env block."""
+    return cfg.num_players <= 5
 
 
 @functools.partial(jax.jit, static_argnums=(0, 2, 3, 4))
@@ -1030,7 +1429,7 @@ def fused_engine_tick(cfg: EnvConfig, states: GameState,
     states: a vmapped GameState with leading env axis N. block_envs should
     be a multiple of 128 (the lane width) that divides N.
     """
-    assert supports(cfg), "fused tick requires num_players == 1"
+    assert supports(cfg), "fused tick requires num_players <= 5"
     N = states.ticks.shape[0]
     E = min(block_envs, N)
     assert N % E == 0, (N, E)

@@ -73,7 +73,7 @@ class VecEnv:
         if backend == "fused":
             from agarcl_tpu.ops.fused_tick import supports
             assert supports(cfg), \
-                "fused backend requires a single-player config"
+                "fused backend requires num_players <= 5"
             assert not respawn_main_during_obs, \
                 "fused backend: screen-respawn not supported yet"
 

@@ -23,6 +23,8 @@ def main():
     ap.add_argument("--envs", type=int, default=NUM_ENVS)
     ap.add_argument("--steps", type=int, default=STEPS_PER_CALL)
     ap.add_argument("--iters", type=int, default=TIMED_CALLS)
+    ap.add_argument("--mode", type=int, default=4,
+                    help="game mode (7-10 = duel vs one scripted bot)")
     args = ap.parse_args()
     num_envs, steps_per_call, timed_calls = args.envs, args.steps, args.iters
 
@@ -30,8 +32,9 @@ def main():
     from agarcl_tpu.vec import VecEnv
 
     cfg = EnvConfig(num_agents=1, ticks_per_step=4, arena_size=350,
-                    num_pellets=500, num_viruses=10, num_bots=0,
-                    reward_type=True, mode=4)
+                    num_pellets=500, num_viruses=10,
+                    num_bots=1 if args.mode in (0, 7, 8, 9, 10) else 0,
+                    reward_type=True, mode=args.mode)
     from agarcl_tpu.ops.fused_tick import supports
     # Mosaic kernels need real TPU hardware; CI smoke-runs fall back to XLA.
     backend = ("fused" if supports(cfg) and jax.default_backend() != "cpu"
@@ -57,8 +60,9 @@ def main():
     dt = time.perf_counter() - t0
 
     sps = num_envs * steps_per_call * timed_calls / dt
+    suffix = "" if args.mode == 4 else f"_mode{args.mode}"
     print(json.dumps({
-        "metric": "env_steps_per_sec_per_chip_8192envs_ram",
+        "metric": f"env_steps_per_sec_per_chip_8192envs_ram{suffix}",
         "value": round(sps, 1),
         "unit": "steps/s",
         "vs_baseline": round(sps / TARGET, 4),

@@ -96,8 +96,9 @@ def test_fused_matches_through_regen_boundary():
 
 def test_fused_supports_gate():
     assert supports(CFG)
-    assert not supports(EnvConfig(num_agents=2))
-    assert not supports(EnvConfig(num_agents=1, num_bots=1, mode=0))
+    assert supports(EnvConfig(num_agents=2))
+    assert supports(EnvConfig(num_agents=1, num_bots=1, mode=0))
+    assert not supports(EnvConfig(num_agents=2, num_bots=4, mode=0))
 
 
 def test_fused_env_step_matches_xla(monkeypatch):
@@ -232,3 +233,151 @@ def test_fused_env_step_screen_obs():
     np.testing.assert_array_equal(np.asarray(obs_f), np.asarray(obs_x))
     np.testing.assert_allclose(np.asarray(r_f), np.asarray(r_x), atol=1e-4)
     np.testing.assert_array_equal(np.asarray(d_f), np.asarray(d_x))
+
+
+# ---------------------------------------------------------------------------
+# multi-player fused path: bots + cross-player eating in-kernel
+# ---------------------------------------------------------------------------
+
+MP_INT_FIELDS = INT_FIELDS + ("cells_eaten", "action")
+MP_F32_FIELDS = F32_FIELDS + ("target",)
+
+
+def compare_mp(ref, out, t):
+    for f in MP_INT_FIELDS:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(ref, f)), np.asarray(getattr(out, f)),
+            err_msg=f"{f} mismatch at tick {t}")
+    for f in MP_F32_FIELDS:
+        np.testing.assert_allclose(
+            np.asarray(getattr(ref, f)), np.asarray(getattr(out, f)),
+            atol=2e-3, err_msg=f"{f} mismatch at tick {t}")
+
+
+def run_trajectory_mp(cfg, n_ticks, seed=0, act_fn=None, boost=None):
+    assert supports(cfg)
+    N = 4
+    reset_b = jax.vmap(functools.partial(env_reset, cfg))
+    tick_b = jax.jit(jax.vmap(functools.partial(engine_tick, cfg)))
+    s_ref = reset_b(jnp.arange(N, dtype=jnp.uint32) + seed)
+    if boost is not None:
+        s_ref = boost(s_ref)
+    s_out = s_ref
+    rng = np.random.default_rng(seed)
+    for t in range(n_ticks):
+        if act_fn is not None:
+            tgt, act = act_fn(t, rng, s_ref)
+            s_ref = s_ref.replace(target=tgt, action=act)
+            s_out = s_out.replace(target=tgt, action=act)
+        s_ref = tick_b(s_ref)
+        s_out = fused_engine_tick(cfg, s_out, 4, True)
+        compare_mp(s_ref, s_out, t)
+
+
+def steer_agent0(t, rng, s):
+    """Random-walk only the agent (player 0); bots keep their own targets."""
+    tgt = np.array(s.target)
+    act = np.array(s.action)
+    c = np.asarray(s.player_centroid())[:, 0]
+    tgt[:, 0] = c + rng.uniform(-20, 20, c.shape)
+    act[:, 0] = rng.integers(0, 3, c.shape[0])
+    return jnp.asarray(tgt, jnp.float32), jnp.asarray(act, jnp.int32)
+
+
+@pytest.mark.parametrize("mode", [7, 8, 9, 10])
+def test_fused_matches_xla_duel_modes(mode):
+    """Duel vs each scripted bot type: in-kernel bot decisions and
+    cross-player eating must match the XLA tick field-exactly."""
+    cfg = EnvConfig(num_agents=1, ticks_per_step=4, arena_size=100,
+                    num_pellets=40, num_viruses=2, num_bots=1, mode=mode)
+    run_trajectory_mp(cfg, 15, seed=mode, act_fn=steer_agent0)
+
+
+def test_fused_matches_xla_mode0_roster():
+    """Mode 0 with two agents + one bot (3 players): contested pellets,
+    bot updates, cross-eat."""
+    cfg = EnvConfig(num_agents=2, ticks_per_step=4, arena_size=80,
+                    num_pellets=30, num_viruses=2, num_bots=1, mode=0)
+
+    def steer_all(t, rng, s):
+        tgt = np.array(s.target)
+        act = np.array(s.action)
+        c = np.asarray(s.player_centroid())
+        for a in range(2):
+            tgt[:, a] = c[:, a] + rng.uniform(-15, 15, c[:, a].shape)
+            act[:, a] = rng.integers(0, 3, c.shape[0])
+        return jnp.asarray(tgt, jnp.float32), jnp.asarray(act, jnp.int32)
+
+    run_trajectory_mp(cfg, 15, seed=3, act_fn=steer_all)
+
+
+def test_fused_cross_eat_exact():
+    """Force an immediate cross-player eat: big agent overlapping the bot."""
+    cfg = EnvConfig(num_agents=1, ticks_per_step=4, arena_size=100,
+                    num_pellets=20, num_viruses=0, num_bots=1, mode=7)
+
+    def boost(s):
+        # put a big agent cell on top of the bot's spawn
+        bp = s.cell_pos[:, 1, 0]                      # (N, 2)
+        cm = s.cell_mass.at[:, 0, 0].set(500)
+        cp = s.cell_pos.at[:, 0, 0].set(bp)
+        return s.replace(cell_mass=cm, cell_pos=cp)
+
+    # 6 ticks: at tick 7 (this seed) a same-player relaxation pair sits on
+    # the elastic/static branch boundary and sub-1e-5 f32 noise flips it —
+    # the known cross-implementation sensitivity (see tests/test_parity.py
+    # mode-6 tolerance); the eat itself resolves at tick 0 and is exact.
+    run_trajectory_mp(cfg, 6, seed=1, act_fn=steer_agent0, boost=boost)
+
+
+def test_fused_env_step_duel():
+    """fused_env_step on a duel config: rewards/dones (done_on_death) match
+    the vmapped XLA env_step."""
+    import agarcl_tpu.ops.fused_step as FS
+    from agarcl_tpu.env import env_step
+    from agarcl_tpu.obs.ram import RamObsConfig, ram_frame
+
+    cfg = EnvConfig(num_agents=1, ticks_per_step=4, arena_size=100,
+                    num_pellets=40, num_viruses=2, num_bots=1, mode=7)
+    ocfg = RamObsConfig()
+    frame_fn = functools.partial(ram_frame, cfg, ocfg)
+    N = 4
+    states = jax.vmap(functools.partial(env_reset, cfg))(
+        jnp.arange(N, dtype=jnp.uint32))
+    acts = jnp.asarray(np.random.default_rng(0).uniform(-1, 1, (N, 1, 3)),
+                       jnp.float32)
+    acts = acts.at[..., 2].set(0.0)
+
+    s_f, obs_f, r_f, d_f = FS.fused_env_step(cfg, states, acts,
+                                             obs_fn=frame_fn, num_frames=1,
+                                             block_envs=4, interpret=True)
+    step_x = jax.jit(jax.vmap(functools.partial(
+        env_step, cfg, obs_fn=frame_fn, num_frames=1)))
+    s_x, obs_x, r_x, d_x = step_x(states, acts)
+    np.testing.assert_allclose(np.asarray(r_f), np.asarray(r_x), atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(d_f), np.asarray(d_x))
+    np.testing.assert_array_equal(np.asarray(s_f.cell_mass),
+                                  np.asarray(s_x.cell_mass))
+    np.testing.assert_allclose(np.asarray(obs_f), np.asarray(obs_x),
+                               atol=5e-3)
+
+
+def test_fused_ram_obs_parity_multiplayer():
+    """fused_obs kernel (interpret) == vmapped ram_frame on a duel config
+    (other-player block populated)."""
+    from agarcl_tpu.obs.ram import RamObsConfig, ram_frame
+    from agarcl_tpu.ops.fused_obs import fused_ram_obs
+    from agarcl_tpu.vec import VecEnv
+    cfg = EnvConfig(num_agents=2, ticks_per_step=4, arena_size=120,
+                    num_pellets=100, num_viruses=4, num_bots=1, mode=0)
+    ocfg = RamObsConfig()
+    env = VecEnv(cfg, 8, obs_type="none", backend="xla", donate=False)
+    states, _ = env.reset(7)
+    acts = jnp.tile(jnp.asarray([[0.6, -0.4, 0.0], [-0.5, 0.2, 0.0]],
+                                jnp.float32), (8, 1, 1))
+    for _ in range(3):
+        states, obs, r, d = env.step(states, acts)
+    ref = jax.jit(jax.vmap(functools.partial(ram_frame, cfg, ocfg)))(states)
+    got = fused_ram_obs(cfg, ocfg, states, block_envs=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-4)
