@@ -39,7 +39,13 @@ def global_env_count(envs_per_device: int) -> int:
 
 
 def local_shard(global_array):
-    """The addressable (host-local) shard of a global env-axis array."""
-    shards = [s.data for s in global_array.addressable_shards]
-    import jax.numpy as jnp
-    return jnp.concatenate(shards, axis=0)
+    """The addressable (host-local) slice of a global env-axis array, as a
+    host numpy array, in global env order.
+
+    Shards live on different local devices, so they are concatenated on the
+    host (a device-side jnp.concatenate of committed per-device arrays is an
+    error)."""
+    import numpy as np
+    shards = sorted(global_array.addressable_shards,
+                    key=lambda s: (s.index[0].start or 0))
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)

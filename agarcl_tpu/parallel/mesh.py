@@ -73,7 +73,7 @@ class ShardedVecEnv:
 
     def reset(self, seed: int = 0):
         seeds = jnp.arange(self.num_envs, dtype=jnp.uint32) + jnp.uint32(
-            seed * 0x9E3779B9)
+            (seed * 0x9E3779B9) & 0xFFFFFFFF)
         seeds = jax.device_put(seeds, self._env_sharding)
         return self._reset(seeds)
 
