@@ -55,6 +55,7 @@ def fused_env_step(cfg: EnvConfig, states: GameState, actions,
         # ram frames go through the env-in-lanes Pallas kernel (fused_obs):
         # the vmapped XLA ram_frame costs more than the four engine ticks
         # combined (top_k + gathers + trailing size-2 layout padding)
+        from agarcl_tpu.obs.grid import grid_frame
         from agarcl_tpu.obs.ram import ram_frame
         from agarcl_tpu.obs.screen import screen_frame
         batched_obs = jax.vmap(obs_fn)
@@ -74,6 +75,15 @@ def fused_env_step(cfg: EnvConfig, states: GameState, actions,
                 ocfg = obs_fn.args[1]
                 def batched_obs(s):
                     return fused_screen.fused_screen_frame(
+                        cfg, ocfg, s, block_envs=8, interpret=interpret)
+        elif (isinstance(obs_fn, functools.partial)
+                and obs_fn.func is grid_frame):
+            # grid frames: per-env-block MXU binning kernel (fused_grid)
+            from agarcl_tpu.ops import fused_grid
+            if fused_grid.supports(cfg, obs_fn.args[1]):
+                ocfg = obs_fn.args[1]
+                def batched_obs(s):
+                    return fused_grid.fused_grid_frame(
                         cfg, ocfg, s, block_envs=8, interpret=interpret)
 
         def body_obs(s, _):

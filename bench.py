@@ -25,6 +25,9 @@ def main():
     ap.add_argument("--iters", type=int, default=TIMED_CALLS)
     ap.add_argument("--mode", type=int, default=4,
                     help="game mode (7-10 = duel vs one scripted bot)")
+    ap.add_argument("--obs", default="ram",
+                    choices=("ram", "grid", "screen", "none"),
+                    help="observation computed+returned every step")
     args = ap.parse_args()
     num_envs, steps_per_call, timed_calls = args.envs, args.steps, args.iters
 
@@ -35,11 +38,19 @@ def main():
                     num_pellets=500, num_viruses=10,
                     num_bots=1 if args.mode in (0, 7, 8, 9, 10) else 0,
                     reward_type=True, mode=args.mode)
+    obs_config = None
+    if args.obs == "grid":
+        from agarcl_tpu.obs.grid import GridObsConfig
+        obs_config = GridObsConfig(grid_size=64)
+    elif args.obs == "screen":
+        from agarcl_tpu.obs.screen import ScreenObsConfig
+        obs_config = ScreenObsConfig(screen_len=84, agent_view=True)
     from agarcl_tpu.ops.fused_tick import supports
     # Mosaic kernels need real TPU hardware; CI smoke-runs fall back to XLA.
     backend = ("fused" if supports(cfg) and jax.default_backend() != "cpu"
                else "xla")
-    env = VecEnv(cfg, num_envs, obs_type="ram", backend=backend)
+    env = VecEnv(cfg, num_envs, obs_type=args.obs, obs_config=obs_config,
+                 backend=backend)
     states, _ = env.reset(0)
 
     actions = jnp.zeros((num_envs, cfg.num_agents, 3), jnp.float32)
@@ -62,7 +73,8 @@ def main():
     sps = num_envs * steps_per_call * timed_calls / dt
     suffix = "" if args.mode == 4 else f"_mode{args.mode}"
     print(json.dumps({
-        "metric": f"env_steps_per_sec_per_chip_8192envs_ram{suffix}",
+        "metric":
+            f"env_steps_per_sec_per_chip_8192envs_{args.obs}{suffix}",
         "value": round(sps, 1),
         "unit": "steps/s",
         "vs_baseline": round(sps / TARGET, 4),

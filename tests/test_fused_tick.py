@@ -381,3 +381,54 @@ def test_fused_ram_obs_parity_multiplayer():
     got = fused_ram_obs(cfg, ocfg, states, block_envs=8, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-4)
+
+
+def test_fused_grid_obs_parity():
+    """fused_grid kernel (interpret) == vmapped grid_frame, bin-exact,
+    including a bot opponent (others min/max channels) and viruses."""
+    from agarcl_tpu.obs.grid import GridObsConfig, grid_frame
+    from agarcl_tpu.ops.fused_grid import fused_grid_frame
+    from agarcl_tpu.vec import VecEnv
+    for mode, bots in ((4, 0), (7, 1)):
+        cfg = EnvConfig(num_agents=1, ticks_per_step=4, arena_size=120,
+                        num_pellets=100, num_viruses=4, num_bots=bots,
+                        mode=mode)
+        ocfg = GridObsConfig(grid_size=32)
+        env = VecEnv(cfg, 8, obs_type="none", backend="xla", donate=False)
+        states, _ = env.reset(13)
+        acts = jnp.tile(jnp.asarray([[0.6, -0.4, 0.0]], jnp.float32),
+                        (8, 1, 1))
+        for _ in range(3):
+            states, obs, r, d = env.step(states, acts)
+        ref = jax.jit(jax.vmap(functools.partial(grid_frame, cfg, ocfg)))(
+            states)
+        got = fused_grid_frame(cfg, ocfg, states, block_envs=4,
+                               interpret=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_fused_env_step_grid_obs():
+    """fused_env_step with grid obs routes through the Pallas binning kernel
+    (interpret mode) and matches the vmapped XLA env_step bin-exactly."""
+    import agarcl_tpu.ops.fused_step as FS
+    from agarcl_tpu.env import env_step
+    from agarcl_tpu.obs.grid import GridObsConfig, grid_frame
+
+    cfg = EnvConfig(num_agents=1, ticks_per_step=2, arena_size=100,
+                    num_pellets=40, num_viruses=2, num_bots=0, mode=4)
+    ocfg = GridObsConfig(grid_size=32)
+    frame_fn = functools.partial(grid_frame, cfg, ocfg)
+    N = 8
+    states = jax.vmap(functools.partial(env_reset, cfg))(
+        jnp.arange(N, dtype=jnp.uint32))
+    acts = jnp.tile(jnp.asarray([[0.5, 0.5, 0.0]], jnp.float32), (N, 1, 1))
+
+    s_f, obs_f, r_f, d_f = FS.fused_env_step(
+        cfg, states, acts, obs_fn=frame_fn, num_frames=ocfg.num_frames,
+        block_envs=8, interpret=True)
+    step_x = jax.jit(jax.vmap(functools.partial(
+        env_step, cfg, obs_fn=frame_fn, num_frames=ocfg.num_frames)))
+    s_x, obs_x, r_x, d_x = step_x(states, acts)
+    np.testing.assert_array_equal(np.asarray(obs_f), np.asarray(obs_x))
+    np.testing.assert_allclose(np.asarray(r_f), np.asarray(r_x), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(d_f), np.asarray(d_x))
