@@ -24,13 +24,17 @@ from agarcl_tpu.state import GameState
 def fused_env_step(cfg: EnvConfig, states: GameState, actions,
                    obs_fn=None, num_frames: int = 1,
                    block_envs: int = 128, interpret: bool = False,
-                   auto_reset: bool = False):
+                   auto_reset: bool = False,
+                   respawn_main_during_obs: bool = False):
     """One env step over a BATCH of envs via the fused tick kernel.
 
     states: vmapped GameState (leading axis N); actions (N, A, 3).
     Returns (states, obs|None, rewards (N, A), dones (N, A)). With
     auto_reset, envs whose done flag fires are replaced by fresh resets
-    (seeds derived on device).
+    (seeds derived on device). respawn_main_during_obs applies the
+    screen-env semantics (env.py:159-167, ScreenEnvironment.hpp:233-243):
+    a dead main player is respawned after the obs ticks and the step is
+    charged c_death.
     """
     assert supports(cfg)
     A = cfg.num_agents
@@ -92,6 +96,15 @@ def fused_env_step(cfg: EnvConfig, states: GameState, actions,
         states, obs = jax.lax.scan(body_obs, states, None, length=F)
         # obs: (F, N, ...) -> (N, F, ...) to match the vmapped XLA path
         obs = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), obs)
+
+    if respawn_main_during_obs:
+        main_dead = ~states.player_alive()[:, 0]         # (N,)
+        mask = main_dead[:, None] & (
+            jnp.arange(cfg.num_players) == 0)[None, :]   # (N, P)
+        states = jax.vmap(functools.partial(respawn_players, cfg))(states,
+                                                                   mask)
+        states = states.replace(
+            main_respawned=states.main_respawned | main_dead)
 
     dones = states.dones
     if ms.respawn_all:

@@ -74,8 +74,6 @@ class VecEnv:
             from agarcl_tpu.ops.fused_tick import supports
             assert supports(cfg), \
                 "fused backend requires num_players <= 5"
-            assert not respawn_main_during_obs, \
-                "fused backend: screen-respawn not supported yet"
 
         def _reset_one(seed):
             return env_reset(cfg, seed)
@@ -108,10 +106,10 @@ class VecEnv:
             from agarcl_tpu.ops.fused_step import fused_env_step
 
             def step_b(s, a):
-                return fused_env_step(cfg, s, a, obs_fn=frame_fn,
-                                      num_frames=num_frames,
-                                      block_envs=block_envs,
-                                      auto_reset=auto_reset)
+                return fused_env_step(
+                    cfg, s, a, obs_fn=frame_fn, num_frames=num_frames,
+                    block_envs=block_envs, auto_reset=auto_reset,
+                    respawn_main_during_obs=respawn_main_during_obs)
         else:
             step_b = jax.vmap(_step_one, in_axes=(0, 0))
         self._step_b = jax.jit(step_b, donate_argnums=(0,) if donate else ())

@@ -432,3 +432,43 @@ def test_fused_env_step_grid_obs():
     np.testing.assert_array_equal(np.asarray(obs_f), np.asarray(obs_x))
     np.testing.assert_allclose(np.asarray(r_f), np.asarray(r_x), atol=1e-4)
     np.testing.assert_array_equal(np.asarray(d_f), np.asarray(d_x))
+
+
+def test_fused_respawn_main_during_obs():
+    """fused_env_step(respawn_main_during_obs=True) matches the XLA env_step
+    screen semantics (env.py:159-167): a main player killed mid-episode is
+    respawned after the obs ticks, main_respawned fires, and the step is
+    charged c_death."""
+    import agarcl_tpu.ops.fused_step as FS
+    from agarcl_tpu.env import env_step
+
+    cfg = EnvConfig(num_agents=1, ticks_per_step=2, arena_size=100,
+                    num_pellets=40, num_viruses=2, num_bots=0, mode=1,
+                    reward_type=True)
+    N = 8
+    states = jax.vmap(functools.partial(env_reset, cfg))(
+        jnp.arange(N, dtype=jnp.uint32))
+    # kill the main player in the odd envs
+    dead = (jnp.arange(N) % 2).astype(bool)
+    states = states.replace(
+        cell_alive=states.cell_alive & ~dead[:, None, None],
+        cell_mass=jnp.where(dead[:, None, None], 0, states.cell_mass))
+    acts = jnp.tile(jnp.asarray([[0.3, 0.2, 0.0]], jnp.float32), (N, 1, 1))
+
+    s_f, obs_f, r_f, d_f = FS.fused_env_step(
+        cfg, states, acts, block_envs=8, interpret=True,
+        respawn_main_during_obs=True)
+    step_x = jax.jit(jax.vmap(functools.partial(
+        env_step, cfg, respawn_main_during_obs=True)))
+    s_x, r_x, d_x = step_x(states, acts)
+
+    assert np.all(np.asarray(s_f.player_alive()[:, 0]))  # all respawned
+    assert np.array_equal(np.asarray(s_f.main_respawned),
+                          np.asarray(dead))
+    for name in ("cell_pos", "cell_mass", "cell_alive", "cell_id",
+                 "main_respawned", "next_cell_id"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(s_f, name)), np.asarray(getattr(s_x, name)),
+            err_msg=name)
+    np.testing.assert_allclose(np.asarray(r_f), np.asarray(r_x), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(d_f), np.asarray(d_x))
