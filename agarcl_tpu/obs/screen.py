@@ -59,6 +59,54 @@ class ScreenObsConfig:
     screen_len: int = 84
     agent_view: bool = False
     num_frames: int = 1
+    # Emulate the reference's triangle-fan silhouettes instead of true
+    # circles: 5-gon pellets, 7-gon foods, 50-gon cells, 150-gon wavy-rim
+    # viruses (Entities.hpp:13-16,62-79, renderables.hpp:191-200). Default
+    # off: SPEC pins circles; bench/polygon_iou.py quantifies the pixel
+    # difference per class.
+    polygon_edges: bool = False
+
+
+# polygon side counts (Entities.hpp:13-16)
+_SIDES_PELLET = 5
+_SIDES_FOOD = 7
+_SIDES_CELL = 50
+_SIDES_VIRUS = 150
+# wavy virus rim: vertex i sits at radius 1 + sin(30*pi*i/N)/15
+# (Entities.hpp:66-75)
+_VIRUS_RIM = tuple(
+    1.0 + math.sin(30.0 * math.pi * i / _SIDES_VIRUS) / 15.0
+    for i in range(_SIDES_VIRUS + 2))
+
+
+def _poly_radius_factor(dx, dy, n_sides: int, wavy: bool = False):
+    """Local silhouette radius (relative to the circumradius) of the
+    reference's triangle fan in the direction of (dx, dy).
+
+    The fan is center + rim vertices v_i = w_i * (cos(i*delta), sin(i*delta)),
+    i = 1..N+1, delta = 2*pi/N (renderables.hpp:191-200); w_i = 1 except the
+    wavy virus rim (Entities.hpp:66-75). For a convex fan the covered set in
+    direction theta extends to the chord between the two bracketing vertices;
+    the polar two-point line formula gives that boundary exactly:
+
+        r(theta) = r1*r2*sin(th2-th1) / (r2*sin(th2-theta) + r1*sin(theta-th1))
+    """
+    delta = 2.0 * math.pi / n_sides
+    theta = jnp.arctan2(dy, dx)                       # [-pi, pi]
+    # segment between vertex k+1 and k+2 (first rim vertex at angle delta)
+    k = jnp.floor((theta - delta) / delta).astype(jnp.int32) % n_sides
+    th1 = (k + 1).astype(jnp.float32) * delta
+    # wrap theta into [th1, th1 + delta)
+    t = jnp.mod(theta - th1, 2.0 * math.pi)
+    if wavy:
+        rim = jnp.asarray(_VIRUS_RIM, jnp.float32)
+        r1 = rim[k + 1]
+        r2 = rim[k + 2]
+    else:
+        # regular n-gon: closed form r = cos(pi/N) / cos(t - pi/N)
+        return math.cos(math.pi / n_sides) / jnp.cos(t - math.pi / n_sides)
+    s = math.sin(delta)
+    return r1 * r2 * s / (r2 * jnp.sin(delta - t) + r1 * jnp.sin(t))
 
 
 def _pixel_world_coords(center, z, S):
@@ -75,7 +123,8 @@ def _pixel_world_coords(center, z, S):
     return wx, wy, half, pixel_half
 
 
-def _circle_cover(wx, wy, pos, rad, alive, chunk: int = 32):
+def _circle_cover(wx, wy, pos, rad, alive, chunk: int = 32,
+                  n_sides: int | None = None, wavy: bool = False):
     """(A, S, S) bool: any live circle covers the pixel center.
 
     wx/wy: (A, S); pos: (N, 2); rad: (N,); alive: (N,).
@@ -85,6 +134,9 @@ def _circle_cover(wx, wy, pos, rad, alive, chunk: int = 32):
     consumed by its own reduction inside one fused loop, so the full
     (A, N, S, S) tensor (1.8 GB at 500 pellets x 84^2 x 512 envs under
     vmap) is never materialized. Bit-identical to the direct reduction.
+
+    n_sides: if given, cover with the reference's N-gon fan silhouette
+    (wavy = the virus rim) instead of the true circle.
     """
     A, S = wx.shape
     N = pos.shape[0]
@@ -101,7 +153,12 @@ def _circle_cover(wx, wy, pos, rad, alive, chunk: int = 32):
         dx = wx[:, None, :] - cpx[None, :, None]             # (A, C, S)
         dy = wy[:, None, :] - cpy[None, :, None]
         d2 = (dx * dx)[:, :, None, :] + (dy * dy)[:, :, :, None]
-        cov = (d2 <= cr2[None, :, None, None]) & cok[None, :, None, None]
+        bound = cr2[None, :, None, None]
+        if n_sides is not None:
+            f = _poly_radius_factor(dx[:, :, None, :], dy[:, :, :, None],
+                                    n_sides, wavy)
+            bound = bound * (f * f)
+        cov = (d2 <= bound) & cok[None, :, None, None]
         return acc | jnp.any(cov, axis=1), None
 
     acc0 = jnp.zeros((A, S, S), bool)
@@ -117,7 +174,8 @@ def _strip_K(r: float, S: int) -> int:
     return min(S, int(math.ceil(2.0 * r / pitch_min)) + 3)
 
 
-def _strip_cover(wx, wy, center, half, pos, rad, alive, K: int):
+def _strip_cover(wx, wy, center, half, pos, rad, alive, K: int,
+                 n_sides: int | None = None):
     """(A, S, S) bool coverage via row-strip decomposition — the MXU path
     for numerous small entities (pellets/foods).
 
@@ -143,10 +201,14 @@ def _strip_cover(wx, wy, center, half, pos, rad, alive, K: int):
     rows_f = rows.astype(jnp.float32)
     idx = (rows_f + 0.5) * 2.0 / S - 1.0                       # == pixel grid expr
     wy_rows = center[:, None, None, 1] + idx * half[:, None, None]
-    dy2 = jnp.square(wy_rows - pos[None, :, None, 1])          # (A, N, K)
-    dx2 = jnp.square(wx[:, None, :] - pos[None, :, 0:1])       # (A, N, S)
-    cover = (dx2[:, :, None, :] + dy2[..., None] <= r2[None, :, None, None]) \
-        & alive[None, :, None, None]                           # (A, N, K, S)
+    dyr = wy_rows - pos[None, :, None, 1]                      # (A, N, K)
+    dxr = wx[:, None, :] - pos[None, :, 0:1]                   # (A, N, S)
+    bound = r2[None, :, None, None]
+    if n_sides is not None:
+        f = _poly_radius_factor(dxr[:, :, None, :], dyr[..., None], n_sides)
+        bound = bound * (f * f)
+    cover = (jnp.square(dxr)[:, :, None, :] + jnp.square(dyr)[..., None]
+             <= bound) & alive[None, :, None, None]            # (A, N, K, S)
     X = cover.reshape(A, N * K, S).astype(jnp.bfloat16)
     onehot = (rows.reshape(A, 1, N * K)
               == jnp.arange(S, dtype=jnp.int32)[None, :, None])
@@ -172,9 +234,17 @@ def _grid_cover(wx, wy, pixel_half, arena_w, arena_h):
         (on_h[:, :, None] & in_x[:, None, :] & in_y[:, :, None])
 
 
-def _class_map(cfg: EnvConfig, state: GameState, S: int):
+def _class_map(cfg: EnvConfig, state: GameState, S: int,
+               polygon_edges: bool = False):
     """(A, S, S) int32 class id: 0 bg, 1 grid, 2 pellet, 3 food, 4 main,
-    5 other, 6 virus — topmost-in-draw-order per pixel."""
+    5 other, 6 virus — topmost-in-draw-order per pixel.
+
+    polygon_edges rasterizes the reference's fan silhouettes (5/7/50-gon +
+    wavy 150-gon virus) instead of circles."""
+    n_pel = _SIDES_PELLET if polygon_edges else None
+    n_foo = _SIDES_FOOD if polygon_edges else None
+    n_cel = _SIDES_CELL if polygon_edges else None
+    n_vir = _SIDES_VIRUS if polygon_edges else None
     A = cfg.num_agents
     centroid = state.player_centroid()[:A]
     pmass = state.player_mass()[:A].astype(jnp.float32)
@@ -187,11 +257,13 @@ def _class_map(cfg: EnvConfig, state: GameState, S: int):
     cls = jnp.where(grid, 1, cls)
 
     pel = _strip_cover(wx, wy, centroid, half, state.pellet_pos, _RAD_PELLET,
-                       state.pellet_alive, _strip_K(_RAD_PELLET, S))
+                       state.pellet_alive, _strip_K(_RAD_PELLET, S),
+                       n_sides=n_pel)
     cls = jnp.where(pel, 2, cls)
 
     foo = _strip_cover(wx, wy, centroid, half, state.food_pos, _RAD_FOOD,
-                       state.food_alive, _strip_K(_RAD_FOOD, S))
+                       state.food_alive, _strip_K(_RAD_FOOD, S),
+                       n_sides=n_foo)
     cls = jnp.where(foo, 3, cls)
 
     # players: main agent first, then others drawn over it
@@ -207,16 +279,19 @@ def _class_map(cfg: EnvConfig, state: GameState, S: int):
         mine = flat_alive & (owner == a_idx)
         others = flat_alive & (owner != a_idx)
         main_cov = _circle_cover(wx[a_idx:a_idx + 1], wy[a_idx:a_idx + 1],
-                                 flat_pos, flat_rad, mine)[0]
+                                 flat_pos, flat_rad, mine,
+                                 n_sides=n_cel)[0]
         oth_cov = _circle_cover(wx[a_idx:a_idx + 1], wy[a_idx:a_idx + 1],
-                                flat_pos, flat_rad, others)[0]
+                                flat_pos, flat_rad, others,
+                                n_sides=n_cel)[0]
         cls_a = cls[a_idx]
         cls_a = jnp.where(main_cov, 4, cls_a)
         cls_a = jnp.where(oth_cov, 5, cls_a)
         cls = cls.at[a_idx].set(cls_a)
 
     vir = _circle_cover(wx, wy, state.virus_pos,
-                        G.radius(state.virus_mass), state.virus_alive)
+                        G.radius(state.virus_mass), state.virus_alive,
+                        n_sides=n_vir, wavy=polygon_edges)
     cls = jnp.where(vir, 6, cls)
     return cls
 
@@ -259,7 +334,7 @@ def screen_frame(cfg: EnvConfig, ocfg: ScreenObsConfig,
                  state: GameState) -> jnp.ndarray:
     """(A, S, S, 3|4) uint8 — one frame per agent."""
     S = ocfg.screen_len
-    cls = _class_map(cfg, state, S)
+    cls = _class_map(cfg, state, S, polygon_edges=ocfg.polygon_edges)
     if ocfg.agent_view:
         return _AGENT_VIEW_COLORS[cls]
     return _rgb565(_NATURAL_COLORS[cls])

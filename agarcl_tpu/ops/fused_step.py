@@ -75,7 +75,9 @@ def fused_env_step(cfg: EnvConfig, states: GameState, actions,
             # Its kernel unrolls over the env block, so it uses its own
             # small block size, not the tick's.
             from agarcl_tpu.ops import fused_screen
-            if fused_screen.supports(cfg):
+            # (the Pallas kernel rasterizes circles; polygon_edges stays
+            # on the XLA path)
+            if fused_screen.supports(cfg) and not obs_fn.args[1].polygon_edges:
                 ocfg = obs_fn.args[1]
                 def batched_obs(s):
                     return fused_screen.fused_screen_frame(
