@@ -330,14 +330,24 @@ _NATURAL_COLORS = jnp.asarray([
 ], dtype=jnp.uint8)
 
 
+def _apply_palette(cls, table):
+    """Select-chain palette application: a (7, C) table gather lowers to a
+    per-element dynamic gather on TPU (~30 ms per 2048-env 84x84 frame);
+    seven fused selects are pure bandwidth."""
+    out = jnp.broadcast_to(table[0], cls.shape + (table.shape[1],))
+    for k in range(1, table.shape[0]):
+        out = jnp.where((cls == k)[..., None], table[k], out)
+    return out
+
+
 def screen_frame(cfg: EnvConfig, ocfg: ScreenObsConfig,
                  state: GameState) -> jnp.ndarray:
     """(A, S, S, 3|4) uint8 — one frame per agent."""
     S = ocfg.screen_len
     cls = _class_map(cfg, state, S, polygon_edges=ocfg.polygon_edges)
     if ocfg.agent_view:
-        return _AGENT_VIEW_COLORS[cls]
-    return _rgb565(_NATURAL_COLORS[cls])
+        return _apply_palette(cls, _AGENT_VIEW_COLORS)
+    return _apply_palette(cls, _rgb565(_NATURAL_COLORS))
 
 
 def render_rgb(cfg: EnvConfig, state: GameState, size: int = 512):

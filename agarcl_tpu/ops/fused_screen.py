@@ -40,7 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 from agarcl_tpu.config import EnvConfig
 from agarcl_tpu.obs.screen import (ScreenObsConfig, _AGENT_VIEW_COLORS,
                                    _NATURAL_COLORS, _RAD_FOOD, _RAD_PELLET,
-                                   _TAN_HALF_FOV, _rgb565, _strip_K)
+                                   _TAN_HALF_FOV, _strip_K)
 
 _FOOD_W = 4096.0  # class weight separating food strips from pellet strips
 
@@ -50,8 +50,28 @@ def supports(cfg: EnvConfig) -> bool:
     return cfg.num_agents == 1
 
 
+def _packed_palette(agent_view: bool):
+    """Per-class colors packed little-endian into one int32 (byte c = channel
+    c), so the kernel can emit final pixels and the frame needs no gather —
+    the (7, C) table lookup `_AGENT_VIEW_COLORS[cls]` lowers to a per-element
+    dynamic gather on TPU (~30 ms per 2048-env 84x84 frame, 5x the rasterizer
+    kernel itself). Natural mode pre-applies the RGB565 quantization (it is a
+    fixed per-class mapping)."""
+    import numpy as np
+    if agent_view:
+        tab = np.asarray(jax.device_get(_AGENT_VIEW_COLORS), np.uint32)
+    else:
+        rgb = np.asarray(jax.device_get(_NATURAL_COLORS), np.uint32)
+        r, g, b = rgb[:, 0] >> 3, rgb[:, 1] >> 2, rgb[:, 2] >> 3
+        tab = np.stack([(r << 3) | (r >> 2), (g << 2) | (g >> 4),
+                        (b << 3) | (b >> 2), np.zeros_like(r)], axis=1)
+    packed = (tab[:, 0] | (tab[:, 1] << 8) | (tab[:, 2] << 16)
+              | (tab[:, 3] << 24)).astype(np.uint32)
+    return tuple(int(x) for x in packed.view(np.int32))
+
+
 def _make_kernel(cfg: EnvConfig, S: int, BE: int, Kp: int, Kf: int,
-                 n_other: int):
+                 n_other: int, packed_table=None):
     W = cfg.arena_width
     H = cfg.arena_height
     Cc = cfg.max_cells
@@ -144,16 +164,22 @@ def _make_kernel(cfg: EnvConfig, S: int, BE: int, Kp: int, Kf: int,
                 oth = circles(ox, oy, or2, be, n_other, wx, wy)
                 cls = jnp.where(oth, 5, cls)
             cls = jnp.where(vir, 6, cls)
-            o_ref[be] = cls
+            if packed_table is not None:
+                px_out = jnp.full((S, S), packed_table[0], jnp.int32)
+                for k in range(1, 7):
+                    px_out = jnp.where(cls == k, jnp.int32(packed_table[k]),
+                                       px_out)
+                o_ref[be] = px_out
+            else:
+                o_ref[be] = cls
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 3, 4))
-def fused_screen_class_map(cfg: EnvConfig, S: int, states,
-                           block_envs: int = 8, interpret: bool = False):
-    """(N, 1, S, S) int32 class map for a batched GameState — pixel-exact vs
-    jax.vmap of obs/screen.py `_class_map` (single-agent configs)."""
+def _rasterize(cfg: EnvConfig, S: int, states, block_envs: int,
+               interpret: bool, packed_table=None):
+    """(N, S, S) int32: class ids, or final packed pixels when packed_table
+    is given (see _packed_palette)."""
     assert supports(cfg)
     N = states.ticks.shape[0]
     BE = min(block_envs, N)
@@ -201,8 +227,8 @@ def fused_screen_class_map(cfg: EnvConfig, S: int, states,
     def spec(x):
         return pl.BlockSpec((BE, x.shape[1]), lambda i: (i, 0))
 
-    kernel = _make_kernel(cfg, S, BE, Kp, Kf, n_other)
-    out = pl.pallas_call(
+    kernel = _make_kernel(cfg, S, BE, Kp, Kf, n_other, packed_table)
+    return pl.pallas_call(
         kernel,
         grid=(N // BE,),
         in_specs=[spec(x) for x in ins],
@@ -212,16 +238,25 @@ def fused_screen_class_map(cfg: EnvConfig, S: int, states,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )(*ins)
-    return out[:, None]                                       # (N, 1, S, S)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 3, 4))
+def fused_screen_class_map(cfg: EnvConfig, S: int, states,
+                           block_envs: int = 8, interpret: bool = False):
+    """(N, 1, S, S) int32 class map for a batched GameState — pixel-exact vs
+    jax.vmap of obs/screen.py `_class_map` (single-agent configs)."""
+    return _rasterize(cfg, S, states, block_envs, interpret)[:, None]
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 3, 4))
 def fused_screen_frame(cfg: EnvConfig, ocfg: ScreenObsConfig, states,
                        block_envs: int = 8, interpret: bool = False):
-    """(N, 1, S, S, 3|4) uint8 — batched screen frames via the Pallas
-    class-map kernel + the shared color tables."""
-    cls = fused_screen_class_map(cfg, ocfg.screen_len, states, block_envs,
-                                 interpret)
-    if ocfg.agent_view:
-        return _AGENT_VIEW_COLORS[cls]
-    return _rgb565(_NATURAL_COLORS[cls])
+    """(N, 1, S, S, 3|4) uint8 — batched screen frames. The kernel emits
+    final packed pixels (one int32 per pixel, byte c = channel c); a bitcast
+    unpacks them, so no palette gather ever touches HBM."""
+    packed = _rasterize(cfg, ocfg.screen_len, states, block_envs, interpret,
+                        _packed_palette(ocfg.agent_view))
+    out = jax.lax.bitcast_convert_type(packed, jnp.uint8)     # (N, S, S, 4)
+    if not ocfg.agent_view:
+        out = out[..., :3]
+    return out[:, None]                                       # (N,1,S,S,3|4)

@@ -206,6 +206,14 @@ def test_fused_screen_obs_parity():
         states)
     got = fused_screen_frame(cfg, ocfg, states, block_envs=4, interpret=True)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    # natural RGB mode exercises the rgb565-prequantized in-kernel palette
+    # and the 3-channel bitcast slice
+    nat = ScreenObsConfig(screen_len=64, agent_view=False)
+    ref_n = jax.jit(jax.vmap(functools.partial(screen_frame, cfg, nat)))(
+        states)
+    got_n = fused_screen_frame(cfg, nat, states, block_envs=4, interpret=True)
+    assert got_n.shape[-1] == 3
+    np.testing.assert_array_equal(np.asarray(got_n), np.asarray(ref_n))
 
 
 def test_fused_env_step_screen_obs():
