@@ -152,13 +152,17 @@ def _circle_cover(wx, wy, pos, rad, alive, chunk: int = 32,
         cpx, cpy, cr2, cok = ch
         dx = wx[:, None, :] - cpx[None, :, None]             # (A, C, S)
         dy = wy[:, None, :] - cpy[None, :, None]
-        d2 = (dx * dx)[:, :, None, :] + (dy * dy)[:, :, :, None]
-        bound = cr2[None, :, None, None]
         if n_sides is not None:
+            d2 = (dx * dx)[:, :, None, :] + (dy * dy)[:, :, :, None]
             f = _poly_radius_factor(dx[:, :, None, :], dy[:, :, :, None],
                                     n_sides, wavy)
-            bound = bound * (f * f)
-        cov = (d2 <= bound) & cok[None, :, None, None]
+            cov = d2 <= cr2[None, :, None, None] * (f * f)
+        else:
+            # pinned predicate form dx^2 <= r^2 - dy^2: the (A,C,S) rhs
+            # broadcasts into the compare, skipping the (A,C,S,S) add
+            lim = cr2[None, :, None] - dy * dy               # (A, C, S)
+            cov = (dx * dx)[:, :, None, :] <= lim[:, :, :, None]
+        cov = cov & cok[None, :, None, None]
         return acc | jnp.any(cov, axis=1), None
 
     acc0 = jnp.zeros((A, S, S), bool)
@@ -171,7 +175,10 @@ def _strip_K(r: float, S: int) -> int:
     rows that can intersect a circle of radius r at the finest pixel pitch
     (camera floor z=100 -> pitch 2*100*tan(22.5)/S), plus rounding margin."""
     pitch_min = 2.0 * 100.0 * _TAN_HALF_FOV / S
-    return min(S, int(math.ceil(2.0 * r / pitch_min)) + 3)
+    # rows touched by the circle lie in [ceil(u-x), floor(u+x)] (u = center
+    # row fraction, x = r/pitch); the strip starts at floor(u-x)-1 and
+    # K = ceil(2x)+2 keeps >= 1 row of slack on both ends for f32 wobble
+    return min(S, int(math.ceil(2.0 * r / pitch_min)) + 2)
 
 
 def _strip_cover(wx, wy, center, half, pos, rad, alive, K: int,
@@ -184,7 +191,7 @@ def _strip_cover(wx, wy, center, half, pos, rad, alive, K: int,
     to row base_n + k, which factors the coverage test exactly into a row
     one-hot (S, N*K) times a per-strip column mask (N*K, S) — one bf16/f32
     matmul instead of S*S*N scalar tests. Pixel-exact vs the direct test:
-    the strip predicate is the same f32 `dx*dx + dy*dy <= r*r` with wy
+    the strip predicate is the same f32 `dx*dx <= r*r - dy*dy` with wy
     rebuilt from the row index by the identical expression.
 
     wx, wy: (A, S) pixel-center world coords; center: (A, 2); half: (A,);
@@ -203,12 +210,15 @@ def _strip_cover(wx, wy, center, half, pos, rad, alive, K: int,
     wy_rows = center[:, None, None, 1] + idx * half[:, None, None]
     dyr = wy_rows - pos[None, :, None, 1]                      # (A, N, K)
     dxr = wx[:, None, :] - pos[None, :, 0:1]                   # (A, N, S)
-    bound = r2[None, :, None, None]
     if n_sides is not None:
         f = _poly_radius_factor(dxr[:, :, None, :], dyr[..., None], n_sides)
-        bound = bound * (f * f)
-    cover = (jnp.square(dxr)[:, :, None, :] + jnp.square(dyr)[..., None]
-             <= bound) & alive[None, :, None, None]            # (A, N, K, S)
+        cover = (jnp.square(dxr)[:, :, None, :] + jnp.square(dyr)[..., None]
+                 <= r2[None, :, None, None] * (f * f))
+    else:
+        # pinned predicate form dx^2 <= r^2 - dy^2 (no (A,N,K,S) add)
+        lim = r2[None, :, None] - jnp.square(dyr)              # (A, N, K)
+        cover = jnp.square(dxr)[:, :, None, :] <= lim[..., None]
+    cover = cover & alive[None, :, None, None]                 # (A, N, K, S)
     X = cover.reshape(A, N * K, S).astype(jnp.bfloat16)
     onehot = (rows.reshape(A, 1, N * K)
               == jnp.arange(S, dtype=jnp.int32)[None, :, None])

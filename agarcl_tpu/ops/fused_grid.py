@@ -39,25 +39,53 @@ from agarcl_tpu.config import EnvConfig
 from agarcl_tpu.obs.grid import GridObsConfig
 
 _INF_F = 2.0**30
+# count weight for the combined count+mass virus matmul: per-bin virus mass
+# sums stay < 2^17 (26 viruses * <=170 mass) and count*2^17 + mass < 2^24
+# stays integer-exact in f32
+_CNT_W = 2.0**17
 
 
 def supports(cfg: EnvConfig, ocfg) -> bool:
-    """The fused grid kernel covers single-agent configs (any bot count)."""
+    """The fused grid kernel covers single-agent configs (any bot count)
+    with grid sizes dividing 128 (the packed-output layout)."""
     return (isinstance(ocfg, GridObsConfig) and cfg.num_agents == 1
-            and ocfg.num_frames == 1)
+            and ocfg.num_frames == 1 and 128 % ocfg.grid_size == 0)
 
 
-def _make_kernel(cfg: EnvConfig, G: int, BE: int, n_other: int):
+def _make_kernel(cfg: EnvConfig, G: int, BE: int, n_other: int,
+                 _only: str | None = None):
+    """_only: benchmarking knob — compute just one channel group ('pellets',
+    'virus', 'own', 'oob') and store zeros elsewhere, isolating its cost.
+
+    The kernel computes and stores every channel in the PACKED layout
+    (G*G//128, 128) — the same row-major bytes as (G, G), reshaped for free
+    outside. Storing (G, G) tiles directly leaves 128-G lanes of padding in
+    every VMEM row, which degrades the output DMA into G*4-byte strided
+    segments (measured 88 GB/s, ~12 ms per 8192-env frame — the whole kernel
+    cost); dense (…, 128) tiles stream out linearly. Requires 128 % G == 0
+    (see supports()).
+    """
+    def on(name):
+        return _only is None or _only == name
     W = cfg.arena_width
     H = cfg.arena_height
-    Cc = cfg.max_cells
     Nv = cfg.virus_capacity
+    PACK = 128 // G          # grid rows packed per 128-lane output row
+    ROWS = G * G // 128      # output rows per channel
 
     def kernel(params, px, py, vx, vy, vm, mx, my, mm,
                ox, oy, om, ok_, o_ref):
-        iota_lane = jax.lax.broadcasted_iota(
-            jnp.int32, (1, G), 1).astype(jnp.float32)
-        iota_sub = jax.lax.broadcasted_iota(
+        iota_i = jax.lax.broadcasted_iota(jnp.int32, (ROWS, 128), 0)
+        iota_j = jax.lax.broadcasted_iota(jnp.int32, (ROWS, 128), 1)
+        # packed pixel -> (row bin r, col bin c): r = PACK*i + j//G, c = j%G
+        r_i = PACK * iota_i + iota_j // G
+        c_i = iota_j - (iota_j // G) * G
+        rf = r_i.astype(jnp.float32)
+        cfl = c_i.astype(jnp.float32)
+        iota_flat = r_i * G + c_i
+        iota_rows = jax.lax.broadcasted_iota(
+            jnp.int32, (ROWS, 1), 0).astype(jnp.float32)
+        iota_g = jax.lax.broadcasted_iota(
             jnp.int32, (G, 1), 0).astype(jnp.float32)
 
         # bin tables for the whole env block, vectorized with entities in
@@ -80,78 +108,137 @@ def _make_kernel(cfg: EnvConfig, G: int, BE: int, n_other: int):
             obx, oby = bins_blk(ox, oy)
 
         for be in range(BE):
-            def ohT(b_all, w=None, dtype=jnp.bfloat16):
-                """Transposed one-hot (G, Ne) from block-bin row be — a
-                (G, 1) == (1, Ne) broadcast, no transposes anywhere."""
-                row = b_all[be:be + 1, :]                     # (1, Ne)
-                eq = iota_sub == row                          # (G, Ne)
-                if w is None:
-                    return jnp.where(eq, 1.0, 0.0).astype(dtype)
-                return jnp.where(eq, w[be:be + 1, :], 0.0)    # f32
+            def ohyT(b_all, dtype=jnp.bfloat16):
+                """Col-bin one-hot (G, Ne): (G,1) == (1,Ne) broadcast."""
+                eq = iota_g == b_all[be:be + 1, :]
+                return jnp.where(eq, 1.0, 0.0).astype(dtype)
 
-            def cnt(ohxT, ohyT):
-                """count[i, j] = sum_e ohxT[i, e] * ohyT[j, e] (MXU)."""
-                return jax.lax.dot_general(
-                    ohxT, ohyT, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)       # (G, G)
+            def mmul(bx_all, ohy, w=None):
+                """Packed-count matmul (ROWS, 128): for each lane group p,
+                count[i, p*G+c] = sum_e [bx_e == PACK*i+p][by_e == c]
+                (weights ride the row one-hot)."""
+                parts = []
+                for pp in range(PACK):
+                    tgt = PACK * iota_rows + jnp.float32(pp)  # (ROWS, 1)
+                    eq = tgt == bx_all[be:be + 1, :]          # (ROWS, Ne)
+                    if w is None:
+                        rp = jnp.where(eq, 1.0, 0.0).astype(jnp.bfloat16)
+                    else:
+                        rp = jnp.where(eq, w, 0.0)            # f32
+                    parts.append(jax.lax.dot_general(
+                        rp, ohy, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32))  # (ROWS, G)
+                return parts[0] if PACK == 1 else jnp.concatenate(parts,
+                                                                  axis=1)
 
             # --- out-of-bounds (GridEnvironment.hpp:240-248) --------------
             cx = params[be, 0]
             cy = params[be, 1]
             view = params[be, 2]
-            wx = cx + (iota_sub - G / 2.0) * view / G         # (G, 1) rows
-            wy = cy + (iota_lane - G / 2.0) * view / G        # (1, G) cols
-            inb = ((wx >= 0) & (wx < W) & (wy >= 0) & (wy < H))
-            o_ref[be, 0] = jnp.where(inb, 0, -1)
+            zero = jnp.zeros((ROWS, 128), jnp.int32)
+            if on('oob'):
+                wx = cx + (rf - G / 2.0) * view / G           # row-bin axis
+                wy = cy + (cfl - G / 2.0) * view / G          # col-bin axis
+                inb = ((wx >= 0) & (wx < W) & (wy >= 0) & (wy < H))
+                o_ref[be, 0] = jnp.where(inb, 0, -1)
+            else:
+                o_ref[be, 0] = zero
 
             # --- pellets: count + presence via one bf16 matmul ------------
-            counti = cnt(ohT(pbx), ohT(pby)).astype(jnp.int32)
-            o_ref[be, 1] = jnp.minimum(counti, 1)
-            o_ref[be, 2] = counti
+            if on('pellets'):
+                counti = mmul(pbx, ohyT(pby)).astype(jnp.int32)
+                o_ref[be, 1] = jnp.minimum(counti, 1)
+                o_ref[be, 2] = counti
+            else:
+                o_ref[be, 1] = zero
+                o_ref[be, 2] = zero
 
-            # --- viruses: unrolled max (scalar bins) + add matmul ---------
-            vmax = jnp.zeros((G, G), jnp.float32)
-            for e in range(Nv):
-                bx = jnp.trunc(G * (vx[be, e] - cx) / view + G / 2.0)
-                by = jnp.trunc(G * (vy[be, e] - cy) / view + G / 2.0)
-                hit = (bx == iota_sub) & (by == iota_lane)    # (G, G)
-                vmax = jnp.maximum(vmax, jnp.where(hit, vm[be, e], 0.0))
-            o_ref[be, 3] = vmax.astype(jnp.int32)
-            o_ref[be, 4] = cnt(ohT(vbx, vm),
-                               ohT(vby, dtype=jnp.float32)).astype(jnp.int32)
+            def flat_bin(x, y):
+                """Scalar flat bin bx*G+by (x bins index the row axis,
+                matching the two-axis form), or -1 when out of grid (so it
+                matches no pixel of iota_flat). Dead entities arrive parked
+                at 1e9 and fall out via the range check."""
+                bx = jnp.trunc(G * (x - cx) / view + G / 2.0)
+                by = jnp.trunc(G * (y - cy) / view + G / 2.0)
+                ok = (bx >= 0.0) & (bx < G) & (by >= 0.0) & (by < G)
+                return jnp.where(ok, bx * G + by, -1.0).astype(jnp.int32)
+
+            # --- viruses: ONE f32 matmul carries both the total mass and a
+            # bin count (count rides bit 17+: masses per bin < 2^17, count*
+            # 2^17 + mass < 2^24 stays integer-exact in f32). When every bin
+            # holds <= 1 virus (physically typical: two viruses in one bin
+            # means overlapping viruses) max == sum; the unrolled flat-bin
+            # loop runs only behind a single per-env branch otherwise. -----
+            if on('virus'):
+                vacc = mmul(vbx, ohyT(vby, dtype=jnp.float32),
+                            w=vm[be:be + 1, :] + _CNT_W)      # (ROWS, 128)
+                vcnt = jnp.floor(vacc * (1.0 / _CNT_W))
+                vadd = vacc - vcnt * _CNT_W
+
+                def vmax_slow():
+                    m_ = jnp.zeros((ROWS, 128), jnp.float32)
+                    for e in range(Nv):
+                        flat = flat_bin(vx[be, e], vy[be, e])
+                        m_ = jnp.maximum(
+                            m_, jnp.where(iota_flat == flat, vm[be, e], 0.0))
+                    return m_
+
+                vmax = jax.lax.cond(jnp.max(vcnt) >= 2.0, vmax_slow,
+                                    lambda: vadd)
+                o_ref[be, 3] = vmax.astype(jnp.int32)
+                o_ref[be, 4] = vadd.astype(jnp.int32)
+            else:
+                o_ref[be, 3] = zero
+                o_ref[be, 4] = zero
 
             # --- own cells: add matmul ------------------------------------
-            o_ref[be, 5] = cnt(ohT(mbx, mm),
-                               ohT(mby, dtype=jnp.float32)).astype(jnp.int32)
+            if on('own'):
+                o_ref[be, 5] = mmul(
+                    mbx, ohyT(mby, dtype=jnp.float32),
+                    w=mm[be:be + 1, :]).astype(jnp.int32)
+            else:
+                o_ref[be, 5] = zero
 
-            # --- other players' cells: unrolled min/max -------------------
+            # --- other players' cells: count + mass-sum matmuls; min == max
+            # == sum when every bin holds <= 1 cell, else one per-env branch
+            # into the unrolled flat-bin loop (counts in bf16 are exact to
+            # 256; mass sums ride a separate f32 matmul because 64 cells *
+            # 22k mass overflows the packed-count trick) ------------------
             if n_other:
-                omin = jnp.full((G, G), _INF_F, jnp.float32)
-                omax = jnp.zeros((G, G), jnp.float32)
-                for e in range(n_other):
-                    bx = jnp.trunc(G * (ox[be, e] - cx) / view + G / 2.0)
-                    by = jnp.trunc(G * (oy[be, e] - cy) / view + G / 2.0)
-                    hit = (bx == iota_sub) & (by == iota_lane)
-                    omin = jnp.minimum(
-                        omin, jnp.where(hit, ok_[be, e], _INF_F))
-                    omax = jnp.maximum(
-                        omax, jnp.where(hit, om[be, e], 0.0))
-                o_ref[be, 6] = jnp.where(
-                    omin == _INF_F, 0.0, omin).astype(jnp.int32)
+                oy_oh = ohyT(oby, dtype=jnp.float32)
+                ocnt_ = mmul(obx, ohyT(oby))
+                oadd = mmul(obx, oy_oh, w=om[be:be + 1, :])
+
+                def oth_slow():
+                    mn = jnp.full((ROWS, 128), _INF_F, jnp.float32)
+                    mx_ = jnp.zeros((ROWS, 128), jnp.float32)
+                    for e in range(n_other):
+                        flat = flat_bin(ox[be, e], oy[be, e])
+                        hit = iota_flat == flat
+                        mn = jnp.minimum(mn, jnp.where(hit, ok_[be, e],
+                                                       _INF_F))
+                        mx_ = jnp.maximum(mx_, jnp.where(hit, om[be, e],
+                                                         0.0))
+                    return jnp.where(mn == _INF_F, 0.0, mn), mx_
+
+                omin, omax = jax.lax.cond(
+                    jnp.max(ocnt_) >= 2.0, oth_slow, lambda: (oadd, oadd))
+                o_ref[be, 6] = omin.astype(jnp.int32)
                 o_ref[be, 7] = omax.astype(jnp.int32)
             else:
-                zero = jnp.zeros((G, G), jnp.int32)
                 o_ref[be, 6] = zero
                 o_ref[be, 7] = zero
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 3, 4))
+@functools.partial(jax.jit, static_argnums=(0, 1, 3, 4, 5))
 def fused_grid_channels(cfg: EnvConfig, G: int, states,
-                        block_envs: int = 8, interpret: bool = False):
+                        block_envs: int = 8, interpret: bool = False,
+                        _only: str | None = None):
     """(N, 8, G, G) int32 — all grid channels for a batched GameState,
-    bin-exact vs jax.vmap of obs/grid.py grid_frame (single-agent)."""
+    bin-exact vs jax.vmap of obs/grid.py grid_frame (single-agent).
+    _only: see _make_kernel (benchmark ablation)."""
     N = states.ticks.shape[0]
     BE = min(block_envs, N)
     assert N % BE == 0, (N, BE)
@@ -170,8 +257,10 @@ def fused_grid_channels(cfg: EnvConfig, G: int, states,
     palive = states.pellet_alive
     px = jnp.where(palive, states.pellet_pos[:, :, 0], f32(1e9))
     py = jnp.where(palive, states.pellet_pos[:, :, 1], f32(1e9))
-    vx = states.virus_pos[:, :, 0]
-    vy = states.virus_pos[:, :, 1]
+    # dead viruses park at an out-of-grid bin so the in-kernel bin counts
+    # see live entities only
+    vx = jnp.where(states.virus_alive, states.virus_pos[:, :, 0], f32(1e9))
+    vy = jnp.where(states.virus_alive, states.virus_pos[:, :, 1], f32(1e9))
     vm = jnp.where(states.virus_alive,
                    states.virus_mass.astype(f32), 0.0)        # max+add weight
     mx = states.cell_pos[:, 0, :, 0]
@@ -183,8 +272,8 @@ def fused_grid_channels(cfg: EnvConfig, G: int, states,
         opos = states.cell_pos[:, 1:].reshape(N, n_other, 2)
         oalive = states.cell_alive[:, 1:].reshape(N, n_other)
         omass = states.cell_mass[:, 1:].reshape(N, n_other).astype(f32)
-        ox = opos[:, :, 0]
-        oy = opos[:, :, 1]
+        ox = jnp.where(oalive, opos[:, :, 0], f32(1e9))
+        oy = jnp.where(oalive, opos[:, :, 1], f32(1e9))
         om = jnp.where(oalive, omass, 0.0)                    # max weight
         ok_ = jnp.where(oalive, omass, f32(_INF_F))           # min weight
     else:
@@ -195,17 +284,20 @@ def fused_grid_channels(cfg: EnvConfig, G: int, states,
     def spec(x):
         return pl.BlockSpec((BE, x.shape[1]), lambda i: (i, 0))
 
-    kernel = _make_kernel(cfg, G, BE, n_other)
-    return pl.pallas_call(
+    kernel = _make_kernel(cfg, G, BE, n_other, _only)
+    ROWS = G * G // 128
+    out = pl.pallas_call(
         kernel,
         grid=(N // BE,),
         in_specs=[spec(x) for x in ins],
-        out_specs=pl.BlockSpec((BE, 8, G, G), lambda i: (i, 0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((N, 8, G, G), jnp.int32),
+        out_specs=pl.BlockSpec((BE, 8, ROWS, 128), lambda i: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((N, 8, ROWS, 128), jnp.int32),
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )(*ins)
+    # (ROWS, 128) is the same row-major bytes as (G, G): free reshape
+    return out.reshape(N, 8, G, G)
 
 
 _CH_ORDER = dict(oob=0, pel_presence=1, pel_count=2, vir_max=3, vir_add=4,

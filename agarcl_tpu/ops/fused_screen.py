@@ -77,43 +77,63 @@ def _make_kernel(cfg: EnvConfig, S: int, BE: int, Kp: int, Kf: int,
     Cc = cfg.max_cells
     Nv = cfg.virus_capacity
 
-    def strip_count(count, xcol, ycol, r2col, K, weight, wx, cy, half,
-                    iota_lane_i, delta, wy0):
-        """Accumulate strip-matmul coverage counts for one entity class."""
-        dx = xcol - wx                                   # (N, S)
-        dx2 = dx * dx
-        r = jnp.sqrt(jnp.maximum(r2col, 0.0))            # (N, 1)
-        u = (ycol - wy0) / delta
-        base = jnp.floor(u - r / delta).astype(jnp.int32) - 1
+    def strip_count(count, x_row, y_row, r2_row, K, weight, wxT, cy, half,
+                    iota_subf, delta, wy0):
+        """Accumulate strip-matmul coverage counts for one entity class.
+
+        Entity tables stay in lanes as loaded — rows (1, Ne) broadcast
+        against pixel columns (S, 1), so no (1,N)->(N,1) transposes (a lane
+        ->sublane relayout per table per env in the previous layout). The
+        strip predicate is the pinned f32 `dx*dx <= r*r - dy*dy` with wy
+        rebuilt from the row index by the identical pixel-grid expression.
+        """
+        dxT = wxT - x_row                                # (S, Ne)
+        dx2T = dxT * dxT
+        r_row = jnp.sqrt(jnp.maximum(r2_row, 0.0))       # (1, Ne)
+        u = (y_row - wy0) / delta
+        base = jnp.floor(u - r_row / delta) - 1.0        # (1, Ne) f32 whole
         for k in range(K):
-            rows_k = base + k                            # (N, 1) i32
-            idx = (rows_k.astype(jnp.float32) + 0.5) * 2.0 / S - 1.0
+            rows_k = base + jnp.float32(k)               # (1, Ne)
+            idx = (rows_k + 0.5) * 2.0 / S - 1.0
             wyk = cy + idx * half
-            dyk = wyk - ycol
-            dy2k = dyk * dyk
-            xk = jnp.where((dx2 + dy2k <= r2col), weight,
-                           0.0).astype(jnp.bfloat16)     # (N, S)
-            rk = jnp.where(rows_k == iota_lane_i, 1.0,
-                           0.0).astype(jnp.bfloat16)     # (N, S) == R^T
+            dyk = wyk - y_row
+            lim = r2_row - dyk * dyk                     # (1, Ne); pinned
+            X2 = jnp.where(dx2T <= lim, weight,          # form dx2<=r2-dy2
+                           0.0).astype(jnp.bfloat16)     # (S, Ne) cols j
+            R2 = jnp.where(rows_k == iota_subf, 1.0,
+                           0.0).astype(jnp.bfloat16)     # (S, Ne) rows i
             count = count + jax.lax.dot_general(
-                rk, xk, (((0,), (0,)), ((), ())),
+                R2, X2, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)      # (S, S)
         return count
 
-    def circles(xref, yref, r2ref, be, n, wx, wy):
-        """Direct unrolled coverage for a few-entity class: (S, S) bool."""
+    def circles(xref, yref, r2ref, be, n, wx, wy, cx, cy, half):
+        """Direct unrolled coverage for a few-entity class: (S, S) bool.
+        Each entity is guarded by a scalar alive+in-view branch — dead slots
+        (r2 = -1) and off-screen entities (the common case: the view is a few
+        percent of the arena) skip their (S, S) work entirely."""
         cov = jnp.zeros((S, S), jnp.float32)
         for c in range(n):
-            dx = wx - xref[be, c]                        # (1, S)
-            dy = wy - yref[be, c]                        # (S, 1)
-            d2 = dx * dx + dy * dy                       # (S, S)
-            cov = jnp.maximum(cov, jnp.where(d2 <= r2ref[be, c], 1.0, 0.0))
+            x = xref[be, c]
+            y = yref[be, c]
+            r2 = r2ref[be, c]
+            r = jnp.sqrt(jnp.maximum(r2, 0.0))
+            onscreen = ((r2 >= 0.0) & (jnp.abs(x - cx) <= half + r)
+                        & (jnp.abs(y - cy) <= half + r))
+
+            def draw(a):
+                dx = wx - x                              # (1, S)
+                dy = wy - y                              # (S, 1)
+                lim = r2 - dy * dy                       # (S, 1); pinned
+                return jnp.where(dx * dx <= lim, 1.0, a)  # form dx2<=r2-dy2
+
+            cov = jax.lax.cond(onscreen, draw, lambda a: a, cov)
         return cov >= 0.5
 
     def kernel(params, px, py, pr2, fx, fy, fr2, mx, my, mr2,
                ox, oy, or2, vx, vy, vr2, o_ref):
-        iota_lane_i = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
-        iota_lane = iota_lane_i.astype(jnp.float32)
+        iota_lane = jax.lax.broadcasted_iota(
+            jnp.int32, (1, S), 1).astype(jnp.float32)
         iota_sub = jax.lax.broadcasted_iota(
             jnp.int32, (S, 1), 0).astype(jnp.float32)
 
@@ -123,6 +143,8 @@ def _make_kernel(cfg: EnvConfig, S: int, BE: int, Kp: int, Kf: int,
             half = params[be, 2]
             wx = cx + ((iota_lane + 0.5) * 2.0 / S - 1.0) * half   # (1, S)
             wy = cy + ((iota_sub + 0.5) * 2.0 / S - 1.0) * half    # (S, 1)
+            # pixel-x coords as a column — bit-identical expression to wx
+            wxT = cx + ((iota_sub + 0.5) * 2.0 / S - 1.0) * half   # (S, 1)
             ph = half / S
             delta = 2.0 * half / S
             wy0 = cy + (0.5 * 2.0 / S - 1.0) * half
@@ -141,27 +163,27 @@ def _make_kernel(cfg: EnvConfig, S: int, BE: int, Kp: int, Kf: int,
             gridm = (jnp.maximum(on_v, on_h) * in_x * in_y) >= 0.5
 
             # pellet + food strips share one f32 accumulator
-            T = lambda ref: jnp.transpose(ref[be:be + 1, :])   # (1,N)->(N,1)
+            R = lambda ref: ref[be:be + 1, :]                  # (1, Ne) row
             count = jnp.zeros((S, S), jnp.float32)
-            count = strip_count(count, T(px), T(py), T(pr2), Kp, 1.0,
-                                wx, cy, half, iota_lane_i, delta, wy0)
-            count = strip_count(count, T(fx), T(fy), T(fr2), Kf, _FOOD_W,
-                                wx, cy, half, iota_lane_i, delta, wy0)
+            count = strip_count(count, R(px), R(py), R(pr2), Kp, 1.0,
+                                wxT, cy, half, iota_sub, delta, wy0)
+            count = strip_count(count, R(fx), R(fy), R(fr2), Kf, _FOOD_W,
+                                wxT, cy, half, iota_sub, delta, wy0)
             foods_c = jnp.floor(count * (1.0 / _FOOD_W))
             pel = (count - foods_c * _FOOD_W) >= 0.5
             foo = foods_c >= 0.5
 
-            mine = circles(mx, my, mr2, be, Cc, wx, wy)
+            mine = circles(mx, my, mr2, be, Cc, wx, wy, cx, cy, half)
             # NOTE: counts must be static closure values — inside the kernel
             # ref.shape[0] is the env-block size, not the entity count
-            vir = circles(vx, vy, vr2, be, Nv, wx, wy)
+            vir = circles(vx, vy, vr2, be, Nv, wx, wy, cx, cy, half)
 
             cls = jnp.where(gridm, 1, 0)
             cls = jnp.where(pel, 2, cls)
             cls = jnp.where(foo, 3, cls)
             cls = jnp.where(mine, 4, cls)
             if n_other:
-                oth = circles(ox, oy, or2, be, n_other, wx, wy)
+                oth = circles(ox, oy, or2, be, n_other, wx, wy, cx, cy, half)
                 cls = jnp.where(oth, 5, cls)
             cls = jnp.where(vir, 6, cls)
             if packed_table is not None:

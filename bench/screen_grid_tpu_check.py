@@ -66,6 +66,17 @@ def timed_multistep(name, env, n, k, calls=4):
     return sps
 
 
+def timed_standalone(name, fn, arg, n, calls=8):
+    out = fn(arg)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(calls):
+        out = fn(arg)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / calls
+    print(f"{name:34s}: {dt*1000:8.2f} ms/call ({n/dt:,.0f}/s)", flush=True)
+
+
 def main():
     parity()
     # screen e2e (the 10-task-suite shape)
@@ -76,13 +87,34 @@ def main():
     # same without obs to isolate the tick cost at this batch
     env_no = VecEnv(CFG1, 2048, obs_type="none", backend="fused")
     timed_multistep("no-obs (ticks only) 2048 k=5", env_no, 2048, 5)
-    # grid e2e
+    # grid e2e + anomaly diagnosis: standalone kernel vs in-scan, k sweep
     envg = VecEnv(CFG4, 4096, obs_type="grid",
                   obs_config=GridObsConfig(grid_size=64), backend="fused")
     timed_multistep("grid 64x64 4096 envs k=5", envg, 4096, 5)
     envg8 = VecEnv(CFG4, 8192, obs_type="grid",
                    obs_config=GridObsConfig(grid_size=64), backend="fused")
     timed_multistep("grid 64x64 8192 envs k=3", envg8, 8192, 3)
+    timed_multistep("grid 64x64 8192 envs k=1", envg8, 8192, 1, calls=8)
+    from agarcl_tpu.env import env_reset
+    from agarcl_tpu.ops.fused_grid import fused_grid_frame
+    import jax.numpy as jnp2
+    seeds = jnp2.arange(8192, dtype=jnp2.uint32)
+    st8 = jax.jit(jax.vmap(lambda s: env_reset(CFG4, s)))(seeds)
+    gcfg = GridObsConfig(grid_size=64)
+    for be in (8, 16):
+        fn = jax.jit(lambda s, b=be: fused_grid_frame(CFG4, gcfg, s,
+                                                      block_envs=b))
+        timed_standalone(f"grid kernel standalone 8192 BE={be}", fn, st8,
+                         8192)
+    # screen kernel block-size sweep
+    st2 = jax.jit(jax.vmap(lambda s: env_reset(CFG1, s)))(
+        jnp2.arange(2048, dtype=jnp2.uint32))
+    socfg = ScreenObsConfig(screen_len=84, agent_view=True)
+    for be in (8, 16):
+        fn = jax.jit(lambda s, b=be: fused_screen_frame(CFG1, socfg, s,
+                                                        block_envs=b))
+        timed_standalone(f"screen kernel standalone 2048 BE={be}", fn, st2,
+                         2048)
     # ram headline sanity
     envr = VecEnv(CFG4, 8192, obs_type="ram", backend="fused")
     timed_multistep("ram 8192 envs k=10", envr, 8192, 10)

@@ -123,3 +123,64 @@ def test_respawn_all_mode0():
     assert bool(jnp.all(s.player_alive()))
     assert int(s.player_mass().min()) == C.CELL_MIN_SIZE
     assert not bool(d[0])
+
+
+def test_same_tick_double_burst_single_spawn():
+    """Two viruses reaching their 7th food hit in the SAME tick: both reset
+    to mass 100, but only ONE spawn fires (the lowest-slot burster, using
+    its lowest-index hitting food's pre-deceleration velocity) — the pinned
+    one-spawn-per-tick cap (SPEC, engine/eating.py vs Engine.hpp:661-687
+    which would spawn per burst)."""
+    import jax
+
+    from agarcl_tpu.engine import eating as E
+    from agarcl_tpu.engine import geometry as G
+
+    Nf, Nv = 8, 4
+    W = H = 200.0
+    dt = 1.0 / 30.0
+    # viruses 0 and 1 live at 7 hits (one more hit bursts); slot 2 dead
+    # (the free spawn slot); slot 3 live and unfed
+    virus_pos = jnp.array([[50.0, 50.0], [150.0, 50.0],
+                           [0.0, 0.0], [100.0, 150.0]], jnp.float32)
+    virus_vel = jnp.zeros((Nv, 2), jnp.float32)
+    virus_mass = jnp.array([170, 170, 0, 100], jnp.int32)
+    virus_hits = jnp.array([7, 7, 0, 0], jnp.int32)
+    virus_alive = jnp.array([True, True, False, True])
+    # moving foods 1 and 3 sit on viruses 0 and 1 (food 0 is a live but
+    # non-moving decoy so slot order != hit order)
+    food_pos = jnp.zeros((Nf, 2), jnp.float32)
+    food_pos = food_pos.at[0].set(jnp.array([10.0, 10.0]))
+    food_pos = food_pos.at[1].set(virus_pos[0])
+    food_pos = food_pos.at[3].set(virus_pos[1])
+    food_vel = jnp.zeros((Nf, 2), jnp.float32)
+    food_vel = food_vel.at[1].set(jnp.array([3.0, 0.0]))
+    food_vel = food_vel.at[3].set(jnp.array([0.0, -2.0]))
+    food_alive = jnp.zeros((Nf,), bool).at[0].set(True).at[1].set(
+        True).at[3].set(True)
+
+    (f_pos, f_vel, f_alive, v_pos, v_vel, v_mass, v_hits,
+     v_alive) = jax.jit(E.move_foods_and_feed_viruses)(
+        food_pos, food_vel, food_alive, virus_pos, virus_vel, virus_mass,
+        virus_hits, virus_alive, W, H, dt, jnp.int32(2))
+
+    v_mass, v_hits, v_alive = map(np.asarray, (v_mass, v_hits, v_alive))
+    # both bursters reset: hits 7+1-8=0, mass 100
+    assert v_hits[0] == 0 and v_hits[1] == 0
+    assert v_mass[0] == C.VIRUS_INITIAL_MASS
+    assert v_mass[1] == C.VIRUS_INITIAL_MASS
+    # both hitting foods consumed, decoy alive
+    assert not np.asarray(f_alive)[1] and not np.asarray(f_alive)[3]
+    assert np.asarray(f_alive)[0]
+    # exactly ONE spawn: dead slot 2 comes alive, nothing else appears
+    assert np.asarray(v_alive).tolist() == [True, True, True, True]
+    assert v_mass[2] == C.VIRUS_INITIAL_MASS and v_hits[2] == 0
+    # the spawn belongs to the lowest-slot burster (virus 0): it launched
+    # along food 1's PRE-deceleration velocity from virus 0's position
+    spawn = np.asarray(v_pos)[2]
+    expect = np.asarray(virus_pos)[0] + np.asarray([3.0, 0.0]) * dt * 10.0
+    rad100 = float(np.asarray(G.radius(jnp.float32(C.VIRUS_INITIAL_MASS))))
+    expect[0] = min(max(expect[0], rad100), W - rad100)
+    expect[1] = min(max(expect[1], rad100), H - rad100)
+    np.testing.assert_allclose(spawn, expect, rtol=1e-6)
+    assert np.allclose(np.asarray(v_vel)[2], [3.0, 0.0])

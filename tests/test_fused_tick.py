@@ -415,6 +415,40 @@ def test_fused_grid_obs_parity():
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
+def test_fused_grid_obs_bin_collisions():
+    """Two viruses (and two other-player cells) forced into the SAME grid
+    bin: exercises the kernel's slow path (max != sum when a bin holds >= 2
+    entities) against the vmapped rasterizer."""
+    from agarcl_tpu.obs.grid import GridObsConfig, grid_frame
+    from agarcl_tpu.ops.fused_grid import fused_grid_frame
+    from agarcl_tpu.vec import VecEnv
+    cfg = EnvConfig(num_agents=1, ticks_per_step=4, arena_size=120,
+                    num_pellets=50, num_viruses=4, num_bots=1, mode=7)
+    ocfg = GridObsConfig(grid_size=32)
+    env = VecEnv(cfg, 4, obs_type="none", backend="xla", donate=False)
+    states, _ = env.reset(3)
+    c = states.player_centroid()[:, 0]                       # (4, 2)
+    # two viruses 0.2 apart (same bin at any view), different masses; the
+    # bot's two cells likewise co-binned near the main player
+    vp = states.virus_pos
+    vp = vp.at[:, 0].set(c + 10.0)
+    vp = vp.at[:, 1].set(c + 10.2)
+    states = states.replace(
+        virus_pos=vp,
+        virus_alive=states.virus_alive.at[:, :2].set(True),
+        virus_mass=states.virus_mass.at[:, 0].set(120).at[:, 1].set(180),
+        cell_pos=states.cell_pos.at[:, 1, 0].set(c - 8.0)
+                                .at[:, 1, 1].set(c - 8.3),
+        cell_alive=states.cell_alive.at[:, 1, :2].set(True),
+        cell_mass=states.cell_mass.at[:, 1, 0].set(40)
+                                  .at[:, 1, 1].set(90))
+    ref = jax.jit(jax.vmap(functools.partial(grid_frame, cfg, ocfg)))(states)
+    got = fused_grid_frame(cfg, ocfg, states, block_envs=4, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    # the crafted state must actually produce distinct min/max somewhere
+    assert (np.asarray(ref)[:, 0, -2] != np.asarray(ref)[:, 0, -1]).any()
+
+
 def test_fused_env_step_grid_obs():
     """fused_env_step with grid obs routes through the Pallas binning kernel
     (interpret mode) and matches the vmapped XLA env_step bin-exactly."""

@@ -8,7 +8,7 @@ pixel-for-pixel (VERDICT round-1 item 1 step 1; analogous to the grid
 rasterizer's scatter oracle in test_obs.py).
 
 All arithmetic is float32 with the same operation order as screen.py
-(dx*dx + dy*dy <= r*r), so agreement is required to be exact, not approx.
+(dx*dx <= r*r - dy*dy), so agreement is required to be exact, not approx.
 """
 
 import math
@@ -80,7 +80,11 @@ def numpy_class_map(cfg, state, S):
                 dy = wy - F(pos[n, 1])
                 r2 = F(rad if np.isscalar(rad) else rad[n])
                 r2 = F(r2 * r2)
-                m |= (dx * dx)[None, :] + (dy * dy)[:, None] <= r2
+                # pinned predicate form: dx^2 <= r^2 - dy^2 (one broadcast
+                # op fewer than dx^2+dy^2 <= r^2; differs only at f32-ulp
+                # boundaries and is used identically by the XLA and Pallas
+                # rasterizers)
+                m |= (dx * dx)[None, :] <= (r2 - dy * dy)[:, None]
             paint(m, cid)
 
         circles(s["pellet_pos"], radius(1.0), s["pellet_alive"], 2)
@@ -155,7 +159,7 @@ def test_screen_frame_colors_match_oracle():
 
 def test_class_map_boundary_pixels():
     """Entities placed at exact pixel-center distances: the coverage
-    predicate is dx^2+dy^2 <= r^2 in f32, inclusive."""
+    predicate is dx^2 <= r^2 - dy^2 in f32, inclusive."""
     cfg = EnvConfig(num_agents=1, ticks_per_step=1, arena_size=100,
                     num_pellets=4, num_viruses=1, mode=4)
     state = env_reset(cfg, 2)
