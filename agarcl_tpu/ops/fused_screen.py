@@ -71,7 +71,15 @@ def _packed_palette(agent_view: bool):
 
 
 def _make_kernel(cfg: EnvConfig, S: int, BE: int, Kp: int, Kf: int,
-                 n_other: int, packed_table=None):
+                 n_other: int, offs, packed_table=None,
+                 _only: str | None = None):
+    """offs: {section: (lane offset, real width, padded width)} into the one
+    consolidated input table (see _rasterize — 16 separate inputs cost 16
+    DMA setups per grid step, ~3.8 ms of fixed overhead per 2048-env frame;
+    one table costs one). _only: benchmarking knob — compute just one work
+    group ('strips', 'circles', 'lines') and leave the rest empty."""
+    def on(name):
+        return _only is None or _only == name
     W = cfg.arena_width
     H = cfg.arena_height
     Cc = cfg.max_cells
@@ -80,67 +88,83 @@ def _make_kernel(cfg: EnvConfig, S: int, BE: int, Kp: int, Kf: int,
     def strip_count(count, x_row, y_row, r2_row, K, weight, wxT, cy, half,
                     iota_subf, delta, wy0):
         """Accumulate strip-matmul coverage counts for one entity class.
-
-        Entity tables stay in lanes as loaded — rows (1, Ne) broadcast
-        against pixel columns (S, 1), so no (1,N)->(N,1) transposes (a lane
-        ->sublane relayout per table per env in the previous layout). The
-        strip predicate is the pinned f32 `dx*dx <= r*r - dy*dy` with wy
+        The strip predicate is the pinned f32 `dx*dx <= r*r - dy*dy` with wy
         rebuilt from the row index by the identical pixel-grid expression.
+
+        Both dot operands live in the (S, Ne) orientation — the lanes-lanes
+        contraction is native on the MXU path, while the "natural" (Ne, S)
+        rhs orientation pads S lanes to 128 on every operand (measured 45%
+        slower). wxT is the pixel-x coordinate as an (S, 1) column (the
+        bit-identical expression to the pixel-x row wx). Padding lanes carry
+        x/y = 1e9 and r2 = -1, so they can never cover a pixel.
         """
         dxT = wxT - x_row                                # (S, Ne)
         dx2T = dxT * dxT
         r_row = jnp.sqrt(jnp.maximum(r2_row, 0.0))       # (1, Ne)
         u = (y_row - wy0) / delta
         base = jnp.floor(u - r_row / delta) - 1.0        # (1, Ne) f32 whole
+        # Clamp the strip window into [0, S-K]: every tested row is then a
+        # real screen row, so the row one-hot can be ROLLED down one sublane
+        # per k (1 op) instead of rebuilt (2 ops), with no wraparound. The
+        # clamped window still covers all on-screen covered rows: true rows
+        # lie in [ceil(u-x), floor(u+x)] (x = r/delta) and the window keeps
+        # >= 1 row of slack at both ends (K = ceil(2x)+2); per-(row, entity)
+        # predicates are unchanged, so masks and counts stay exact.
+        base = jnp.clip(base, 0.0, jnp.float32(S - K))
+        # f32 one-hots/masks throughout: Mosaic's rotate only handles 32-bit
+        # data, and skipping the bf16 casts saves an op per operand (the
+        # matmuls' FLOPs are negligible either way)
+        R2 = jnp.where(base == iota_subf, 1.0, 0.0)      # (S, Ne) rows i
         for k in range(K):
             rows_k = base + jnp.float32(k)               # (1, Ne)
             idx = (rows_k + 0.5) * 2.0 / S - 1.0
             wyk = cy + idx * half
             dyk = wyk - y_row
             lim = r2_row - dyk * dyk                     # (1, Ne); pinned
-            X2 = jnp.where(dx2T <= lim, weight,          # form dx2<=r2-dy2
-                           0.0).astype(jnp.bfloat16)     # (S, Ne) cols j
-            R2 = jnp.where(rows_k == iota_subf, 1.0,
-                           0.0).astype(jnp.bfloat16)     # (S, Ne) rows i
+            X2 = jnp.where(dx2T <= lim, weight, 0.0)     # form dx2<=r2-dy2
             count = count + jax.lax.dot_general(
                 R2, X2, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)      # (S, S)
+            if k + 1 < K:
+                R2 = pltpu.roll(R2, 1, 0)
         return count
 
-    def circles(xref, yref, r2ref, be, n, wx, wy, cx, cy, half):
-        """Direct unrolled coverage for a few-entity class: (S, S) bool.
-        Each entity is guarded by a scalar alive+in-view branch — dead slots
-        (r2 = -1) and off-screen entities (the common case: the view is a few
-        percent of the arena) skip their (S, S) work entirely."""
-        cov = jnp.zeros((S, S), jnp.float32)
-        for c in range(n):
-            x = xref[be, c]
-            y = yref[be, c]
-            r2 = r2ref[be, c]
-            r = jnp.sqrt(jnp.maximum(r2, 0.0))
-            onscreen = ((r2 >= 0.0) & (jnp.abs(x - cx) <= half + r)
-                        & (jnp.abs(y - cy) <= half + r))
-
-            def draw(a):
-                dx = wx - x                              # (1, S)
-                dy = wy - y                              # (S, 1)
-                lim = r2 - dy * dy                       # (S, 1); pinned
-                return jnp.where(dx * dx <= lim, 1.0, a)  # form dx2<=r2-dy2
-
-            cov = jax.lax.cond(onscreen, draw, lambda a: a, cov)
-        return cov >= 0.5
-
-    def kernel(params, px, py, pr2, fx, fy, fr2, mx, my, mr2,
-               ox, oy, or2, vx, vy, vr2, o_ref):
+    def kernel(tab, o_ref):
         iota_lane = jax.lax.broadcasted_iota(
             jnp.int32, (1, S), 1).astype(jnp.float32)
         iota_sub = jax.lax.broadcasted_iota(
             jnp.int32, (S, 1), 0).astype(jnp.float32)
 
         for be in range(BE):
-            cx = params[be, 0]
-            cy = params[be, 1]
-            half = params[be, 2]
+            def sec(name):
+                o, w, pw = offs[name]
+                return tab[be:be + 1, o:o + pw]          # (1, padded Ne)
+
+            def circles(xn, yn, rn, n, wx, wy):
+                """Direct unrolled coverage for a few-entity class: (S, S)
+                bool — two (S, S) ops per entity (broadcast compare +
+                select). Unconditional on purpose: guarding each entity
+                with a scalar lax.cond measured 2.5x SLOWER (the untaken
+                branch still copies the (S, S) carry through the scf.if).
+                Dead slots fall out via r2 = -1."""
+                xo = offs[xn][0]
+                yo = offs[yn][0]
+                ro = offs[rn][0]
+                cov = jnp.zeros((S, S), jnp.float32)
+                for c in range(n):
+                    x = tab[be, xo + c]
+                    y = tab[be, yo + c]
+                    r2 = tab[be, ro + c]
+                    dx2 = (wx - x) * (wx - x)            # (1, S) cheap
+                    dy = wy - y                          # (S, 1)
+                    lim = r2 - dy * dy                   # (S, 1); pinned
+                    cov = jnp.where(dx2 <= lim, 1.0, cov)  # dx2<=r2-dy2
+                return cov >= 0.5
+
+            po = offs['params'][0]
+            cx = tab[be, po]
+            cy = tab[be, po + 1]
+            half = tab[be, po + 2]
             wx = cx + ((iota_lane + 0.5) * 2.0 / S - 1.0) * half   # (1, S)
             wy = cy + ((iota_sub + 0.5) * 2.0 / S - 1.0) * half    # (S, 1)
             # pixel-x coords as a column — bit-identical expression to wx
@@ -149,41 +173,50 @@ def _make_kernel(cfg: EnvConfig, S: int, BE: int, Kp: int, Kf: int,
             delta = 2.0 * half / S
             wy0 = cy + (0.5 * 2.0 / S - 1.0) * half
 
-            # 8x8 arena grid lines (renderables.hpp:245-340)
-            on_v = jnp.zeros((1, S), jnp.float32)
-            on_h = jnp.zeros((S, 1), jnp.float32)
-            for k in range(8):
-                t = jnp.float32(k) / 7.0
-                on_v = jnp.maximum(
-                    on_v, jnp.where(jnp.abs(wx - t * W) <= ph, 1.0, 0.0))
-                on_h = jnp.maximum(
-                    on_h, jnp.where(jnp.abs(wy - t * H) <= ph, 1.0, 0.0))
-            in_x = jnp.where((wx >= -1e-3) & (wx <= W + 1e-3), 1.0, 0.0)
-            in_y = jnp.where((wy >= -1e-3) & (wy <= H + 1e-3), 1.0, 0.0)
-            gridm = (jnp.maximum(on_v, on_h) * in_x * in_y) >= 0.5
+            false2d = jnp.zeros((S, S), bool)
+            if on('lines'):
+                # 8x8 arena grid lines (renderables.hpp:245-340)
+                on_v = jnp.zeros((1, S), jnp.float32)
+                on_h = jnp.zeros((S, 1), jnp.float32)
+                for k in range(8):
+                    t = jnp.float32(k) / 7.0
+                    on_v = jnp.maximum(
+                        on_v, jnp.where(jnp.abs(wx - t * W) <= ph, 1.0, 0.0))
+                    on_h = jnp.maximum(
+                        on_h, jnp.where(jnp.abs(wy - t * H) <= ph, 1.0, 0.0))
+                in_x = jnp.where((wx >= -1e-3) & (wx <= W + 1e-3), 1.0, 0.0)
+                in_y = jnp.where((wy >= -1e-3) & (wy <= H + 1e-3), 1.0, 0.0)
+                gridm = (jnp.maximum(on_v, on_h) * in_x * in_y) >= 0.5
+            else:
+                gridm = false2d
 
             # pellet + food strips share one f32 accumulator
-            R = lambda ref: ref[be:be + 1, :]                  # (1, Ne) row
-            count = jnp.zeros((S, S), jnp.float32)
-            count = strip_count(count, R(px), R(py), R(pr2), Kp, 1.0,
-                                wxT, cy, half, iota_sub, delta, wy0)
-            count = strip_count(count, R(fx), R(fy), R(fr2), Kf, _FOOD_W,
-                                wxT, cy, half, iota_sub, delta, wy0)
-            foods_c = jnp.floor(count * (1.0 / _FOOD_W))
-            pel = (count - foods_c * _FOOD_W) >= 0.5
-            foo = foods_c >= 0.5
+            if on('strips'):
+                count = jnp.zeros((S, S), jnp.float32)
+                count = strip_count(count, sec('px'), sec('py'), sec('pr2'),
+                                    Kp, 1.0, wxT, cy, half, iota_sub, delta,
+                                    wy0)
+                count = strip_count(count, sec('fx'), sec('fy'), sec('fr2'),
+                                    Kf, _FOOD_W, wxT, cy, half, iota_sub,
+                                    delta, wy0)
+                foods_c = jnp.floor(count * (1.0 / _FOOD_W))
+                pel = (count - foods_c * _FOOD_W) >= 0.5
+                foo = foods_c >= 0.5
+            else:
+                pel = foo = false2d
 
-            mine = circles(mx, my, mr2, be, Cc, wx, wy, cx, cy, half)
-            # NOTE: counts must be static closure values — inside the kernel
-            # ref.shape[0] is the env-block size, not the entity count
-            vir = circles(vx, vy, vr2, be, Nv, wx, wy, cx, cy, half)
+            if on('circles'):
+                mine = circles('mx', 'my', 'mr2', Cc, wx, wy)
+                vir = circles('vx', 'vy', 'vr2', Nv, wx, wy)
+            else:
+                mine = vir = false2d
 
             cls = jnp.where(gridm, 1, 0)
             cls = jnp.where(pel, 2, cls)
             cls = jnp.where(foo, 3, cls)
             cls = jnp.where(mine, 4, cls)
-            if n_other:
-                oth = circles(ox, oy, or2, be, n_other, wx, wy, cx, cy, half)
+            if n_other and on('circles'):
+                oth = circles('ox', 'oy', 'or2', n_other, wx, wy)
                 cls = jnp.where(oth, 5, cls)
             cls = jnp.where(vir, 6, cls)
             if packed_table is not None:
@@ -199,9 +232,11 @@ def _make_kernel(cfg: EnvConfig, S: int, BE: int, Kp: int, Kf: int,
 
 
 def _rasterize(cfg: EnvConfig, S: int, states, block_envs: int,
-               interpret: bool, packed_table=None):
+               interpret: bool, packed_table=None, _only=None):
     """(N, S, S) int32: class ids, or final packed pixels when packed_table
-    is given (see _packed_palette)."""
+    is given (see _packed_palette). All entity tables ride ONE consolidated
+    (N, total-lanes) input (sections 128-aligned) so each grid step issues a
+    single input DMA."""
     assert supports(cfg)
     N = states.ticks.shape[0]
     BE = min(block_envs, N)
@@ -243,23 +278,41 @@ def _rasterize(cfg: EnvConfig, S: int, states, block_envs: int,
     Kp = _strip_K(_RAD_PELLET, S)
     Kf = _strip_K(_RAD_FOOD, S)
 
-    ins = [params, px, py, pr2, fx, fy, fr2, mx, my, mr2,
-           ox, oy, or2, vx, vy, vr2]
+    # consolidate: pad every section to a 128-lane multiple (slices inside
+    # the kernel stay tile-aligned) and concatenate. Coordinate pads park at
+    # 1e9 and radius pads at -1 so padding lanes never rasterize.
+    named = [("params", params, 0.0),
+             ("px", px, 1e9), ("py", py, 1e9), ("pr2", pr2, -1.0),
+             ("fx", fx, 1e9), ("fy", fy, 1e9), ("fr2", fr2, -1.0),
+             ("mx", mx, 1e9), ("my", my, 1e9), ("mr2", mr2, -1.0),
+             ("ox", ox, 1e9), ("oy", oy, 1e9), ("or2", or2, -1.0),
+             ("vx", vx, 1e9), ("vy", vy, 1e9), ("vr2", vr2, -1.0)]
+    offs = {}
+    parts = []
+    off = 0
+    for name, arr, fill in named:
+        w = arr.shape[1]
+        pw = -(-w // 128) * 128
+        if pw != w:
+            arr = jnp.pad(arr, ((0, 0), (0, pw - w)), constant_values=fill)
+        offs[name] = (off, w, pw)
+        parts.append(arr)
+        off += pw
+    tab = jnp.concatenate(parts, axis=1)                       # (N, off)
 
-    def spec(x):
-        return pl.BlockSpec((BE, x.shape[1]), lambda i: (i, 0))
-
-    kernel = _make_kernel(cfg, S, BE, Kp, Kf, n_other, packed_table)
+    kernel = _make_kernel(cfg, S, BE, Kp, Kf, n_other,
+                          {k: v for k, v in offs.items()}, packed_table,
+                          _only)
     return pl.pallas_call(
         kernel,
         grid=(N // BE,),
-        in_specs=[spec(x) for x in ins],
+        in_specs=[pl.BlockSpec((BE, off), lambda i: (i, 0))],
         out_specs=pl.BlockSpec((BE, S, S), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((N, S, S), jnp.int32),
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(*ins)
+    )(tab)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 3, 4))

@@ -74,7 +74,7 @@ def main():
     suffix = "" if args.mode == 4 else f"_mode{args.mode}"
     print(json.dumps({
         "metric":
-            f"env_steps_per_sec_per_chip_8192envs_{args.obs}{suffix}",
+            f"env_steps_per_sec_per_chip_{num_envs}envs_{args.obs}{suffix}",
         "value": round(sps, 1),
         "unit": "steps/s",
         "vs_baseline": round(sps / TARGET, 4),
