@@ -52,9 +52,11 @@ def supports(cfg: EnvConfig, ocfg) -> bool:
             and ocfg.num_frames == 1 and 128 % ocfg.grid_size == 0)
 
 
-def _make_kernel(cfg: EnvConfig, G: int, BE: int, n_other: int,
+def _make_kernel(cfg: EnvConfig, G: int, BE: int, n_other: int, offs,
                  _only: str | None = None):
-    """_only: benchmarking knob — compute just one channel group ('pellets',
+    """offs: {section: (lane offset, real width, padded width)} into the one
+    consolidated input table (one DMA per grid step instead of 13).
+    _only: benchmarking knob — compute just one channel group ('pellets',
     'virus', 'own', 'oob') and store zeros elsewhere, isolating its cost.
 
     The kernel computes and stores every channel in the PACKED layout
@@ -73,8 +75,11 @@ def _make_kernel(cfg: EnvConfig, G: int, BE: int, n_other: int,
     PACK = 128 // G          # grid rows packed per 128-lane output row
     ROWS = G * G // 128      # output rows per channel
 
-    def kernel(params, px, py, vx, vy, vm, mx, my, mm,
-               ox, oy, om, ok_, o_ref):
+    def kernel(tab, o_ref):
+        def sec(name):
+            o, w, pw = offs[name]
+            return tab[:, o:o + pw]                       # (BE, padded Ne)
+
         iota_i = jax.lax.broadcasted_iota(jnp.int32, (ROWS, 128), 0)
         iota_j = jax.lax.broadcasted_iota(jnp.int32, (ROWS, 128), 1)
         # packed pixel -> (row bin r, col bin c): r = PACK*i + j//G, c = j%G
@@ -92,20 +97,21 @@ def _make_kernel(cfg: EnvConfig, G: int, BE: int, n_other: int,
         # lanes: (BE, Ne) f32 — the exact obs/grid.py _to_grid expression
         # (division, not reciprocal-multiply, so f32 rounding matches
         # bin-for-bin). cols (BE, 1) broadcast against the entity lanes.
-        cxc = params[:, 0:1]
-        cyc = params[:, 1:2]
-        vwc = params[:, 2:3]
+        po = offs['params'][0]
+        cxc = tab[:, po:po + 1]
+        cyc = tab[:, po + 1:po + 2]
+        vwc = tab[:, po + 2:po + 3]
 
-        def bins_blk(xref, yref):
-            bx = jnp.trunc(G * (xref[...] - cxc) / vwc + G / 2.0)
-            by = jnp.trunc(G * (yref[...] - cyc) / vwc + G / 2.0)
+        def bins_blk(xn, yn):
+            bx = jnp.trunc(G * (sec(xn) - cxc) / vwc + G / 2.0)
+            by = jnp.trunc(G * (sec(yn) - cyc) / vwc + G / 2.0)
             return bx, by
 
-        pbx, pby = bins_blk(px, py)                           # (BE, Np)
-        vbx, vby = bins_blk(vx, vy)                           # (BE, Nv)
-        mbx, mby = bins_blk(mx, my)                           # (BE, Cc)
+        pbx, pby = bins_blk('px', 'py')                       # (BE, Np)
+        vbx, vby = bins_blk('vx', 'vy')                       # (BE, Nv)
+        mbx, mby = bins_blk('mx', 'my')                       # (BE, Cc)
         if n_other:
-            obx, oby = bins_blk(ox, oy)
+            obx, oby = bins_blk('ox', 'oy')
 
         for be in range(BE):
             def ohyT(b_all, dtype=jnp.bfloat16):
@@ -132,9 +138,9 @@ def _make_kernel(cfg: EnvConfig, G: int, BE: int, n_other: int,
                                                                   axis=1)
 
             # --- out-of-bounds (GridEnvironment.hpp:240-248) --------------
-            cx = params[be, 0]
-            cy = params[be, 1]
-            view = params[be, 2]
+            cx = tab[be, po]
+            cy = tab[be, po + 1]
+            view = tab[be, po + 2]
             zero = jnp.zeros((ROWS, 128), jnp.int32)
             if on('oob'):
                 wx = cx + (rf - G / 2.0) * view / G           # row-bin axis
@@ -171,16 +177,18 @@ def _make_kernel(cfg: EnvConfig, G: int, BE: int, n_other: int,
             # loop runs only behind a single per-env branch otherwise. -----
             if on('virus'):
                 vacc = mmul(vbx, ohyT(vby, dtype=jnp.float32),
-                            w=vm[be:be + 1, :] + _CNT_W)      # (ROWS, 128)
+                            w=sec('vm')[be:be + 1, :] + _CNT_W)      # (ROWS, 128)
                 vcnt = jnp.floor(vacc * (1.0 / _CNT_W))
                 vadd = vacc - vcnt * _CNT_W
 
                 def vmax_slow():
                     m_ = jnp.zeros((ROWS, 128), jnp.float32)
                     for e in range(Nv):
-                        flat = flat_bin(vx[be, e], vy[be, e])
+                        flat = flat_bin(tab[be, offs['vx'][0] + e],
+                                        tab[be, offs['vy'][0] + e])
                         m_ = jnp.maximum(
-                            m_, jnp.where(iota_flat == flat, vm[be, e], 0.0))
+                            m_, jnp.where(iota_flat == flat,
+                                          tab[be, offs['vm'][0] + e], 0.0))
                     return m_
 
                 vmax = jax.lax.cond(jnp.max(vcnt) >= 2.0, vmax_slow,
@@ -195,7 +203,7 @@ def _make_kernel(cfg: EnvConfig, G: int, BE: int, n_other: int,
             if on('own'):
                 o_ref[be, 5] = mmul(
                     mbx, ohyT(mby, dtype=jnp.float32),
-                    w=mm[be:be + 1, :]).astype(jnp.int32)
+                    w=sec('mm')[be:be + 1, :]).astype(jnp.int32)
             else:
                 o_ref[be, 5] = zero
 
@@ -207,18 +215,19 @@ def _make_kernel(cfg: EnvConfig, G: int, BE: int, n_other: int,
             if n_other:
                 oy_oh = ohyT(oby, dtype=jnp.float32)
                 ocnt_ = mmul(obx, ohyT(oby))
-                oadd = mmul(obx, oy_oh, w=om[be:be + 1, :])
+                oadd = mmul(obx, oy_oh, w=sec('om')[be:be + 1, :])
 
                 def oth_slow():
                     mn = jnp.full((ROWS, 128), _INF_F, jnp.float32)
                     mx_ = jnp.zeros((ROWS, 128), jnp.float32)
                     for e in range(n_other):
-                        flat = flat_bin(ox[be, e], oy[be, e])
+                        flat = flat_bin(tab[be, offs['ox'][0] + e],
+                                        tab[be, offs['oy'][0] + e])
                         hit = iota_flat == flat
-                        mn = jnp.minimum(mn, jnp.where(hit, ok_[be, e],
-                                                       _INF_F))
-                        mx_ = jnp.maximum(mx_, jnp.where(hit, om[be, e],
-                                                         0.0))
+                        mn = jnp.minimum(mn, jnp.where(
+                            hit, tab[be, offs['ok'][0] + e], _INF_F))
+                        mx_ = jnp.maximum(mx_, jnp.where(
+                            hit, tab[be, offs['om'][0] + e], 0.0))
                     return jnp.where(mn == _INF_F, 0.0, mn), mx_
 
                 omin, omax = jax.lax.cond(
@@ -279,23 +288,40 @@ def fused_grid_channels(cfg: EnvConfig, G: int, states,
     else:
         ox = oy = om = ok_ = jnp.zeros((N, 8), f32)
 
-    ins = [params, px, py, vx, vy, vm, mx, my, mm, ox, oy, om, ok_]
+    # consolidate: pad every section to a 128-lane multiple (tile-aligned
+    # in-kernel slices) and concatenate — one input DMA per grid step.
+    # Coordinate pads park at 1e9 (out-of-grid bins) and weight pads at 0.
+    named = [("params", params, 0.0),
+             ("px", px, 1e9), ("py", py, 1e9),
+             ("vx", vx, 1e9), ("vy", vy, 1e9), ("vm", vm, 0.0),
+             ("mx", mx, 1e9), ("my", my, 1e9), ("mm", mm, 0.0),
+             ("ox", ox, 1e9), ("oy", oy, 1e9), ("om", om, 0.0),
+             ("ok", ok_, 0.0)]
+    offs = {}
+    parts = []
+    off = 0
+    for name, arr, fill in named:
+        w = arr.shape[1]
+        pw = -(-w // 128) * 128
+        if pw != w:
+            arr = jnp.pad(arr, ((0, 0), (0, pw - w)), constant_values=fill)
+        offs[name] = (off, w, pw)
+        parts.append(arr)
+        off += pw
+    tab = jnp.concatenate(parts, axis=1)                       # (N, off)
 
-    def spec(x):
-        return pl.BlockSpec((BE, x.shape[1]), lambda i: (i, 0))
-
-    kernel = _make_kernel(cfg, G, BE, n_other, _only)
+    kernel = _make_kernel(cfg, G, BE, n_other, offs, _only)
     ROWS = G * G // 128
     out = pl.pallas_call(
         kernel,
         grid=(N // BE,),
-        in_specs=[spec(x) for x in ins],
+        in_specs=[pl.BlockSpec((BE, off), lambda i: (i, 0))],
         out_specs=pl.BlockSpec((BE, 8, ROWS, 128), lambda i: (i, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((N, 8, ROWS, 128), jnp.int32),
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(*ins)
+    )(tab)
     # (ROWS, 128) is the same row-major bytes as (G, G): free reshape
     return out.reshape(N, 8, G, G)
 
