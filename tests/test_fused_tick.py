@@ -514,3 +514,33 @@ def test_fused_respawn_main_during_obs():
             err_msg=name)
     np.testing.assert_allclose(np.asarray(r_f), np.asarray(r_x), atol=1e-4)
     np.testing.assert_array_equal(np.asarray(d_f), np.asarray(d_x))
+
+
+def test_multi_tick_kernel_matches_chained_single_ticks():
+    """fused_engine_tick(n_ticks=4) == four chained n_ticks=1 calls,
+    field-exact, for a pellet mode and a duel mode (bots act on the tick
+    counter inside the loop; dead-cell masking chains between in-kernel
+    ticks exactly as the per-tick writeback)."""
+    import dataclasses
+
+    from agarcl_tpu.env import apply_actions
+
+    for mode, bots in ((4, 0), (7, 1)):
+        cfg = EnvConfig(num_agents=1, ticks_per_step=4, arena_size=120,
+                        num_pellets=80, num_viruses=4, num_bots=bots,
+                        mode=mode)
+        states = jax.vmap(lambda s: env_reset(cfg, s))(
+            jnp.arange(8, dtype=jnp.uint32) + 5)
+        acts = jnp.tile(jnp.asarray([[0.6, -0.3, 2.0]], jnp.float32),
+                        (8, cfg.num_agents, 1))
+        states = jax.vmap(functools.partial(apply_actions, cfg))(states,
+                                                                 acts)
+        a = states
+        for _ in range(4):
+            a = fused_engine_tick(cfg, a, 8, True, 99, 1)
+        b = fused_engine_tick(cfg, states, 8, True, 99, 4)
+        for f in dataclasses.fields(a):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(a, f.name)),
+                np.asarray(getattr(b, f.name)),
+                err_msg=f"mode {mode}: {f.name}")
