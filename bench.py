@@ -28,6 +28,8 @@ def main():
     ap.add_argument("--obs", default="ram",
                     choices=("ram", "grid", "screen", "none"),
                     help="observation computed+returned every step")
+    ap.add_argument("--size", type=int, default=0,
+                    help="grid_size / screen_len override (0 = default)")
     args = ap.parse_args()
     num_envs, steps_per_call, timed_calls = args.envs, args.steps, args.iters
 
@@ -41,10 +43,11 @@ def main():
     obs_config = None
     if args.obs == "grid":
         from agarcl_tpu.obs.grid import GridObsConfig
-        obs_config = GridObsConfig(grid_size=64)
+        obs_config = GridObsConfig(grid_size=args.size or 64)
     elif args.obs == "screen":
         from agarcl_tpu.obs.screen import ScreenObsConfig
-        obs_config = ScreenObsConfig(screen_len=84, agent_view=True)
+        obs_config = ScreenObsConfig(screen_len=args.size or 84,
+                                     agent_view=True)
     from agarcl_tpu.ops.fused_tick import supports
     # Mosaic kernels need real TPU hardware; CI smoke-runs fall back to XLA.
     backend = ("fused" if supports(cfg) and jax.default_backend() != "cpu"
