@@ -59,8 +59,8 @@ def bench_grid():
     for G, n in ((64, 4096), (128, 2048)):
         env = VecEnv(CFG, n, obs_type="grid",
                      obs_config=GridObsConfig(grid_size=G), backend="fused")
-        print(f"grid {G}x{G} {n} envs, per-call: "
-              f"{_run(env, n, 1, 20):,.0f} env-steps/s")
+        print(f"grid {G}x{G} {n} envs, 5-step chained: "
+              f"{_run(env, n, 5, 8):,.0f} env-steps/s")
 
 
 def bench_screen():
@@ -72,8 +72,8 @@ def bench_screen():
                      obs_config=ScreenObsConfig(screen_len=S,
                                                 agent_view=True),
                      backend="fused")
-        print(f"screen {S}x{S} {n} envs, per-call: "
-              f"{_run(env, n, 1, 10):,.0f} env-steps/s")
+        print(f"screen {S}x{S} {n} envs, 5-step chained: "
+              f"{_run(env, n, 5, 8):,.0f} env-steps/s")
 
 
 if __name__ == "__main__":
