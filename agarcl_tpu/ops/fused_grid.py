@@ -45,6 +45,16 @@ _INF_F = 2.0**30
 _CNT_W = 2.0**17
 
 
+def _block_size(n: int, want: int) -> int:
+    """Largest block size <= want that divides n (the pallas grid needs
+    uniform blocks; odd env counts fall back to smaller blocks rather than
+    asserting out)."""
+    b = min(want, n)
+    while n % b:
+        b -= 1
+    return b
+
+
 def supports(cfg: EnvConfig, ocfg) -> bool:
     """The fused grid kernel covers single-agent configs (any bot count)
     with grid sizes dividing 128 (the packed-output layout)."""
@@ -249,8 +259,7 @@ def fused_grid_channels(cfg: EnvConfig, G: int, states,
     bin-exact vs jax.vmap of obs/grid.py grid_frame (single-agent).
     _only: see _make_kernel (benchmark ablation)."""
     N = states.ticks.shape[0]
-    BE = min(block_envs, N)
-    assert N % BE == 0, (N, BE)
+    BE = _block_size(N, block_envs)
     P, Cc = states.cell_mass.shape[1:]
 
     centroid = states.player_centroid()[:, 0, :]              # (N, 2)

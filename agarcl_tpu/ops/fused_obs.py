@@ -38,6 +38,16 @@ _INF = 1e30       # stand-in for +inf in masked distances
 _ALIVE_THRESH = 1e29
 
 
+def _block_size(n: int, want: int) -> int:
+    """Largest block size <= want that divides n (the pallas grid needs
+    uniform blocks; odd env counts fall back to smaller blocks rather than
+    asserting out)."""
+    b = min(want, n)
+    while n % b:
+        b -= 1
+    return b
+
+
 def _nearest_rows(d2_masked, idx, k, cols):
     """Iteratively extract the k nearest entries (stable lowest-index
     tiebreak, matching top_k(-d2)); returns k * (len(cols)+1) rows of
@@ -153,8 +163,7 @@ def fused_ram_obs(cfg: EnvConfig, ocfg: RamObsConfig, states: GameState,
     """
     N = states.ticks.shape[0]
     A = cfg.num_agents
-    E = min(block_envs, N)
-    assert N % E == 0, (N, E)
+    E = _block_size(N, block_envs)
     R = ram_size(cfg, ocfg)
 
     b2i = lambda b: jnp.where(b, 1, 0).astype(jnp.int32)

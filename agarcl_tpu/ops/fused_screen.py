@@ -45,6 +45,16 @@ from agarcl_tpu.obs.screen import (ScreenObsConfig, _AGENT_VIEW_COLORS,
 _FOOD_W = 4096.0  # class weight separating food strips from pellet strips
 
 
+def _block_size(n: int, want: int) -> int:
+    """Largest block size <= want that divides n (the pallas grid needs
+    uniform blocks; odd env counts fall back to smaller blocks rather than
+    asserting out)."""
+    b = min(want, n)
+    while n % b:
+        b -= 1
+    return b
+
+
 def supports(cfg: EnvConfig) -> bool:
     """The fused screen kernel covers single-agent configs (any bot count)."""
     return cfg.num_agents == 1
@@ -239,8 +249,7 @@ def _rasterize(cfg: EnvConfig, S: int, states, block_envs: int,
     single input DMA."""
     assert supports(cfg)
     N = states.ticks.shape[0]
-    BE = min(block_envs, N)
-    assert N % BE == 0, (N, BE)
+    BE = _block_size(N, block_envs)
     P, Cc = states.cell_mass.shape[1:]
 
     centroid = states.player_centroid()[:, 0, :]              # (N, 2)

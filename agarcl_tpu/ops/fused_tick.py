@@ -59,6 +59,16 @@ def _mix(h):
     return h
 
 
+def _block_size(n: int, want: int) -> int:
+    """Largest block size <= want that divides n (the pallas grid needs
+    uniform blocks; odd env counts fall back to smaller blocks rather than
+    asserting out)."""
+    b = min(want, n)
+    while n % b:
+        b -= 1
+    return b
+
+
 def _hash_u32(seed, stream, tick, slot, axis):
     h = seed.astype(jnp.uint32) * _GOLDEN
     for v in (stream, tick, slot, axis):
@@ -1455,8 +1465,7 @@ def fused_engine_tick(cfg: EnvConfig, states: GameState,
     """
     assert supports(cfg), "fused tick requires num_players <= 5"
     N = states.ticks.shape[0]
-    E = min(block_envs, N)
-    assert N % E == 0, (N, E)
+    E = _block_size(N, block_envs)
 
     ins = _to_kernel_arrays(states)
 

@@ -544,3 +544,25 @@ def test_multi_tick_kernel_matches_chained_single_ticks():
                 np.asarray(getattr(a, f.name)),
                 np.asarray(getattr(b, f.name)),
                 err_msg=f"mode {mode}: {f.name}")
+
+
+def test_fused_odd_env_counts():
+    """Env counts that don't divide the default block sizes fall back to
+    smaller blocks instead of asserting (VecEnv users pick arbitrary N)."""
+    from agarcl_tpu.obs.screen import ScreenObsConfig
+    from agarcl_tpu.ops.fused_step import fused_env_step
+    from agarcl_tpu.vec import make_obs_fn
+
+    cfg = EnvConfig(num_agents=1, ticks_per_step=2, arena_size=100,
+                    num_pellets=40, num_viruses=2, mode=4)
+    for n, obs in ((10, "screen"), (13, "grid"), (6, "ram")):
+        states = jax.vmap(functools.partial(env_reset, cfg))(
+            jnp.arange(n, dtype=jnp.uint32))
+        acts = jnp.tile(jnp.asarray([[0.5, 0.5, 0.0]], jnp.float32),
+                        (n, 1, 1))
+        ocfg = ScreenObsConfig(screen_len=32) if obs == "screen" else None
+        fn, nf = make_obs_fn(cfg, obs, ocfg)
+        s2, o2, r2, d2 = fused_env_step(cfg, states, acts, obs_fn=fn,
+                                        num_frames=nf, interpret=True)
+        assert np.isfinite(np.asarray(o2, np.float32)).all()
+        assert o2.shape[0] == n
