@@ -41,7 +41,14 @@ class ShardedVecEnv:
     """
 
     def __init__(self, cfg: EnvConfig, num_envs: int, mesh: Mesh,
-                 obs_type: str = "ram", obs_config=None):
+                 obs_type: str = "ram", obs_config=None,
+                 backend: str = "xla", interpret: bool = False,
+                 block_envs: int = 128):
+        """backend="fused" runs each shard's slice through the fused Pallas
+        step under shard_map (lockstep envs shard embarrassingly, so the
+        kernel stays single-device and XLA inserts no collectives);
+        backend="xla" lets the SPMD partitioner split the vmapped op-graph
+        step. interpret=True is the CPU-mesh test mode for the fused path."""
         n_dev = mesh.devices.size
         assert num_envs % n_dev == 0, (num_envs, n_dev)
         self.cfg = cfg
@@ -56,11 +63,30 @@ class ShardedVecEnv:
         def _reset_batch(seeds):
             return jax.vmap(functools.partial(env_reset, cfg))(seeds)
 
-        def _step_batch(states, actions):
-            out = jax.vmap(
-                functools.partial(env_step, cfg, obs_fn=frame_fn,
-                                  num_frames=num_frames))(states, actions)
-            return out
+        if backend == "fused":
+            from agarcl_tpu.ops.fused_step import fused_env_step
+            from agarcl_tpu.ops.fused_tick import supports
+            assert supports(cfg), "fused backend requires num_players <= 5"
+
+            def _step_shard(states, actions):
+                out = fused_env_step(cfg, states, actions, obs_fn=frame_fn,
+                                     num_frames=num_frames,
+                                     block_envs=block_envs,
+                                     interpret=interpret)
+                if frame_fn is None:
+                    s, obs, r, d = out
+                    return s, r, d
+                return out
+
+            _step_batch = jax.shard_map(
+                _step_shard, mesh=mesh,
+                in_specs=(P("envs"), P("envs")),
+                out_specs=P("envs"), check_vma=False)
+        else:
+            def _step_batch(states, actions):
+                return jax.vmap(
+                    functools.partial(env_step, cfg, obs_fn=frame_fn,
+                                      num_frames=num_frames))(states, actions)
 
         self._reset = jax.jit(_reset_batch,
                               in_shardings=(env_sharding,),
