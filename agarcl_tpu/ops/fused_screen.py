@@ -30,7 +30,6 @@ one-hots come from (N,1)==(1,S) broadcasts.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

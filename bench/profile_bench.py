@@ -25,7 +25,6 @@ import jax.numpy as jnp
 
 from agarcl_tpu import EnvConfig, env_reset, env_step
 from agarcl_tpu.vec import make_obs_fn
-from agarcl_tpu.engine import tick as tick_mod
 from agarcl_tpu.engine import physics, eating, actions
 
 NUM_ENVS = int(sys.argv[1]) if len(sys.argv) > 1 else 2048

@@ -12,8 +12,7 @@ import jax
 import jax.numpy as jnp
 
 from agarcl_tpu import EnvConfig, env_reset
-from agarcl_tpu.obs.screen import (ScreenObsConfig, _AGENT_VIEW_COLORS,
-                                   screen_frame)
+from agarcl_tpu.obs.screen import ScreenObsConfig, _AGENT_VIEW_COLORS
 from agarcl_tpu.ops.fused_screen import (fused_screen_class_map,
                                          fused_screen_frame)
 from agarcl_tpu.ops.fused_step import fused_env_step

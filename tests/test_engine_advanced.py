@@ -5,7 +5,7 @@ auto-split, frame stacking — the mechanics the reference never tested
 import jax.numpy as jnp
 import numpy as np
 
-from agarcl_tpu import EnvConfig, env_reset, env_step
+from agarcl_tpu import EnvConfig
 from agarcl_tpu import constants as C
 
 from tests.helpers import BASE, reset, step_fn, tick_fn

@@ -105,7 +105,6 @@ def test_fused_env_step_matches_xla(monkeypatch):
     """fused_env_step (interpret mode) vs the vmapped XLA env_step: rewards,
     dones, and state must agree through actions/obs/respawn logic."""
     import agarcl_tpu.ops.fused_step as FS
-    import agarcl_tpu.ops.fused_tick as FT
     from agarcl_tpu.env import env_step
     from agarcl_tpu.obs.ram import RamObsConfig, ram_frame
 

@@ -7,7 +7,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from agarcl_tpu import EnvConfig, env_reset
+from agarcl_tpu import EnvConfig
 from agarcl_tpu.obs.grid import GridObsConfig, grid_frame
 from agarcl_tpu.obs.ram import RamObsConfig, ram_frame, ram_size
 from agarcl_tpu.obs.screen import ScreenObsConfig, screen_frame

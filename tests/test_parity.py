@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from agarcl_tpu import EnvConfig, env_reset, env_step
+from agarcl_tpu import EnvConfig, env_reset
 from agarcl_tpu.oracle import OracleEnv
 
 from tests.helpers import step_fn

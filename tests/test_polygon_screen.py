@@ -15,8 +15,6 @@ the fan grown by (1+eps) must be uncovered; boundary pixels in between are
 unconstrained.
 """
 
-import math
-
 import jax.numpy as jnp
 import numpy as np
 
