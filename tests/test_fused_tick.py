@@ -565,3 +565,33 @@ def test_fused_odd_env_counts():
                                         num_frames=nf, interpret=True)
         assert np.isfinite(np.asarray(o2, np.float32)).all()
         assert o2.shape[0] == n
+
+
+def test_fused_screen_frame_stacking():
+    """num_frames=2 screen obs through the fused step == the XLA env_step:
+    the last two ticks each contribute a frame (frame_index semantics,
+    GridEnvironment.hpp:425-431)."""
+    from agarcl_tpu.env import env_step
+    from agarcl_tpu.obs.screen import ScreenObsConfig
+    from agarcl_tpu.ops.fused_step import fused_env_step
+    from agarcl_tpu.vec import make_obs_fn
+
+    cfg = EnvConfig(num_agents=1, ticks_per_step=4, arena_size=100,
+                    num_pellets=40, num_viruses=2, num_bots=0, mode=4)
+    fn, nf = make_obs_fn(cfg, "screen",
+                         ScreenObsConfig(screen_len=32, agent_view=True,
+                                         num_frames=2))
+    assert nf == 2
+    states = jax.vmap(functools.partial(env_reset, cfg))(
+        jnp.arange(4, dtype=jnp.uint32) + 9)
+    acts = jnp.tile(jnp.asarray([[0.7, -0.2, 0.0]], jnp.float32), (4, 1, 1))
+    s_f, obs_f, r_f, d_f = fused_env_step(cfg, states, acts, obs_fn=fn,
+                                          num_frames=nf, block_envs=4,
+                                          interpret=True)
+    step_x = jax.jit(jax.vmap(functools.partial(
+        env_step, cfg, obs_fn=fn, num_frames=nf)))
+    s_x, obs_x, r_x, d_x = step_x(states, acts)
+    assert obs_f.shape[1] == 2                     # (N, F, A, S, S, 4)
+    np.testing.assert_array_equal(np.asarray(obs_f), np.asarray(obs_x))
+    # consecutive frames differ (the sim advanced between them)
+    assert (np.asarray(obs_f[:, 0]) != np.asarray(obs_f[:, 1])).any()
