@@ -17,6 +17,11 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# AGARCL_NO_CACHE=1 bypasses the persistent cache: concurrent pytest runs
+# can tear cache files and later reads then SEGFAULT inside
+# backend.deserialize_executable (seen after parallel suite runs)
+if not os.environ.get("AGARCL_NO_CACHE"):
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__), "..",
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
