@@ -33,6 +33,22 @@ def main():
     args = ap.parse_args()
     num_envs, steps_per_call, timed_calls = args.envs, args.steps, args.iters
 
+    # If the TPU relay is down (tunnel process died), touching the axon
+    # backend hangs indefinitely; probe the relay ports and fall back to
+    # CPU fast so the bench always produces a line.
+    import socket
+    def _relay_up():
+        for port in (8113, 8082):
+            try:
+                with socket.create_connection(("127.0.0.1", port),
+                                              timeout=2.0):
+                    return True
+            except OSError:
+                continue
+        return False
+    if not _relay_up():
+        jax.config.update("jax_platforms", "cpu")
+
     from agarcl_tpu import EnvConfig
     from agarcl_tpu.vec import VecEnv
 
