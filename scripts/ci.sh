@@ -7,4 +7,6 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 
 make -C oracle
-AGARCL_PLATFORM=cpu python -m pytest tests/ -q "$@"
+# -n 2: worker processes keep per-process XLA state small — one process
+# running all 119 tests accumulates until a late CPU compile aborts
+AGARCL_PLATFORM=cpu python -m pytest tests/ -q -n 2 "$@"
