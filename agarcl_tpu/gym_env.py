@@ -132,7 +132,8 @@ class AgarioEnv(gym.Env):
             ocfg = ScreenObsConfig(
                 screen_len=kwargs.get("screen_len", 84),
                 agent_view=self.agent_view,
-                num_frames=self._num_frames)
+                num_frames=self._num_frames,
+                polygon_edges=kwargs.get("polygon_edges", False))
             ch = 4 if self.agent_view else 3
             space = spaces.Box(0, 255,
                                (self._num_frames, ocfg.screen_len,
