@@ -28,8 +28,9 @@ def _free_port():
 
 
 @pytest.mark.slow
-def test_two_process_shardedvecenv(tmp_path):
-    nproc = 2
+@pytest.mark.parametrize("nproc", [2, 4])
+def test_multi_process_shardedvecenv(tmp_path, nproc):
+    """2 and 4 coordinated OS processes (the BASELINE 1->N host shape)."""
     port = _free_port()
     procs, outs = [], []
     for pid in range(nproc):
@@ -73,7 +74,7 @@ def test_two_process_shardedvecenv(tmp_path):
     import jax
     cfg = EnvConfig(num_agents=1, ticks_per_step=2, arena_size=80,
                     num_pellets=20, num_viruses=2, num_bots=0, mode=4)
-    mesh = make_env_mesh(jax.devices()[:4])
+    mesh = make_env_mesh(jax.devices()[:2 * nproc])
     env = ShardedVecEnv(cfg, 16, mesh, obs_type="ram")
     states = env.reset(3)
     acts = np.tile(np.asarray([[0.6, -0.4, 0.0]], np.float32), (16, 1, 1))
