@@ -120,12 +120,15 @@ class AgarioEnv(gym.Env):
                 observe_cells=kwargs.get("observe_cells", True),
                 observe_others=kwargs.get("observe_others", True),
                 observe_viruses=kwargs.get("observe_viruses", True),
-                observe_pellets=kwargs.get("observe_pellets", True))
+                observe_pellets=kwargs.get("observe_pellets", True),
+                # opt-in saturating narrow output (GridObsConfig.out_dtype)
+                out_dtype=kwargs.get("grid_dtype", "int32"))
             G = ocfg.grid_size
             ch = ocfg.num_frames * ocfg.channels_per_frame
+            np_dtype = np.dtype(ocfg.out_dtype)
             # NHWC at the rim (AgarioEnv.py:192-195 transposes NCHW->NHWC)
-            space = spaces.Box(-1, np.iinfo(np.int32).max, (G, G, ch),
-                               dtype=np.int32)
+            space = spaces.Box(-1, np.iinfo(np_dtype).max, (G, G, ch),
+                               dtype=np_dtype)
             return ocfg, space, functools.partial(grid_frame, self.cfg, ocfg)
         if obs_type == "screen":
             from agarcl_tpu.obs.screen import ScreenObsConfig, screen_frame

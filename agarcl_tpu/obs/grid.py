@@ -44,11 +44,22 @@ class GridObsConfig:
     observe_others: bool = True
     observe_viruses: bool = True
     observe_pellets: bool = True
+    # OPT-IN narrow output: "int16" halves the frame's HBM write cost (the
+    # (N, 8, G, G) int32 store is the measured floor of the fused grid
+    # kernel at large batches). int32 stays the contract default, matching
+    # the reference's int grids (GridEnvironment.hpp:91-123). int16 values
+    # SATURATE at +-32767 (own/other mass sums can exceed it in late game).
+    out_dtype: str = "int32"
 
     @property
     def channels_per_frame(self) -> int:
         return int(1 + self.observe_cells + 2 * self.observe_others
                    + 2 * self.observe_viruses + 2 * self.observe_pellets)
+
+    @property
+    def jnp_dtype(self):
+        assert self.out_dtype in ("int32", "int16"), self.out_dtype
+        return jnp.int16 if self.out_dtype == "int16" else jnp.int32
 
 
 def _to_grid(pos, center, view, G):
@@ -177,7 +188,11 @@ def grid_frame(cfg: EnvConfig, ocfg: GridObsConfig,
             chans.append(jnp.stack(mins))
             chans.append(jnp.stack(maxs))
 
-    return jnp.stack(chans, axis=1)                          # (A, C, G, G)
+    out = jnp.stack(chans, axis=1)                           # (A, C, G, G)
+    if ocfg.out_dtype != "int32":
+        info = jnp.iinfo(ocfg.jnp_dtype)
+        out = jnp.clip(out, info.min, info.max).astype(ocfg.jnp_dtype)
+    return out
 
 
 def grid_observe(cfg: EnvConfig, ocfg: GridObsConfig,

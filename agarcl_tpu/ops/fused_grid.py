@@ -63,7 +63,7 @@ def supports(cfg: EnvConfig, ocfg) -> bool:
 
 
 def _make_kernel(cfg: EnvConfig, G: int, BE: int, n_other: int, offs,
-                 _only: str | None = None):
+                 _only: str | None = None, out_dtype=jnp.int32):
     """offs: {section: (lane offset, real width, padded width)} into the one
     consolidated input table (one DMA per grid step instead of 13).
     _only: benchmarking knob — compute just one channel group ('pellets',
@@ -89,6 +89,13 @@ def _make_kernel(cfg: EnvConfig, G: int, BE: int, n_other: int, offs,
         def sec(name):
             o, w, pw = offs[name]
             return tab[:, o:o + pw]                       # (BE, padded Ne)
+
+        def st(x):
+            """int32 channel -> output dtype; int16 saturates (mass sums
+            can exceed 2^15 in late game, GridObsConfig.out_dtype)."""
+            if out_dtype == jnp.int32:
+                return x
+            return jnp.clip(x, -32768, 32767).astype(out_dtype)
 
         iota_i = jax.lax.broadcasted_iota(jnp.int32, (ROWS, 128), 0)
         iota_j = jax.lax.broadcasted_iota(jnp.int32, (ROWS, 128), 1)
@@ -151,20 +158,20 @@ def _make_kernel(cfg: EnvConfig, G: int, BE: int, n_other: int, offs,
             cx = tab[be, po]
             cy = tab[be, po + 1]
             view = tab[be, po + 2]
-            zero = jnp.zeros((ROWS, 128), jnp.int32)
+            zero = jnp.zeros((ROWS, 128), out_dtype)
             if on('oob'):
                 wx = cx + (rf - G / 2.0) * view / G           # row-bin axis
                 wy = cy + (cfl - G / 2.0) * view / G          # col-bin axis
                 inb = ((wx >= 0) & (wx < W) & (wy >= 0) & (wy < H))
-                o_ref[be, 0] = jnp.where(inb, 0, -1)
+                o_ref[be, 0] = jnp.where(inb, 0, -1).astype(out_dtype)
             else:
                 o_ref[be, 0] = zero
 
             # --- pellets: count + presence via one bf16 matmul ------------
             if on('pellets'):
                 counti = mmul(pbx, ohyT(pby)).astype(jnp.int32)
-                o_ref[be, 1] = jnp.minimum(counti, 1)
-                o_ref[be, 2] = counti
+                o_ref[be, 1] = st(jnp.minimum(counti, 1))
+                o_ref[be, 2] = st(counti)
             else:
                 o_ref[be, 1] = zero
                 o_ref[be, 2] = zero
@@ -203,17 +210,17 @@ def _make_kernel(cfg: EnvConfig, G: int, BE: int, n_other: int, offs,
 
                 vmax = jax.lax.cond(jnp.max(vcnt) >= 2.0, vmax_slow,
                                     lambda: vadd)
-                o_ref[be, 3] = vmax.astype(jnp.int32)
-                o_ref[be, 4] = vadd.astype(jnp.int32)
+                o_ref[be, 3] = st(vmax.astype(jnp.int32))
+                o_ref[be, 4] = st(vadd.astype(jnp.int32))
             else:
                 o_ref[be, 3] = zero
                 o_ref[be, 4] = zero
 
             # --- own cells: add matmul ------------------------------------
             if on('own'):
-                o_ref[be, 5] = mmul(
+                o_ref[be, 5] = st(mmul(
                     mbx, ohyT(mby, dtype=jnp.float32),
-                    w=sec('mm')[be:be + 1, :]).astype(jnp.int32)
+                    w=sec('mm')[be:be + 1, :]).astype(jnp.int32))
             else:
                 o_ref[be, 5] = zero
 
@@ -242,8 +249,8 @@ def _make_kernel(cfg: EnvConfig, G: int, BE: int, n_other: int, offs,
 
                 omin, omax = jax.lax.cond(
                     jnp.max(ocnt_) >= 2.0, oth_slow, lambda: (oadd, oadd))
-                o_ref[be, 6] = omin.astype(jnp.int32)
-                o_ref[be, 7] = omax.astype(jnp.int32)
+                o_ref[be, 6] = st(omin.astype(jnp.int32))
+                o_ref[be, 7] = st(omax.astype(jnp.int32))
             else:
                 o_ref[be, 6] = zero
                 o_ref[be, 7] = zero
@@ -251,12 +258,14 @@ def _make_kernel(cfg: EnvConfig, G: int, BE: int, n_other: int, offs,
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(0, 1, 3, 4, 5, 6))
 def fused_grid_channels(cfg: EnvConfig, G: int, states,
                         block_envs: int = 8, interpret: bool = False,
-                        _only: str | None = None):
-    """(N, 8, G, G) int32 — all grid channels for a batched GameState,
-    bin-exact vs jax.vmap of obs/grid.py grid_frame (single-agent).
+                        _only: str | None = None,
+                        out_dtype: str = "int32"):
+    """(N, 8, G, G) int32 (or saturating int16 when out_dtype="int16") —
+    all grid channels for a batched GameState, bin-exact vs jax.vmap of
+    obs/grid.py grid_frame (single-agent).
     _only: see _make_kernel (benchmark ablation)."""
     N = states.ticks.shape[0]
     BE = _block_size(N, block_envs)
@@ -319,14 +328,15 @@ def fused_grid_channels(cfg: EnvConfig, G: int, states,
         off += pw
     tab = jnp.concatenate(parts, axis=1)                       # (N, off)
 
-    kernel = _make_kernel(cfg, G, BE, n_other, offs, _only)
+    odt = jnp.int16 if out_dtype == "int16" else jnp.int32
+    kernel = _make_kernel(cfg, G, BE, n_other, offs, _only, odt)
     ROWS = G * G // 128
     out = pl.pallas_call(
         kernel,
         grid=(N // BE,),
         in_specs=[pl.BlockSpec((BE, off), lambda i: (i, 0))],
         out_specs=pl.BlockSpec((BE, 8, ROWS, 128), lambda i: (i, 0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((N, 8, ROWS, 128), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((N, 8, ROWS, 128), odt),
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -346,7 +356,7 @@ def fused_grid_frame(cfg: EnvConfig, ocfg: GridObsConfig, states,
     selection, matching jax.vmap(grid_frame) exactly."""
     assert supports(cfg, ocfg)
     all_ch = fused_grid_channels(cfg, ocfg.grid_size, states, block_envs,
-                                 interpret)
+                                 interpret, None, ocfg.out_dtype)
     idx = [0]
     if ocfg.observe_pellets:
         idx += [1, 2]

@@ -93,12 +93,20 @@ def fused_env_step(cfg: EnvConfig, states: GameState, actions,
                     return fused_grid.fused_grid_frame(
                         cfg, ocfg, s, block_envs=8, interpret=interpret)
 
-        def body_obs(s, _):
-            s = tick(s)
-            return s, batched_obs(s)
-        states, obs = jax.lax.scan(body_obs, states, None, length=F)
-        # obs: (F, N, ...) -> (N, F, ...) to match the vmapped XLA path
-        obs = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), obs)
+        if F == 1:
+            # no scan for the single-frame case: a length-1 scan still
+            # copies the obs kernel's output into the stacked scan buffer
+            # (~2 ms/step for 8192-env grid frames); expand_dims is free
+            states = tick(states)
+            obs = jax.tree.map(lambda x: x[:, None],
+                               batched_obs(states))
+        else:
+            def body_obs(s, _):
+                s = tick(s)
+                return s, batched_obs(s)
+            states, obs = jax.lax.scan(body_obs, states, None, length=F)
+            # obs: (F, N, ...) -> (N, F, ...) to match the vmapped XLA path
+            obs = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), obs)
 
     if respawn_main_during_obs:
         main_dead = ~states.player_alive()[:, 0]         # (N,)

@@ -142,7 +142,17 @@ def _bint(b):
 
 # ------------------------------------------------------------------ kernel
 def _make_kernel(cfg: EnvConfig, phases: int = 99,
-                 n_ticks: int = 1):
+                 n_ticks: int = 1, sub: int = 99):
+    # `sub` bisects the phase-UNGATED per-tick code for hardware ablation
+    # (bench/tick_ablate.py). Only meaningful at phases=0; production runs
+    # (phases >= 1) force sub=99 so every downstream dependency exists.
+    #   sub >= 1: per-tick pre-compute (palive_p reduce, pexpand of targets/
+    #             elapsed, rank/gkey, n_start, end-of-tick dead-cell masking)
+    #   sub >= 2: + movement integration
+    #   sub >= 3: + action bookkeeping (split_fields x2, sord rank loop,
+    #             cooldown updates)
+    if phases >= 1:
+        sub = 99
     P = cfg.num_players
     Cc = cfg.max_cells
     PC = P * Cc
@@ -482,42 +492,45 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
                 ty = pcat(nty)
                 action = pcat(nact)
 
-            palive_p = preduce(_bint(calive), jnp.max) > 0        # (P, E)
-            action_eff = jnp.where(palive_p, action, 0)
-            elapsed = elapsed_in + _bint(palive_p)                # (P, E)
+            if sub >= 1:
+                palive_p = preduce(_bint(calive), jnp.max) > 0    # (P, E)
+                action_eff = jnp.where(palive_p, action, 0)
+                elapsed = elapsed_in + _bint(palive_p)            # (P, E)
 
-            txc = pexpand(tx)                                     # vs (PC, E)
-            tyc = pexpand(ty)
-            elc = pexpand(elapsed)
+                txc = pexpand(tx)                                 # vs (PC, E)
+                tyc = pexpand(ty)
+                elc = pexpand(elapsed)
 
             # --- movement (Engine.hpp:609-630) --------------------------------
-            nvx = 3.0 * (txc - cx)
-            nvy = 3.0 * (tyc - cy)
-            sp = jnp.sqrt(nvx * nvx + nvy * nvy)
-            lim = _max_speed(cmass)
-            scale = jnp.where(sp > lim, lim / jnp.maximum(sp, 1e-12), 1.0)
-            nvx = nvx * scale
-            nvy = nvy * scale
-            cx = cx + (nvx + svx) * dt
-            cy = cy + (nvy + svy) * dt
-            svx, svy = _decel(svx, svy, C.SPLIT_DECELERATION, dt)
-            rad = _radius(cmass)
-            cx, cy = clampb(cx, cy, rad)
-            cvx, cvy = nvx, nvy
-            cx = jnp.where(calive, cx, 0.0)
-            cy = jnp.where(calive, cy, 0.0)
-            cvx = jnp.where(calive, cvx, 0.0)
-            cvy = jnp.where(calive, cvy, 0.0)
-            svx = jnp.where(calive, svx, 0.0)
-            svy = jnp.where(calive, svy, 0.0)
+            if sub >= 2:
+                nvx = 3.0 * (txc - cx)
+                nvy = 3.0 * (tyc - cy)
+                sp = jnp.sqrt(nvx * nvx + nvy * nvy)
+                lim = _max_speed(cmass)
+                scale = jnp.where(sp > lim, lim / jnp.maximum(sp, 1e-12), 1.0)
+                nvx = nvx * scale
+                nvy = nvy * scale
+                cx = cx + (nvx + svx) * dt
+                cy = cy + (nvy + svy) * dt
+                svx, svy = _decel(svx, svy, C.SPLIT_DECELERATION, dt)
+                rad = _radius(cmass)
+                cx, cy = clampb(cx, cy, rad)
+                cvx, cvy = nvx, nvy
+                cx = jnp.where(calive, cx, 0.0)
+                cy = jnp.where(calive, cy, 0.0)
+                cvx = jnp.where(calive, cvx, 0.0)
+                cvy = jnp.where(calive, cvy, 0.0)
+                svx = jnp.where(calive, svx, 0.0)
+                svy = jnp.where(calive, svy, 0.0)
 
-            rank = (rank_of(cid, calive) if phases >= 2
-                    else jnp.zeros((PC, E), jnp.int32))
-            if P > 1:
-                pidc = jax.lax.broadcasted_iota(jnp.int32, (PC, 1), 0) // Cc
-                gkey = pidc * Cc + rank                           # (PC, E)
-            else:
-                gkey = rank
+            if sub >= 1:
+                rank = (rank_of(cid, calive) if phases >= 2
+                        else jnp.zeros((PC, E), jnp.int32))
+                if P > 1:
+                    pidc = jax.lax.broadcasted_iota(jnp.int32, (PC, 1), 0) // Cc
+                    gkey = pidc * Cc + rank                       # (PC, E)
+                else:
+                    gkey = rank
 
             # --- self-collision relaxation (SPEC M6), per player --------------
             def avoid_static(pax, pay, vax, vay, pbx, pby, vbx, vby, ra, rb):
@@ -721,7 +734,8 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
 
             # --- virus events (SPEC M2): per-player best pair, then per-virus
             # lowest-pid arbitration ------------------------------------------
-            n_start = preduce(_bint(calive), jnp.sum)             # (P, E)
+            if sub >= 1:
+                n_start = preduce(_bint(calive), jnp.sum)         # (P, E)
             viruses_eaten = viruses_eaten_in
             disr = jnp.zeros((P, E), bool)
             num_new = jnp.zeros((P, E), jnp.int32)
@@ -862,15 +876,16 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
                 over = calive & (cmass >= C.MAX_MASS_IN_THE_GAME)
             else:
                 over = jnp.zeros_like(calive)
-            may = n_start < C.PLAYER_CELL_LIMIT                   # (P, E)
-            do_aspl = over & pexpand(may)
-            clampm = over & ~pexpand(may)
-            a_rem, a_nf = split_fields(cx, cy, cmass, txc, tyc)
-            cmass = jnp.where(
-                do_aspl, a_rem,
-                jnp.where(clampm, C.NEW_MASS_IF_NO_SPLIT, cmass))
-            crecomb = jnp.where(do_aspl, elc + C.RECOMBINE_TICKS, crecomb)
-            n_auto = preduce(_bint(do_aspl), jnp.sum)             # (P, E)
+            if sub >= 3:
+                may = n_start < C.PLAYER_CELL_LIMIT               # (P, E)
+                do_aspl = over & pexpand(may)
+                clampm = over & ~pexpand(may)
+                a_rem, a_nf = split_fields(cx, cy, cmass, txc, tyc)
+                cmass = jnp.where(
+                    do_aspl, a_rem,
+                    jnp.where(clampm, C.NEW_MASS_IF_NO_SPLIT, cmass))
+                crecomb = jnp.where(do_aspl, elc + C.RECOMBINE_TICKS, crecomb)
+                n_auto = preduce(_bint(do_aspl), jnp.sum)         # (P, E)
 
             if Nf > 0 and do_actions:
                 rf = _radius(np.float32(C.FOOD_MASS))
@@ -892,12 +907,13 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
                 food_eaten = food_eaten + preduce(eaten_fc, jnp.sum)
 
             # feed emission (slots land in global (pid, rank) order, SPEC Q14)
-            feed_cd = jnp.maximum(feed_cd_in - 1, 0)
-            do_feed = (action_eff == 1) & (feed_cd == 0)          # (P, E)
-            if not do_actions:
-                do_feed = jnp.zeros_like(do_feed)
-            emit = (calive & pexpand(do_feed)
-                    & (cmass >= C.CELL_MIN_SIZE + C.FOOD_MASS))
+            if sub >= 3:
+                feed_cd = jnp.maximum(feed_cd_in - 1, 0)
+                do_feed = (action_eff == 1) & (feed_cd == 0)      # (P, E)
+                if not do_actions:
+                    do_feed = jnp.zeros_like(do_feed)
+                emit = (calive & pexpand(do_feed)
+                        & (cmass >= C.CELL_MIN_SIZE + C.FOOD_MASS))
             if Nf > 0 and do_actions:
                 edx = txc - cx
                 edy = tyc - cy
@@ -928,31 +944,34 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
                 falive = falive | wrote
                 fnext = fnext + jnp.sum(_bint(emit), axis=0, keepdims=True)
                 cmass = jnp.where(emit, cmass - C.FOOD_MASS, cmass)
-            feed_cd = jnp.where(do_feed, C.FEED_COOLDOWN, feed_cd)
-            feed_cd = jnp.where(palive_p, feed_cd, feed_cd_in)
+            if sub >= 3:
+                feed_cd = jnp.where(do_feed, C.FEED_COOLDOWN, feed_cd)
+                feed_cd = jnp.where(palive_p, feed_cd, feed_cd_in)
 
-            # split
-            split_cd = jnp.maximum(split_cd_in - 1, 0)
-            do_split = (action_eff == 2) & (split_cd == 0)        # (P, E)
-            if not do_actions:
-                do_split = jnp.zeros_like(do_split)
-            limit = jnp.maximum(C.PLAYER_CELL_LIMIT - n_start - num_new - n_auto,
-                                0)                                # (P, E)
-            s_elig = calive & (cmass >= C.CELL_SPLIT_MINIMUM) \
-                & pexpand(do_split)
-            sords = []
-            for p in range(P):
-                se = pslice(s_elig, p)
-                sk = jnp.where(se, pslice(rank, p), _BIG_I)
-                sords.append(jnp.sum(_bint((sk[None, :, :] < sk[:, None, :])
-                                           & se[None, :, :]), axis=1))
-            sord = pcat(sords)
-            chosen = s_elig & (sord < pexpand(limit))
-            s_rem, s_nf = split_fields(cx, cy, cmass, txc, tyc)
-            cmass = jnp.where(chosen, s_rem, cmass)
-            crecomb = jnp.where(chosen, elc + C.RECOMBINE_TICKS, crecomb)
-            split_cd = jnp.where(do_split, C.SPLIT_COOLDOWN, split_cd)
-            split_cd = jnp.where(palive_p, split_cd, split_cd_in)
+                # split
+                split_cd = jnp.maximum(split_cd_in - 1, 0)
+                do_split = (action_eff == 2) & (split_cd == 0)    # (P, E)
+                if not do_actions:
+                    do_split = jnp.zeros_like(do_split)
+                limit = jnp.maximum(
+                    C.PLAYER_CELL_LIMIT - n_start - num_new - n_auto,
+                    0)                                            # (P, E)
+                s_elig = calive & (cmass >= C.CELL_SPLIT_MINIMUM) \
+                    & pexpand(do_split)
+                sords = []
+                for p in range(P):
+                    se = pslice(s_elig, p)
+                    sk = jnp.where(se, pslice(rank, p), _BIG_I)
+                    sords.append(jnp.sum(
+                        _bint((sk[None, :, :] < sk[:, None, :])
+                              & se[None, :, :]), axis=1))
+                sord = pcat(sords)
+                chosen = s_elig & (sord < pexpand(limit))
+                s_rem, s_nf = split_fields(cx, cy, cmass, txc, tyc)
+                cmass = jnp.where(chosen, s_rem, cmass)
+                crecomb = jnp.where(chosen, elc + C.RECOMBINE_TICKS, crecomb)
+                split_cd = jnp.where(do_split, C.SPLIT_COOLDOWN, split_cd)
+                split_cd = jnp.where(palive_p, split_cd, split_cd_in)
 
             # --- place created cells (SPEC M8) --------------------------------
             # Ids are phase-major like the XLA tick's three place_new_cells
@@ -1300,9 +1319,10 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
             # chain exactly what the XLA writeback exposes to the
             # next tick (engine/tick.py:184-198): dead cells' split
             # vel and mass are masked now; pos/vel stay stale
-            svx = jnp.where(calive, svx, 0.0)
-            svy = jnp.where(calive, svy, 0.0)
-            cmass = jnp.where(calive, cmass, 0)
+            if sub >= 1:
+                svx = jnp.where(calive, svx, 0.0)
+                svy = jnp.where(calive, svy, 0.0)
+                cmass = jnp.where(calive, cmass, 0)
             ticks = ticks + 1
 
         # --- writeback ----------------------------------------------------
@@ -1449,12 +1469,13 @@ def supports(cfg: EnvConfig) -> bool:
     return cfg.num_players <= 5
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5, 6))
 def fused_engine_tick(cfg: EnvConfig, states: GameState,
                       block_envs: int = 128,
                       interpret: bool = False,
                       phases: int = 99,
-                      n_ticks: int = 1) -> GameState:
+                      n_ticks: int = 1,
+                      sub: int = 99) -> GameState:
     """n_ticks engine ticks over a BATCH of envs via ONE fused kernel.
 
     states: a vmapped GameState with leading env axis N. block_envs should
@@ -1478,7 +1499,7 @@ def fused_engine_tick(cfg: EnvConfig, states: GameState,
     out_specs = in_specs
     out_shapes = [jax.ShapeDtypeStruct(x.shape, x.dtype) for x in ins]
 
-    kernel = _make_kernel(cfg, phases, n_ticks)
+    kernel = _make_kernel(cfg, phases, n_ticks, sub)
     outs = pl.pallas_call(
         kernel,
         grid=(N // E,),

@@ -30,6 +30,10 @@ def main():
                     help="observation computed+returned every step")
     ap.add_argument("--size", type=int, default=0,
                     help="grid_size / screen_len override (0 = default)")
+    ap.add_argument("--grid-dtype", default="int32",
+                    choices=("int32", "int16"),
+                    help="grid obs output dtype (int16 = opt-in saturating "
+                         "narrow output, halves the frame write cost)")
     args = ap.parse_args()
     num_envs, steps_per_call, timed_calls = args.envs, args.steps, args.iters
 
@@ -59,7 +63,8 @@ def main():
     obs_config = None
     if args.obs == "grid":
         from agarcl_tpu.obs.grid import GridObsConfig
-        obs_config = GridObsConfig(grid_size=args.size or 64)
+        obs_config = GridObsConfig(grid_size=args.size or 64,
+                                   out_dtype=args.grid_dtype)
     elif args.obs == "screen":
         from agarcl_tpu.obs.screen import ScreenObsConfig
         obs_config = ScreenObsConfig(screen_len=args.size or 84,
@@ -91,6 +96,8 @@ def main():
 
     sps = num_envs * steps_per_call * timed_calls / dt
     suffix = "" if args.mode == 4 else f"_mode{args.mode}"
+    if args.obs == "grid" and args.grid_dtype != "int32":
+        suffix += f"_{args.grid_dtype}"
     print(json.dumps({
         "metric":
             f"env_steps_per_sec_per_chip_{num_envs}envs_{args.obs}{suffix}",

@@ -448,6 +448,39 @@ def test_fused_grid_obs_bin_collisions():
     assert (np.asarray(ref)[:, 0, -2] != np.asarray(ref)[:, 0, -1]).any()
 
 
+def test_fused_grid_obs_int16():
+    """Opt-in int16 grid output: value-exact vs the int32 kernel where in
+    range, saturating at 32767 where own-mass sums exceed int16."""
+    from agarcl_tpu.obs.grid import GridObsConfig, grid_frame
+    from agarcl_tpu.ops.fused_grid import fused_grid_frame
+    from agarcl_tpu.vec import VecEnv
+    cfg = EnvConfig(num_agents=1, ticks_per_step=4, arena_size=120,
+                    num_pellets=100, num_viruses=4, num_bots=0, mode=4)
+    env = VecEnv(cfg, 8, obs_type="none", backend="xla", donate=False)
+    states, _ = env.reset(13)
+    # force an own-mass bin sum beyond int16: two co-binned 20k cells
+    c = states.player_centroid()[:, 0]
+    states = states.replace(
+        cell_pos=states.cell_pos.at[:, 0, 0].set(c + 5.0)
+                                .at[:, 0, 1].set(c + 5.0),
+        cell_alive=states.cell_alive.at[:, 0, 1].set(True),
+        cell_mass=states.cell_mass.at[:, 0, 0].set(20000)
+                                  .at[:, 0, 1].set(20000))
+    o32 = GridObsConfig(grid_size=32)
+    o16 = GridObsConfig(grid_size=32, out_dtype="int16")
+    ref32 = fused_grid_frame(cfg, o32, states, block_envs=4, interpret=True)
+    got16 = fused_grid_frame(cfg, o16, states, block_envs=4, interpret=True)
+    assert got16.dtype == jnp.int16
+    r = np.asarray(ref32)
+    g = np.asarray(got16)
+    np.testing.assert_array_equal(g, np.clip(r, -32768, 32767))
+    assert (r > 32767).any() and (g == 32767).any()          # saturation hit
+    # the XLA grid_frame honors the same opt-in contract
+    ref16 = jax.jit(jax.vmap(functools.partial(grid_frame, cfg, o16)))(states)
+    assert ref16.dtype == jnp.int16
+    np.testing.assert_array_equal(np.asarray(ref16), g)
+
+
 def test_fused_env_step_grid_obs():
     """fused_env_step with grid obs routes through the Pallas binning kernel
     (interpret mode) and matches the vmapped XLA env_step bin-exactly."""
