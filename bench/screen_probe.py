@@ -2,6 +2,7 @@
 colorize vs tick vs end-to-end. One process, all programs (Mosaic compiles
 are per-process)."""
 
+import functools
 import os
 import sys
 import time
@@ -58,6 +59,14 @@ def main():
         lambda t, _: (fused_engine_tick(CFG, t, 128), None),
         s, None, length=4)[0])
     timeit("4 ticks (no obs)", tk, states)
+
+    # work-group ablation: strips (pellets+foods) vs circles (cells+viruses)
+    # vs lines vs the bare output write ( _only='none' matches no group)
+    from agarcl_tpu.ops.fused_screen import _rasterize
+    for only in ("none", "lines", "strips", "circles"):
+        fn = jax.jit(functools.partial(
+            _rasterize, CFG, S, block_envs=8, interpret=False, _only=only))
+        timeit(f"class_map _only={only}", fn, states)
 
     obs_fn, nf = make_obs_fn(CFG, "screen", OCFG)
     step = jax.jit(lambda s: fused_env_step(

@@ -448,6 +448,48 @@ def test_fused_grid_obs_bin_collisions():
     assert (np.asarray(ref)[:, 0, -2] != np.asarray(ref)[:, 0, -1]).any()
 
 
+def test_fused_tick_same_tick_double_burst():
+    """Two viruses reaching their 7th food hit in the SAME tick: the fused
+    kernel applies the pinned one-spawn-per-tick cap (SPEC M4) identically
+    to the XLA tick — both bursters reset, exactly one spawn fires from the
+    lowest-slot burster (unit-level twin: test_engine_advanced.py::
+    test_same_tick_double_burst_single_spawn)."""
+    cfg = EnvConfig(num_agents=1, ticks_per_step=4, arena_size=200,
+                    num_pellets=10, num_viruses=3, num_bots=0, mode=4)
+    N = 4
+    states = jax.vmap(functools.partial(env_reset, cfg))(
+        jnp.arange(N, dtype=jnp.uint32))
+    Nv = states.virus_mass.shape[1]
+    assert Nv >= 4                        # capacity > num_viruses
+    vp = states.virus_pos
+    vp = vp.at[:, 0].set(jnp.asarray([50.0, 50.0]))
+    vp = vp.at[:, 1].set(jnp.asarray([150.0, 50.0]))
+    states = states.replace(
+        virus_pos=vp,
+        virus_mass=states.virus_mass.at[:, 0].set(170).at[:, 1].set(170),
+        virus_hits=states.virus_hits.at[:, 0].set(7).at[:, 1].set(7),
+        virus_alive=states.virus_alive.at[:, 0].set(True)
+                                      .at[:, 1].set(True)
+                                      .at[:, 2:].set(False),
+        food_pos=states.food_pos.at[:, 1].set(vp[:, 0])
+                                .at[:, 3].set(vp[:, 1]),
+        food_vel=states.food_vel.at[:, 1].set(jnp.asarray([3.0, 0.0]))
+                                .at[:, 3].set(jnp.asarray([0.0, -2.0])),
+        food_alive=states.food_alive.at[:, 1].set(True).at[:, 3].set(True))
+    tick_b = jax.jit(jax.vmap(functools.partial(engine_tick, cfg)))
+    s_ref = tick_b(states)
+    s_out = fused_engine_tick(cfg, states, 4, True)
+    compare(s_ref, s_out, 0)
+    # semantic checks on the shared result
+    vh = np.asarray(s_ref.virus_hits)
+    vm = np.asarray(s_ref.virus_mass)
+    va = np.asarray(s_ref.virus_alive)
+    assert (vh[:, 0] == 0).all() and (vh[:, 1] == 0).all()
+    assert (vm[:, 0] == 100).all() and (vm[:, 1] == 100).all()
+    assert (va[:, :3].sum(axis=1) == 3).all()       # exactly one spawn
+    assert (va[:, 3:].sum(axis=1) == 0).all()
+
+
 def test_fused_grid_obs_int16():
     """Opt-in int16 grid output: value-exact vs the int32 kernel where in
     range, saturating at 32767 where own-mass sums exceed int16."""
