@@ -79,7 +79,7 @@ def _packed_palette(agent_view: bool):
     return tuple(int(x) for x in packed.view(np.int32))
 
 
-def _make_kernel(cfg: EnvConfig, S: int, BE: int, Kp: int, Kf: int,
+def _make_kernel(cfg: EnvConfig, S: int, BE: int, Kp: int, Kf: int, Kv: int,
                  n_other: int, offs, packed_table=None,
                  _only: str | None = None):
     """offs: {section: (lane offset, real width, padded width)} into the one
@@ -149,13 +149,13 @@ def _make_kernel(cfg: EnvConfig, S: int, BE: int, Kp: int, Kf: int,
                 o, w, pw = offs[name]
                 return tab[be:be + 1, o:o + pw]          # (1, padded Ne)
 
-            def circles(xn, yn, rn, n, wx, wy):
+            def circles_f(xn, yn, rn, n, wx, wy):
                 """Direct unrolled coverage for a few-entity class: (S, S)
-                bool — two (S, S) ops per entity (broadcast compare +
-                select). Unconditional on purpose: guarding each entity
-                with a scalar lax.cond measured 2.5x SLOWER (the untaken
-                branch still copies the (S, S) carry through the scf.if).
-                Dead slots fall out via r2 = -1."""
+                f32 — two (S, S) ops per entity (broadcast compare +
+                select). Unconditional per ENTITY on purpose: guarding each
+                entity with a scalar lax.cond measured 2.5x SLOWER (the
+                untaken branch still copies the (S, S) carry through the
+                scf.if). Dead slots fall out via r2 = -1."""
                 xo = offs[xn][0]
                 yo = offs[yn][0]
                 ro = offs[rn][0]
@@ -168,6 +168,23 @@ def _make_kernel(cfg: EnvConfig, S: int, BE: int, Kp: int, Kf: int,
                     dy = wy - y                          # (S, 1)
                     lim = r2 - dy * dy                   # (S, 1); pinned
                     cov = jnp.where(dx2 <= lim, 1.0, cov)  # dx2<=r2-dy2
+                return cov
+
+            def circles(xn, yn, rn, n, wx, wy, cnt=None):
+                """Coverage for a cell class whose lanes are compacted
+                alive-first (_rasterize). cnt (f32 scalar: this env's live
+                count) ladders the unroll per ENV — one scf.if pair per
+                class copies two (S, S) carries but skips 2*(n-k) ops in
+                the common 1-2 live-cell regime."""
+                if cnt is None or n <= 4:
+                    return circles_f(xn, yn, rn, n, wx, wy) >= 0.5
+                cov = jax.lax.cond(
+                    cnt <= 2.0,
+                    lambda: circles_f(xn, yn, rn, 2, wx, wy),
+                    lambda: jax.lax.cond(
+                        cnt <= 6.0,
+                        lambda: circles_f(xn, yn, rn, 6, wx, wy),
+                        lambda: circles_f(xn, yn, rn, n, wx, wy)))
                 return cov >= 0.5
 
             po = offs['params'][0]
@@ -215,8 +232,18 @@ def _make_kernel(cfg: EnvConfig, S: int, BE: int, Kp: int, Kf: int,
                 pel = foo = false2d
 
             if on('circles'):
-                mine = circles('mx', 'my', 'mr2', Cc, wx, wy)
-                vir = circles('vx', 'vy', 'vr2', Nv, wx, wy)
+                mine = circles('mx', 'my', 'mr2', Cc, wx, wy,
+                               cnt=tab[be, po + 3])
+                # viruses: strip pass (constant in the 26-slot capacity —
+                # the direct unroll paid 2 (S, S) ops per SLOT, alive or
+                # not) on a separate accumulator (a third weight class in
+                # the pellet/food accumulator would overflow f32's 24
+                # integer bits)
+                vacc = strip_count(jnp.zeros((S, S), jnp.float32),
+                                   sec('vx'), sec('vy'), sec('vr2'),
+                                   Kv, 1.0, wxT, cy, half, iota_sub,
+                                   delta, wy0)
+                vir = vacc >= 0.5
             else:
                 mine = vir = false2d
 
@@ -225,7 +252,8 @@ def _make_kernel(cfg: EnvConfig, S: int, BE: int, Kp: int, Kf: int,
             cls = jnp.where(foo, 3, cls)
             cls = jnp.where(mine, 4, cls)
             if n_other and on('circles'):
-                oth = circles('ox', 'oy', 'or2', n_other, wx, wy)
+                oth = circles('ox', 'oy', 'or2', n_other, wx, wy,
+                              cnt=tab[be, po + 4])
                 cls = jnp.where(oth, 5, cls)
             cls = jnp.where(vir, 6, cls)
             if packed_table is not None:
@@ -255,15 +283,20 @@ def _rasterize(cfg: EnvConfig, S: int, states, block_envs: int,
     pmass = states.player_mass()[:, 0].astype(jnp.float32)
     z = jnp.clip(100.0 + pmass / 10.0, 100.0, 900.0)
     half = z * jnp.float32(_TAN_HALF_FOV)
-    params = jnp.zeros((N, 8), jnp.float32)
-    params = params.at[:, 0].set(centroid[:, 0])
-    params = params.at[:, 1].set(centroid[:, 1])
-    params = params.at[:, 2].set(half)
 
     def cols(pos, alive, r):
         """(N, Ne) x/y plus alive-masked squared radius (dead -> -1)."""
         r2 = jnp.where(alive, r * r, -1.0)
         return pos[:, :, 0], pos[:, :, 1], r2
+
+    def compact(x, y, r2, alive):
+        """Alive-first lane order + live count: the kernel's per-env count
+        ladder then draws only the first k lanes (coverage is an OR over
+        entities, so the reorder is semantics-free)."""
+        order = jnp.argsort(~alive, axis=1, stable=True)
+        take = functools.partial(jnp.take_along_axis, indices=order, axis=1)
+        return (take(x), take(y), take(r2),
+                jnp.sum(alive, axis=1).astype(jnp.float32))
 
     rp = jnp.float32(_RAD_PELLET)
     rf = jnp.float32(_RAD_FOOD)
@@ -272,19 +305,36 @@ def _rasterize(cfg: EnvConfig, S: int, states, block_envs: int,
     crad = jnp.sqrt(states.cell_mass.astype(jnp.float32) / jnp.pi)
     mx, my, mr2 = cols(states.cell_pos[:, 0], states.cell_alive[:, 0],
                        crad[:, 0])
+    mx, my, mr2, mcnt = compact(mx, my, mr2, states.cell_alive[:, 0])
     n_other = (P - 1) * Cc
     if n_other:
         opos = states.cell_pos[:, 1:].reshape(N, n_other, 2)
         oalive = states.cell_alive[:, 1:].reshape(N, n_other)
         orad = crad[:, 1:].reshape(N, n_other)
         ox, oy, or2 = cols(opos, oalive, orad)
+        ox, oy, or2, ocnt = compact(ox, oy, or2, oalive)
     else:
         ox = oy = or2 = jnp.zeros((N, 1), jnp.float32)
+        ocnt = jnp.zeros((N,), jnp.float32)
     vrad = jnp.sqrt(states.virus_mass.astype(jnp.float32) / jnp.pi)
     vx, vy, vr2 = cols(states.virus_pos, states.virus_alive, vrad)
 
+    params = jnp.zeros((N, 8), jnp.float32)
+    params = params.at[:, 0].set(centroid[:, 0])
+    params = params.at[:, 1].set(centroid[:, 1])
+    params = params.at[:, 2].set(half)
+    params = params.at[:, 3].set(mcnt)
+    params = params.at[:, 4].set(ocnt)
+
     Kp = _strip_K(_RAD_PELLET, S)
     Kf = _strip_K(_RAD_FOOD, S)
+    # virus strip budget: masses peak at VIRUS_INITIAL_MASS + 7 hits * 10
+    # (the 8th hit bursts back to 100), radius law sqrt(m/pi)
+    import math as _math
+    from agarcl_tpu import constants as _C
+    rv_max = _math.sqrt((_C.VIRUS_INITIAL_MASS + _C.NUMBER_OF_FOOD_HITS
+                         * _C.FOOD_MASS) / _math.pi)
+    Kv = _strip_K(rv_max, S)
 
     # consolidate: pad every section to a 128-lane multiple (slices inside
     # the kernel stay tile-aligned) and concatenate. Coordinate pads park at
@@ -308,7 +358,7 @@ def _rasterize(cfg: EnvConfig, S: int, states, block_envs: int,
         off += pw
     tab = jnp.concatenate(parts, axis=1)                       # (N, off)
 
-    kernel = _make_kernel(cfg, S, BE, Kp, Kf, n_other,
+    kernel = _make_kernel(cfg, S, BE, Kp, Kf, Kv, n_other,
                           {k: v for k, v in offs.items()}, packed_table,
                           _only)
     return pl.pallas_call(

@@ -32,10 +32,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--envs", type=int, default=8192)
     ap.add_argument("--mode", type=int, default=4)
-    ap.add_argument("--calls", type=int, default=24)
+    ap.add_argument("--calls", type=int, default=4)
     ap.add_argument("--reps", type=int, default=3)
-    ap.add_argument("--lo", type=int, default=2)
-    ap.add_argument("--hi", type=int, default=10)
+    ap.add_argument("--lo", type=int, default=1)
+    ap.add_argument("--hi", type=int, default=4)
     ap.add_argument("--sweep", choices=("sub", "phases"), default="phases")
     args = ap.parse_args()
 
@@ -51,19 +51,29 @@ def main():
     states, _ = env.reset(0)
     jax.block_until_ready(states.ticks)
 
+    CHAIN = 10
+
     def timed(phases, sub, n_ticks):
-        s = states
-        s = fused_engine_tick(cfg, s, 128, False, phases, n_ticks, sub)
+        # chain CHAIN kernel invocations inside ONE program (bench.py
+        # style): per-call dispatch timing through the tunnel is unreliable
+        # (sub-ms readings for multi-ms programs), and the chain also
+        # amortizes the per-program state transposes like production does
+        @jax.jit
+        def run(s):
+            for _ in range(CHAIN):
+                s = fused_engine_tick(cfg, s, 128, False, phases, n_ticks,
+                                      sub)
+            return s
+        s = run(states)
         jax.block_until_ready(s.ticks)                         # compile+warm
         best = []
         for _ in range(args.reps):
             s = states
             t0 = time.perf_counter()
             for _ in range(args.calls):
-                s = fused_engine_tick(cfg, s, 128, False, phases, n_ticks,
-                                      sub)
+                s = run(s)
             jax.block_until_ready(s.ticks)
-            best.append((time.perf_counter() - t0) / args.calls)
+            best.append((time.perf_counter() - t0) / (args.calls * CHAIN))
         return statistics.median(best)
 
     if args.sweep == "sub":
