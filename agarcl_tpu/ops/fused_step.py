@@ -51,10 +51,14 @@ def fused_env_step(cfg: EnvConfig, states: GameState, actions,
     F = min(num_frames, cfg.ticks_per_step) if obs_fn is not None else 0
     # all obs-free ticks run inside ONE multi-tick kernel: the state then
     # round-trips HBM once instead of once per tick (the round trip alone
-    # is ~1 ms/tick at 8192 envs, half the tick cost)
-    if cfg.ticks_per_step - F > 0:
+    # is ~1 ms per kernel call at 8192 envs, bench/tick_ablate.py). For the
+    # single-frame case the "obs tick" folds into the same chain — obs only
+    # needs the state AFTER the last tick, so the step runs ONE kernel call
+    # instead of two
+    n_pre = cfg.ticks_per_step - (F if F > 1 else 0)
+    if n_pre > 0:
         states = fused_engine_tick(cfg, states, block_envs, interpret,
-                                   n_ticks=cfg.ticks_per_step - F)
+                                   n_ticks=n_pre)
     obs = None
     if obs_fn is not None:
         # ram frames go through the env-in-lanes Pallas kernel (fused_obs):
@@ -94,10 +98,8 @@ def fused_env_step(cfg: EnvConfig, states: GameState, actions,
                         cfg, ocfg, s, block_envs=8, interpret=interpret)
 
         if F == 1:
-            # no scan for the single-frame case: a length-1 scan still
-            # copies the obs kernel's output into the stacked scan buffer
-            # (~2 ms/step for 8192-env grid frames); expand_dims is free
-            states = tick(states)
+            # no scan and no separate obs-tick call (folded above);
+            # expand_dims for the frame axis is free
             obs = jax.tree.map(lambda x: x[:, None],
                                batched_obs(states))
         else:

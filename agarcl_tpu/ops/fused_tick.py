@@ -840,31 +840,80 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
                 else:
                     px_p, py_p, pal_pi = px, py, pal_int
 
-                def chunk_elig(k):
+                def chunk_slices(k):
                     cpx = jax.lax.slice_in_dim(px_p, k * PCHUNK,
                                                (k + 1) * PCHUNK, axis=0)
                     cpy = jax.lax.slice_in_dim(py_p, k * PCHUNK,
                                                (k + 1) * PCHUNK, axis=0)
                     cpa = jax.lax.slice_in_dim(pal_pi, k * PCHUNK,
                                                (k + 1) * PCHUNK, axis=0)
-                    # (PC, PCHUNK, E)
-                    pdx = cx[:, None, :] - cpx[None, :, :]
-                    pdy = cy[:, None, :] - cpy[None, :, :]
-                    pd2 = pdx * pdx + pdy * pdy
-                    return (calive[:, None, :] & (cpa[None, :, :] > 0)
-                            & ((radc * radc)[:, None, :] >= pd2))
+                    return cpx, cpy, cpa
 
-                pmins = []
-                for k in range(n_chunks):
-                    elig = chunk_elig(k)
-                    pkey = jnp.where(elig, gkey[:, None, :], _BIG_I)
-                    pmins.append(jnp.min(pkey, axis=0))       # (PCHUNK, E)
-                for k in range(n_chunks):
-                    elig = chunk_elig(k)
-                    win = elig & (gkey[:, None, :] == pmins[k][None, :, :])
-                    eaten_pc = eaten_pc + jnp.sum(_bint(win), axis=1)
-                pmin = jnp.concatenate(pmins, axis=0)[:Np]
-                palive = palive & (pmin == _BIG_I)
+                def pellets_full():
+                    def chunk_elig(k):
+                        cpx, cpy, cpa = chunk_slices(k)
+                        # (PC, PCHUNK, E)
+                        pdx = cx[:, None, :] - cpx[None, :, :]
+                        pdy = cy[:, None, :] - cpy[None, :, :]
+                        pd2 = pdx * pdx + pdy * pdy
+                        return (calive[:, None, :] & (cpa[None, :, :] > 0)
+                                & ((radc * radc)[:, None, :] >= pd2))
+
+                    eat = jnp.zeros((PC, E), jnp.int32)
+                    pmins = []
+                    for k in range(n_chunks):
+                        elig = chunk_elig(k)
+                        pkey = jnp.where(elig, gkey[:, None, :], _BIG_I)
+                        pmins.append(jnp.min(pkey, axis=0))   # (PCHUNK, E)
+                    for k in range(n_chunks):
+                        elig = chunk_elig(k)
+                        win = elig & (gkey[:, None, :]
+                                      == pmins[k][None, :, :])
+                        eat = eat + jnp.sum(_bint(win), axis=1)
+                    gone = _bint(jnp.concatenate(pmins, axis=0) < _BIG_I)
+                    return eat, gone[:Np]
+
+                def pellets_single():
+                    # every player in the block has <= 1 live cell: run the
+                    # pass on (P, PCHUNK, E) instead of (PC, PCHUNK, E).
+                    # The lone cell's fields extract EXACTLY via masked
+                    # sums, and gkey arbitration (pid*Cc + rank, rank = 0)
+                    # degenerates to pid order. 16 slots -> P rows is the
+                    # bulk of the tick's compute at rest (measured 0.58 of
+                    # the 1.2 ms/tick at 8192 envs, bench/tick_ablate.py).
+                    ai = jnp.where(calive, 1.0, 0.0)
+                    sx = preduce(cx * ai, jnp.sum)            # (P, E)
+                    sy = preduce(cy * ai, jnp.sum)
+                    sr = preduce(radc * ai, jnp.sum)
+                    hasp = n_start > 0                        # (P, E)
+                    pid3 = jax.lax.broadcasted_iota(jnp.int32, (P, 1, 1), 0)
+                    eat_p = jnp.zeros((P, E), jnp.int32)
+                    gone = []
+                    sr2 = sr * sr
+                    for k in range(n_chunks):
+                        cpx, cpy, cpa = chunk_slices(k)
+                        pdx = sx[:, None, :] - cpx[None, :, :]
+                        pdy = sy[:, None, :] - cpy[None, :, :]
+                        pd2 = pdx * pdx + pdy * pdy
+                        elig = (hasp[:, None, :] & (cpa[None, :, :] > 0)
+                                & (sr2[:, None, :] >= pd2))
+                        if P == 1:
+                            win = elig
+                            kmin = win[0]                     # (PCHUNK, E)
+                            gone.append(_bint(kmin))
+                        else:
+                            key = jnp.where(elig, pid3, _BIG_I)
+                            kmin = jnp.min(key, axis=0)       # (PCHUNK, E)
+                            win = elig & (key == kmin[None, :, :])
+                            gone.append(_bint(kmin < _BIG_I))
+                        eat_p = eat_p + jnp.sum(_bint(win), axis=1)
+                    eat = jnp.where(calive, pexpand(eat_p), 0)
+                    return eat, jnp.concatenate(gone, axis=0)[:Np]
+
+                multi_blk = jnp.max(n_start) >= 2
+                eaten_pc, pgone = jax.lax.cond(multi_blk, pellets_full,
+                                               pellets_single)
+                palive = palive & (pgone == 0)
                 cmass = cmass + eaten_pc * C.PELLET_MASS
                 food_eaten = food_eaten_in + preduce(eaten_pc, jnp.sum)
                 pm_now = preduce(jnp.where(calive, cmass, 0), jnp.sum)
@@ -889,20 +938,58 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
 
             if Nf > 0 and do_actions:
                 rf = _radius(np.float32(C.FOOD_MASS))
-                radc2 = _radius(cmass)
-                fdx = cx[:, None, :] - fx[None, :, :]         # (PC, Nf, E)
-                fdy = cy[:, None, :] - fy[None, :, :]
-                fd2 = fdx * fdx + fdy * fdy
-                rm2 = jnp.maximum(radc2[:, None, :], rf)
-                can_f = cmass[:, None, :] > np.int32(
-                    C.FOOD_MASS * C.CELL_EAT_MARGIN)
-                felig = (calive[:, None, :] & falive[None, :, :] & can_f
-                         & (rm2 * rm2 >= fd2))
-                fkey = jnp.where(felig, gkey[:, None, :], _BIG_I)
-                fmin = jnp.min(fkey, axis=0)                  # (Nf, E)
-                fwin = felig & (fkey == fmin[None, :, :])
-                eaten_fc = jnp.sum(_bint(fwin), axis=1)
-                falive = falive & (fmin == _BIG_I)
+
+                def foods_full():
+                    radc2 = _radius(cmass)
+                    fdx = cx[:, None, :] - fx[None, :, :]     # (PC, Nf, E)
+                    fdy = cy[:, None, :] - fy[None, :, :]
+                    fd2 = fdx * fdx + fdy * fdy
+                    rm2 = jnp.maximum(radc2[:, None, :], rf)
+                    can_f = cmass[:, None, :] > np.int32(
+                        C.FOOD_MASS * C.CELL_EAT_MARGIN)
+                    felig = (calive[:, None, :] & falive[None, :, :] & can_f
+                             & (rm2 * rm2 >= fd2))
+                    fkey = jnp.where(felig, gkey[:, None, :], _BIG_I)
+                    fmin = jnp.min(fkey, axis=0)              # (Nf, E)
+                    fwin = felig & (fkey == fmin[None, :, :])
+                    return (jnp.sum(_bint(fwin), axis=1),
+                            _bint(fmin < _BIG_I))
+
+                def foods_single():
+                    # single-live-cell block: (P, Nf, E) instead of
+                    # (PC, Nf, E) — same exact-extraction argument as
+                    # pellets_single (cmass/radius re-read here: pellets
+                    # and auto-split already updated them this tick)
+                    ai = jnp.where(calive, 1.0, 0.0)
+                    sxf = preduce(cx * ai, jnp.sum)           # (P, E)
+                    syf = preduce(cy * ai, jnp.sum)
+                    srf = preduce(_radius(cmass) * ai, jnp.sum)
+                    smf = preduce(jnp.where(calive, cmass, 0), jnp.sum)
+                    hasp = n_start > 0
+                    fdx = sxf[:, None, :] - fx[None, :, :]    # (P, Nf, E)
+                    fdy = syf[:, None, :] - fy[None, :, :]
+                    fd2 = fdx * fdx + fdy * fdy
+                    rm2 = jnp.maximum(srf[:, None, :], rf)
+                    can_f = smf[:, None, :] > np.int32(
+                        C.FOOD_MASS * C.CELL_EAT_MARGIN)
+                    felig = (hasp[:, None, :] & falive[None, :, :] & can_f
+                             & (rm2 * rm2 >= fd2))
+                    if P == 1:
+                        fwin = felig
+                        fgone = _bint(felig[0])
+                    else:
+                        pid3 = jax.lax.broadcasted_iota(
+                            jnp.int32, (P, 1, 1), 0)
+                        fkey = jnp.where(felig, pid3, _BIG_I)
+                        fmin = jnp.min(fkey, axis=0)          # (Nf, E)
+                        fwin = felig & (fkey == fmin[None, :, :])
+                        fgone = _bint(fmin < _BIG_I)
+                    eat_p = jnp.sum(_bint(fwin), axis=1)      # (P, E)
+                    return jnp.where(calive, pexpand(eat_p), 0), fgone
+
+                eaten_fc, fgone = jax.lax.cond(multi_blk, foods_full,
+                                               foods_single)
+                falive = falive & (fgone == 0)
                 cmass = cmass + eaten_fc * C.FOOD_MASS
                 food_eaten = food_eaten + preduce(eaten_fc, jnp.sum)
 
@@ -915,35 +1002,54 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
                 emit = (calive & pexpand(do_feed)
                         & (cmass >= C.CELL_MIN_SIZE + C.FOOD_MASS))
             if Nf > 0 and do_actions:
-                edx = txc - cx
-                edy = tyc - cy
-                en = jnp.maximum(jnp.sqrt(edx * edx + edy * edy), 1e-12)
-                edx = edx / en
-                edy = edy / en
-                # radius from the CURRENT mass (post pellet/virus/auto-split/
-                # food gains), matching emit_foods (engine/actions.py:265-266)
-                rade = _radius(cmass)
-                elx = cx + edx * rade
-                ely = cy + edy * rade
-                evx = edx * C.FOOD_SPEED
-                evy = edy * C.FOOD_SPEED
-                ekey = jnp.where(emit, gkey, _BIG_I)
-                eord = jnp.sum(_bint((ekey[None, :, :] < ekey[:, None, :])
-                                     & emit[None, :, :]), axis=1)
-                slot = (fnext + eord) % Nf                    # (PC, E)
-                fiota = jax.lax.broadcasted_iota(jnp.int32, (1, Nf, 1), 1)
-                oh = emit[:, None, :] & (slot[:, None, :] == fiota)  # (PC,Nf,E)
-                wrote = jnp.max(_bint(oh), axis=0) > 0        # (Nf, E)
-                ohf = jnp.where(oh, 1.0, 0.0)
-                fx = jnp.where(wrote, jnp.sum(elx[:, None, :] * ohf, axis=0), fx)
-                fy = jnp.where(wrote, jnp.sum(ely[:, None, :] * ohf, axis=0), fy)
-                fvx = jnp.where(wrote, jnp.sum(evx[:, None, :] * ohf, axis=0),
-                                fvx)
-                fvy = jnp.where(wrote, jnp.sum(evy[:, None, :] * ohf, axis=0),
-                                fvy)
-                falive = falive | wrote
-                fnext = fnext + jnp.sum(_bint(emit), axis=0, keepdims=True)
-                cmass = jnp.where(emit, cmass - C.FOOD_MASS, cmass)
+                # inert without a feeding cell this tick (feed actions are
+                # rare); one block-level branch skips the (PC, Nf, E)
+                # emission one-hot machinery
+                def feed_run(fx=fx, fy=fy, fvx=fvx, fvy=fvy, falive=falive,
+                             fnext=fnext, cmass=cmass):
+                    edx = txc - cx
+                    edy = tyc - cy
+                    en = jnp.maximum(jnp.sqrt(edx * edx + edy * edy), 1e-12)
+                    edx = edx / en
+                    edy = edy / en
+                    # radius from the CURRENT mass (post pellet/virus/auto-
+                    # split/food gains), matching emit_foods
+                    # (engine/actions.py:265-266)
+                    rade = _radius(cmass)
+                    elx = cx + edx * rade
+                    ely = cy + edy * rade
+                    evx = edx * C.FOOD_SPEED
+                    evy = edy * C.FOOD_SPEED
+                    ekey = jnp.where(emit, gkey, _BIG_I)
+                    eord = jnp.sum(_bint((ekey[None, :, :] < ekey[:, None, :])
+                                         & emit[None, :, :]), axis=1)
+                    slot = (fnext + eord) % Nf                # (PC, E)
+                    fiota = jax.lax.broadcasted_iota(jnp.int32, (1, Nf, 1), 1)
+                    oh = emit[:, None, :] & (slot[:, None, :] == fiota)
+                    wrote = jnp.max(_bint(oh), axis=0) > 0    # (Nf, E)
+                    ohf = jnp.where(oh, 1.0, 0.0)
+                    fx = jnp.where(wrote,
+                                   jnp.sum(elx[:, None, :] * ohf, axis=0), fx)
+                    fy = jnp.where(wrote,
+                                   jnp.sum(ely[:, None, :] * ohf, axis=0), fy)
+                    fvx = jnp.where(wrote,
+                                    jnp.sum(evx[:, None, :] * ohf, axis=0),
+                                    fvx)
+                    fvy = jnp.where(wrote,
+                                    jnp.sum(evy[:, None, :] * ohf, axis=0),
+                                    fvy)
+                    falive = falive | wrote
+                    fnext = fnext + jnp.sum(_bint(emit), axis=0,
+                                            keepdims=True)
+                    cmass = jnp.where(emit, cmass - C.FOOD_MASS, cmass)
+                    # bools cross the scf.if as int32 (i1 vector results
+                    # fail Mosaic legalization, like scf.for carries)
+                    return fx, fy, fvx, fvy, _bint(falive), fnext, cmass
+
+                fx, fy, fvx, fvy, falive_i, fnext, cmass = jax.lax.cond(
+                    jnp.max(_bint(emit)) > 0, feed_run,
+                    lambda: (fx, fy, fvx, fvy, _bint(falive), fnext, cmass))
+                falive = falive_i > 0
             if sub >= 3:
                 feed_cd = jnp.where(do_feed, C.FEED_COOLDOWN, feed_cd)
                 feed_cd = jnp.where(palive_p, feed_cd, feed_cd_in)
@@ -1217,19 +1323,29 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
                 cells_eaten = cells_eaten_in + preduce(cnt, jnp.sum)
 
             # --- foods move + virus feeding (SPEC M4) -------------------------
+            # the whole pass is inert without a live MOVING food (the usual
+            # state at rest: feeds are rare and emitted foods settle within
+            # ~30 ticks); one block-level branch skips its 0.37 ms/tick
+            # (8192 envs, bench/tick_ablate.py)
             if Nf > 0 and phases >= 8:
                 moving = falive & ((fvx != 0.0) | (fvy != 0.0))
-                pfvx, pfvy = fvx, fvy
-                nfvx, nfvy = _decel(fvx, fvy, C.FOOD_DECEL, dt)
-                rf = _radius(np.float32(C.FOOD_MASS))
-                nfx = fx + nfvx * dt
-                nfy = fy + nfvy * dt
-                nfx, nfy = clampb(nfx, nfy, rf)
-                fx = jnp.where(moving, nfx, fx)
-                fy = jnp.where(moving, nfy, fy)
-                fvx = jnp.where(moving, nfvx, fvx)
-                fvy = jnp.where(moving, nfvy, fvy)
-                if Nv > 0:
+
+                def foods_move_run(fx=fx, fy=fy, fvx=fvx, fvy=fvy,
+                                   falive=falive, vx_=vx_, vy_=vy_, vvx=vvx,
+                                   vvy=vvy, vmass=vmass, vhits=vhits,
+                                   valive=valive):
+                    pfvx, pfvy = fvx, fvy
+                    nfvx, nfvy = _decel(fvx, fvy, C.FOOD_DECEL, dt)
+                    rf = _radius(np.float32(C.FOOD_MASS))
+                    nfx = fx + nfvx * dt
+                    nfy = fy + nfvy * dt
+                    nfx, nfy = clampb(nfx, nfy, rf)
+                    fx = jnp.where(moving, nfx, fx)
+                    fy = jnp.where(moving, nfy, fy)
+                    fvx = jnp.where(moving, nfvx, fvx)
+                    fvy = jnp.where(moving, nfvy, fvy)
+                    if Nv == 0:
+                        return fx, fy, fvx, fvy, _bint(falive)
                     radv2 = _radius(vmass)
                     cdx = fx[:, None, :] - vx_[None, :, :]    # (Nf, Nv, E)
                     cdy = fy[:, None, :] - vy_[None, :, :]
@@ -1282,22 +1398,49 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
                     vmass = jnp.where(dslot_oh, C.VIRUS_INITIAL_MASS, vmass)
                     vhits = jnp.where(dslot_oh, 0, vhits)
                     valive = valive | dslot_oh
+                    return (fx, fy, fvx, fvy, _bint(falive), vx_, vy_, vvx,
+                            vvy, vmass, vhits, _bint(valive))
+
+                def foods_move_skip():
+                    if Nv == 0:
+                        return fx, fy, fvx, fvy, _bint(falive)
+                    return (fx, fy, fvx, fvy, _bint(falive), vx_, vy_, vvx,
+                            vvy, vmass, vhits, _bint(valive))
+
+                outs = jax.lax.cond(jnp.max(_bint(moving)) > 0,
+                                    foods_move_run, foods_move_skip)
+                if Nv == 0:
+                    fx, fy, fvx, fvy, falive_i = outs
+                else:
+                    (fx, fy, fvx, fvy, falive_i, vx_, vy_, vvx, vvy, vmass,
+                     vhits, valive_i) = outs
+                    valive = valive_i > 0
+                falive = falive_i > 0
 
             # --- regeneration -------------------------------------------------
             if ms.pellet_regen and phases >= 9:
                 due_r = (ticks % C.REGEN_PERIOD) == 0         # (1, E)
-                n_alive = jnp.sum(_bint(palive), axis=0, keepdims=True)
-                deficit = jnp.maximum(cfg.num_pellets - n_alive, 0)
-                dead_order = _cumsum0(_bint(~palive)) - 1
-                fill = due_r & ~palive & (dead_order < deficit)
-                rp = _radius(np.float32(C.PELLET_MASS))
-                piota = jax.lax.broadcasted_iota(jnp.int32, (Np, 1), 0)
-                nx_ = _uniform(0.0, W - 2 * rp, seed, 1, ticks, piota, 0) + rp
-                ny_ = _uniform(0.0, H - 2 * rp, seed, 1, ticks, piota, 1) + rp
-                px = jnp.where(fill, nx_, px)
-                py = jnp.where(fill, ny_, py)
-                palive = palive | fill
-                if Nv > 0:
+                # regen only fires every REGEN_PERIOD ticks; a block-level
+                # branch skips the uniform draws + fill scans on off ticks
+                # (0.14 ms/tick at 8192 envs, bench/tick_ablate.py)
+                def regen_run(px=px, py=py, palive=palive, vx_=vx_,
+                              vy_=vy_, vvx=vvx, vvy=vvy, vmass=vmass,
+                              vhits=vhits, valive=valive):
+                    n_alive = jnp.sum(_bint(palive), axis=0, keepdims=True)
+                    deficit = jnp.maximum(cfg.num_pellets - n_alive, 0)
+                    dead_order = _cumsum0(_bint(~palive)) - 1
+                    fill = due_r & ~palive & (dead_order < deficit)
+                    rp = _radius(np.float32(C.PELLET_MASS))
+                    piota = jax.lax.broadcasted_iota(jnp.int32, (Np, 1), 0)
+                    nx_ = _uniform(0.0, W - 2 * rp, seed, 1, ticks, piota,
+                                   0) + rp
+                    ny_ = _uniform(0.0, H - 2 * rp, seed, 1, ticks, piota,
+                                   1) + rp
+                    px = jnp.where(fill, nx_, px)
+                    py = jnp.where(fill, ny_, py)
+                    palive = palive | fill
+                    if Nv == 0:
+                        return px, py, _bint(palive)
                     nv_alive = jnp.sum(_bint(valive), axis=0, keepdims=True)
                     vdef = jnp.maximum(cfg.num_viruses - nv_alive, 0)
                     vdead_order = _cumsum0(_bint(~valive)) - 1
@@ -1315,6 +1458,24 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
                     vmass = jnp.where(vfill, C.VIRUS_INITIAL_MASS, vmass)
                     vhits = jnp.where(vfill, 0, vhits)
                     valive = valive | vfill
+                    return (px, py, _bint(palive), vx_, vy_, vvx, vvy,
+                            vmass, vhits, _bint(valive))
+
+                def regen_skip():
+                    if Nv == 0:
+                        return px, py, _bint(palive)
+                    return (px, py, _bint(palive), vx_, vy_, vvx, vvy,
+                            vmass, vhits, _bint(valive))
+
+                outs_r = jax.lax.cond(jnp.max(_bint(due_r)) > 0, regen_run,
+                                      regen_skip)
+                if Nv == 0:
+                    px, py, palive_i = outs_r
+                else:
+                    (px, py, palive_i, vx_, vy_, vvx, vvy, vmass, vhits,
+                     valive_i) = outs_r
+                    valive = valive_i > 0
+                palive = palive_i > 0
 
             # chain exactly what the XLA writeback exposes to the
             # next tick (engine/tick.py:184-198): dead cells' split

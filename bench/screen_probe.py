@@ -29,12 +29,15 @@ OCFG = ScreenObsConfig(screen_len=S, agent_view=True)
 
 
 def timeit(name, fn, arg, calls=10):
+    """Pipelined timing: enqueue all calls, block ONCE (blocking per call
+    pays the ~30 ms tunnel dispatch latency per call and swamps every
+    kernel under test — CLAUDE.md measurement rules)."""
     out = fn(arg)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     for _ in range(calls):
         out = fn(arg)
-        jax.block_until_ready(out)
+    jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / calls
     print(f"{name:28s}: {dt*1000:8.2f} ms  ({N/dt:,.0f}/s)", flush=True)
     return out, dt
