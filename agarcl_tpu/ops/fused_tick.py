@@ -736,6 +736,7 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
             # lowest-pid arbitration ------------------------------------------
             if sub >= 1:
                 n_start = preduce(_bint(calive), jnp.sum)         # (P, E)
+                multi_blk = jnp.max(n_start) >= 2
             viruses_eaten = viruses_eaten_in
             disr = jnp.zeros((P, E), bool)
             num_new = jnp.zeros((P, E), jnp.int32)
@@ -745,28 +746,71 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
             if Nv > 0 and phases >= 3:
                 radc = _radius(cmass)
                 radv = _radius(vmass)
-                ddx = cx[:, None, :] - vx_[None, :, :]        # (PC, Nv, E)
-                ddy = cy[:, None, :] - vy_[None, :, :]
-                d2 = ddx * ddx + ddy * ddy
-                rm = jnp.maximum(radc[:, None, :], radv[None, :, :])
-                can = (cmass[:, None, :].astype(jnp.float32)
-                       > vmass[None, :, :].astype(jnp.float32)
-                       * C.CELL_EAT_MARGIN)
-                elig = (calive[:, None, :] & valive[None, :, :] & can
-                        & (rm * rm >= d2))
                 viota = jax.lax.broadcasted_iota(jnp.int32, (1, Nv, 1), 1)
-                pkey = jnp.where(elig, rank[:, None, :] * Nv + viota, _BIG_I)
-                rowmin = jnp.min(pkey, axis=1)                # (PC, E)
-                best = preduce(rowmin, jnp.min)               # (P, E)
-                hit = best < _BIG_I
-                win_pair = elig & (pkey == pexpand(best)[:, None, :])
+
+                def velig_full():
+                    ddx = cx[:, None, :] - vx_[None, :, :]    # (PC, Nv, E)
+                    ddy = cy[:, None, :] - vy_[None, :, :]
+                    d2 = ddx * ddx + ddy * ddy
+                    rm = jnp.maximum(radc[:, None, :], radv[None, :, :])
+                    can = (cmass[:, None, :].astype(jnp.float32)
+                           > vmass[None, :, :].astype(jnp.float32)
+                           * C.CELL_EAT_MARGIN)
+                    elig = (calive[:, None, :] & valive[None, :, :] & can
+                            & (rm * rm >= d2))
+                    pkey = jnp.where(elig, rank[:, None, :] * Nv + viota,
+                                     _BIG_I)
+                    rowmin = jnp.min(pkey, axis=1)            # (PC, E)
+                    best = preduce(rowmin, jnp.min)           # (P, E)
+                    hit = best < _BIG_I
+                    win_pair = elig & (pkey == pexpand(best)[:, None, :])
+                    wpi = _bint(win_pair)
+                    wvs = jnp.concatenate(
+                        [jnp.max(wpi[p * Cc:(p + 1) * Cc], axis=0,
+                                 keepdims=False)
+                         for p in range(P)], axis=0) if P > 1 else                         jnp.max(wpi, axis=0)                  # (P*Nv, E)
+                    wc = jnp.max(wpi, axis=1)                 # (PC, E)
+                    return _bint(hit), wvs, wc
+
+                def velig_single():
+                    # single-live-cell block: (P, Nv, E) tables; exact —
+                    # the lone cell's fields extract via masked sums, its
+                    # rank is 0 so pkey = viota, and it is its player's
+                    # winning cell iff the player hit at all
+                    ai = jnp.where(calive, 1.0, 0.0)
+                    sxv = preduce(cx * ai, jnp.sum)           # (P, E)
+                    syv = preduce(cy * ai, jnp.sum)
+                    srv = preduce(radc * ai, jnp.sum)
+                    smv = preduce(jnp.where(calive, cmass, 0), jnp.sum)
+                    hasp = n_start > 0
+                    ddx = sxv[:, None, :] - vx_[None, :, :]   # (P, Nv, E)
+                    ddy = syv[:, None, :] - vy_[None, :, :]
+                    d2 = ddx * ddx + ddy * ddy
+                    rm = jnp.maximum(srv[:, None, :], radv[None, :, :])
+                    can = (smv[:, None, :].astype(jnp.float32)
+                           > vmass[None, :, :].astype(jnp.float32)
+                           * C.CELL_EAT_MARGIN)
+                    elig = (hasp[:, None, :] & valive[None, :, :] & can
+                            & (rm * rm >= d2))
+                    pkey = jnp.where(elig, viota, _BIG_I)     # (P, Nv, E)
+                    best = jnp.min(pkey, axis=1)              # (P, E)
+                    hit = best < _BIG_I
+                    win_pair = elig & (pkey == best[:, None, :])
+                    wpi = _bint(win_pair)
+                    wvs = (wpi.reshape(P * Nv, E) if P > 1
+                           else jnp.max(wpi, axis=0))
+                    wc = _bint(calive & pexpand(hit))         # (PC, E)
+                    return _bint(hit), wvs, wc
+
+                hit_i, wvs, wc_i = jax.lax.cond(multi_blk, velig_full,
+                                                velig_single)
+                hit = hit_i > 0
                 if P == 1:
                     won = hit
-                    wv = [jnp.max(_bint(win_pair), axis=0) > 0]   # (Nv, E)
+                    wv = [wvs > 0]                            # (Nv, E)
                     wwon = wv
                 else:
-                    wpi = _bint(win_pair)
-                    wv = [jnp.max(wpi[p * Cc:(p + 1) * Cc], axis=0) > 0
+                    wv = [wvs[p * Nv:(p + 1) * Nv] > 0
                           for p in range(P)]
                     claim_pid = jnp.full((Nv, E), _BIG_I, jnp.int32)
                     for p in range(P):
@@ -780,8 +824,7 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
                             prow(hit, p)
                             & (jnp.max(_bint(winp), axis=0, keepdims=True) > 0))
                     won = pcat(won_rows)                      # (P, E)
-                win_cell = (jnp.max(_bint(win_pair), axis=1) > 0) \
-                    & pexpand(won)                            # (PC, E)
+                win_cell = (wc_i > 0) & pexpand(won)      # (PC, E)
                 vgain = pcat([jnp.sum(jnp.where(wwon[p], vmass, 0), axis=0,
                                       keepdims=True) for p in range(P)])
                 viruses_eaten = viruses_eaten + _bint(won)
@@ -910,7 +953,6 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
                     eat = jnp.where(calive, pexpand(eat_p), 0)
                     return eat, jnp.concatenate(gone, axis=0)[:Np]
 
-                multi_blk = jnp.max(n_start) >= 2
                 eaten_pc, pgone = jax.lax.cond(multi_blk, pellets_full,
                                                pellets_single)
                 palive = palive & (pgone == 0)
