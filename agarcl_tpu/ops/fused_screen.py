@@ -144,7 +144,16 @@ def _make_kernel(cfg: EnvConfig, S: int, BE: int, Kp: int, Kf: int, Kv: int,
         iota_sub = jax.lax.broadcasted_iota(
             jnp.int32, (S, 1), 0).astype(jnp.float32)
 
+        if _only == 'write_block':
+            # floor ablation: one whole-block store, no per-env work at all
+            o_ref[...] = jnp.zeros(o_ref.shape, o_ref.dtype)
+            return
         for be in range(BE):
+            if _only == 'write':
+                # floor ablation: per-env zero store, skip even the
+                # param scalar reads and the class/palette select chain
+                o_ref[be] = jnp.zeros((S, S), o_ref.dtype)
+                continue
             def sec(name):
                 o, w, pw = offs[name]
                 return tab[be:be + 1, o:o + pw]          # (1, padded Ne)
@@ -268,15 +277,10 @@ def _make_kernel(cfg: EnvConfig, S: int, BE: int, Kp: int, Kf: int, Kv: int,
     return kernel
 
 
-def _rasterize(cfg: EnvConfig, S: int, states, block_envs: int,
-               interpret: bool, packed_table=None, _only=None):
-    """(N, S, S) int32: class ids, or final packed pixels when packed_table
-    is given (see _packed_palette). All entity tables ride ONE consolidated
-    (N, total-lanes) input (sections 128-aligned) so each grid step issues a
-    single input DMA."""
-    assert supports(cfg)
+def _build_table(cfg: EnvConfig, S: int, states):
+    """Consolidated (N, L) input table + section offsets + n_other (see
+    _rasterize). Split out so benchmarks can chain the pallas call alone."""
     N = states.ticks.shape[0]
-    BE = _block_size(N, block_envs)
     P, Cc = states.cell_mass.shape[1:]
 
     centroid = states.player_centroid()[:, 0, :]              # (N, 2)
@@ -357,7 +361,16 @@ def _rasterize(cfg: EnvConfig, S: int, states, block_envs: int,
         parts.append(arr)
         off += pw
     tab = jnp.concatenate(parts, axis=1)                       # (N, off)
+    return tab, offs, n_other, (Kp, Kf, Kv)
 
+
+def _rasterize_table(cfg: EnvConfig, S: int, tab, offs, n_other, Ks,
+                     block_envs: int, interpret: bool,
+                     packed_table=None, _only=None):
+    """pallas_call on a prebuilt table (see _build_table)."""
+    N, off = tab.shape
+    BE = _block_size(N, block_envs)
+    Kp, Kf, Kv = Ks
     kernel = _make_kernel(cfg, S, BE, Kp, Kf, Kv, n_other,
                           {k: v for k, v in offs.items()}, packed_table,
                           _only)
@@ -371,6 +384,18 @@ def _rasterize(cfg: EnvConfig, S: int, states, block_envs: int,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )(tab)
+
+
+def _rasterize(cfg: EnvConfig, S: int, states, block_envs: int,
+               interpret: bool, packed_table=None, _only=None):
+    """(N, S, S) int32: class ids, or final packed pixels when packed_table
+    is given (see _packed_palette). All entity tables ride ONE consolidated
+    (N, total-lanes) input (sections 128-aligned) so each grid step issues a
+    single input DMA."""
+    assert supports(cfg)
+    tab, offs, n_other, Ks = _build_table(cfg, S, states)
+    return _rasterize_table(cfg, S, tab, offs, n_other, Ks, block_envs,
+                            interpret, packed_table, _only)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 3, 4))

@@ -21,10 +21,12 @@ from agarcl_tpu.ops.fused_tick import fused_engine_tick
 from agarcl_tpu.vec import make_obs_fn
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
+MODE = int(sys.argv[2]) if len(sys.argv) > 2 else 1
 S = 84
 CFG = EnvConfig(num_agents=1, ticks_per_step=4, arena_size=350,
-                num_pellets=500, num_viruses=10, num_bots=0,
-                reward_type=True, mode=1)
+                num_pellets=500, num_viruses=10,
+                num_bots=1 if MODE in (0, 7, 8, 9, 10) else 0,
+                reward_type=True, mode=MODE)
 OCFG = ScreenObsConfig(screen_len=S, agent_view=True)
 
 
@@ -66,10 +68,17 @@ def main():
     # work-group ablation: strips (pellets+foods) vs circles (cells+viruses)
     # vs lines vs the bare output write ( _only='none' matches no group)
     from agarcl_tpu.ops.fused_screen import _rasterize
-    for only in ("none", "lines", "strips", "circles"):
+    for only in ("none", "lines", "strips", "circles",
+                 "write", "write_block"):
         fn = jax.jit(functools.partial(
             _rasterize, CFG, S, block_envs=8, interpret=False, _only=only))
         timeit(f"class_map _only={only}", fn, states)
+    for be in (16, 32, 64):
+        for only in ("write_block", "none", None):
+            fn = jax.jit(functools.partial(
+                _rasterize, CFG, S, block_envs=be, interpret=False,
+                _only=only))
+            timeit(f"BE={be:3d} _only={only}", fn, states)
 
     obs_fn, nf = make_obs_fn(CFG, "screen", OCFG)
     step = jax.jit(lambda s: fused_env_step(
