@@ -81,12 +81,15 @@ def _packed_palette(agent_view: bool):
 
 def _make_kernel(cfg: EnvConfig, S: int, BE: int, Kp: int, Kf: int, Kv: int,
                  n_other: int, offs, packed_table=None,
-                 _only: str | None = None):
+                 _only: str | None = None, _ladder: bool = False,
+                 _strip_dtype=None, multi: tuple | None = None):
     """offs: {section: (lane offset, real width, padded width)} into the one
-    consolidated input table (see _rasterize — 16 separate inputs cost 16
-    DMA setups per grid step, ~3.8 ms of fixed overhead per 2048-env frame;
-    one table costs one). _only: benchmarking knob — compute just one work
-    group ('strips', 'circles', 'lines') and leave the rest empty."""
+    consolidated input table (see _rasterize). _only: benchmarking knob —
+    compute just one work group ('strips', 'circles', 'lines') and leave the
+    rest empty. multi: section-name order for the separate-inputs layout
+    (one ref per section instead of the consolidated table) — the round-1
+    'one table beats 16 inputs' reading came from dispatch-polluted per-call
+    timing; both layouts are kept so the chained probe can compare."""
     def on(name):
         return _only is None or _only == name
     W = cfg.arena_width
@@ -131,14 +134,24 @@ def _make_kernel(cfg: EnvConfig, S: int, BE: int, Kp: int, Kf: int, Kv: int,
             dyk = wyk - y_row
             lim = r2_row - dyk * dyk                     # (1, Ne); pinned
             X2 = jnp.where(dx2T <= lim, weight, 0.0)     # form dx2<=r2-dy2
+            lhs, rhs = R2, X2
+            if _strip_dtype is not None:
+                # one-hot rows and 0/1/4096 weights are exact in bf16;
+                # accumulation stays f32 (counts < 2^24), so the packed
+                # pellet/food arithmetic is unchanged bit-for-bit
+                lhs = lhs.astype(_strip_dtype)
+                rhs = rhs.astype(_strip_dtype)
             count = count + jax.lax.dot_general(
-                R2, X2, (((1,), (1,)), ((), ())),
+                lhs, rhs, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)      # (S, S)
             if k + 1 < K:
                 R2 = pltpu.roll(R2, 1, 0)
         return count
 
-    def kernel(tab, o_ref):
+    def kernel(*refs):
+        o_ref = refs[-1]
+        tabs = dict(zip(multi, refs[:-1])) if multi else None
+        tab = None if multi else refs[0]
         iota_lane = jax.lax.broadcasted_iota(
             jnp.int32, (1, S), 1).astype(jnp.float32)
         iota_sub = jax.lax.broadcasted_iota(
@@ -155,8 +168,15 @@ def _make_kernel(cfg: EnvConfig, S: int, BE: int, Kp: int, Kf: int, Kv: int,
                 o_ref[be] = jnp.zeros((S, S), o_ref.dtype)
                 continue
             def sec(name):
+                if multi:
+                    return tabs[name][be:be + 1, :]      # (1, padded Ne)
                 o, w, pw = offs[name]
                 return tab[be:be + 1, o:o + pw]          # (1, padded Ne)
+
+            def scal(name, j):
+                if multi:
+                    return tabs[name][be, j]
+                return tab[be, offs[name][0] + j]
 
             def circles_f(xn, yn, rn, n, wx, wy):
                 """Direct unrolled coverage for a few-entity class: (S, S)
@@ -165,14 +185,11 @@ def _make_kernel(cfg: EnvConfig, S: int, BE: int, Kp: int, Kf: int, Kv: int,
                 entity with a scalar lax.cond measured 2.5x SLOWER (the
                 untaken branch still copies the (S, S) carry through the
                 scf.if). Dead slots fall out via r2 = -1."""
-                xo = offs[xn][0]
-                yo = offs[yn][0]
-                ro = offs[rn][0]
                 cov = jnp.zeros((S, S), jnp.float32)
                 for c in range(n):
-                    x = tab[be, xo + c]
-                    y = tab[be, yo + c]
-                    r2 = tab[be, ro + c]
+                    x = scal(xn, c)
+                    y = scal(yn, c)
+                    r2 = scal(rn, c)
                     dx2 = (wx - x) * (wx - x)            # (1, S) cheap
                     dy = wy - y                          # (S, 1)
                     lim = r2 - dy * dy                   # (S, 1); pinned
@@ -184,7 +201,16 @@ def _make_kernel(cfg: EnvConfig, S: int, BE: int, Kp: int, Kf: int, Kv: int,
                 alive-first (_rasterize). cnt (f32 scalar: this env's live
                 count) ladders the unroll per ENV — one scf.if pair per
                 class copies two (S, S) carries but skips 2*(n-k) ops in
-                the common 1-2 live-cell regime."""
+                the common 1-2 live-cell regime.
+
+                Default OFF: chained-program ablation (screen_floor_probe,
+                2048 envs mode 1) measured the ladder 0.29 ms/frame SLOWER
+                than unconditional draws (1.98 vs 1.69 ms circles-only) —
+                the scf.if carry copies outweigh the skipped draws, same
+                mechanism as the per-entity conds. It also regressed the
+                duel-screen bench (295k -> 267k, two laddered classes)."""
+                if not _ladder:
+                    cnt = None
                 if cnt is None or n <= 4:
                     return circles_f(xn, yn, rn, n, wx, wy) >= 0.5
                 cov = jax.lax.cond(
@@ -196,10 +222,9 @@ def _make_kernel(cfg: EnvConfig, S: int, BE: int, Kp: int, Kf: int, Kv: int,
                         lambda: circles_f(xn, yn, rn, n, wx, wy)))
                 return cov >= 0.5
 
-            po = offs['params'][0]
-            cx = tab[be, po]
-            cy = tab[be, po + 1]
-            half = tab[be, po + 2]
+            cx = scal('params', 0)
+            cy = scal('params', 1)
+            half = scal('params', 2)
             wx = cx + ((iota_lane + 0.5) * 2.0 / S - 1.0) * half   # (1, S)
             wy = cy + ((iota_sub + 0.5) * 2.0 / S - 1.0) * half    # (S, 1)
             # pixel-x coords as a column — bit-identical expression to wx
@@ -242,7 +267,7 @@ def _make_kernel(cfg: EnvConfig, S: int, BE: int, Kp: int, Kf: int, Kv: int,
 
             if on('circles'):
                 mine = circles('mx', 'my', 'mr2', Cc, wx, wy,
-                               cnt=tab[be, po + 3])
+                               cnt=scal('params', 3))
                 # viruses: strip pass (constant in the 26-slot capacity —
                 # the direct unroll paid 2 (S, S) ops per SLOT, alive or
                 # not) on a separate accumulator (a third weight class in
@@ -262,7 +287,7 @@ def _make_kernel(cfg: EnvConfig, S: int, BE: int, Kp: int, Kf: int, Kv: int,
             cls = jnp.where(mine, 4, cls)
             if n_other and on('circles'):
                 oth = circles('ox', 'oy', 'or2', n_other, wx, wy,
-                              cnt=tab[be, po + 4])
+                              cnt=scal('params', 4))
                 cls = jnp.where(oth, 5, cls)
             cls = jnp.where(vir, 6, cls)
             if packed_table is not None:
@@ -277,9 +302,12 @@ def _make_kernel(cfg: EnvConfig, S: int, BE: int, Kp: int, Kf: int, Kv: int,
     return kernel
 
 
-def _build_table(cfg: EnvConfig, S: int, states):
-    """Consolidated (N, L) input table + section offsets + n_other (see
-    _rasterize). Split out so benchmarks can chain the pallas call alone."""
+def _build_table(cfg: EnvConfig, S: int, states, _ablate=None):
+    """Entity input tables + section offsets + n_other (see _rasterize).
+    _ablate='sections' (the production layout) returns the padded sections
+    as a dict for _rasterize_sections instead of concatenating them;
+    _ablate='nocompact' skips the alive-first cell sort (timing only —
+    the count ladder then draws wrong lanes)."""
     N = states.ticks.shape[0]
     P, Cc = states.cell_mass.shape[1:]
 
@@ -297,6 +325,8 @@ def _build_table(cfg: EnvConfig, S: int, states):
         """Alive-first lane order + live count: the kernel's per-env count
         ladder then draws only the first k lanes (coverage is an OR over
         entities, so the reorder is semantics-free)."""
+        if _ablate == 'nocompact':
+            return x, y, r2, jnp.sum(alive, axis=1).astype(jnp.float32)
         order = jnp.argsort(~alive, axis=1, stable=True)
         take = functools.partial(jnp.take_along_axis, indices=order, axis=1)
         return (take(x), take(y), take(r2),
@@ -360,20 +390,54 @@ def _build_table(cfg: EnvConfig, S: int, states):
         offs[name] = (off, w, pw)
         parts.append(arr)
         off += pw
+    if _ablate == 'sections':
+        # separate-inputs layout: skip the concat, hand each padded
+        # section to the kernel as its own ref (padding fills still
+        # guarantee dead lanes can't rasterize)
+        return dict(zip([n for n, _, _ in named], parts)), offs, n_other, \
+            (Kp, Kf, Kv)
     tab = jnp.concatenate(parts, axis=1)                       # (N, off)
     return tab, offs, n_other, (Kp, Kf, Kv)
 
 
+def _rasterize_sections(cfg: EnvConfig, S: int, secs, offs, n_other, Ks,
+                        block_envs: int, interpret: bool,
+                        packed_table=None, _only=None, _ladder=False,
+                        _strip_dtype=None):
+    """pallas_call with one input ref per section (vs the consolidated
+    table of _rasterize_table); see _make_kernel's `multi` note."""
+    names = tuple(secs.keys())
+    arrs = [secs[n] for n in names]
+    N = arrs[0].shape[0]
+    BE = _block_size(N, block_envs)
+    Kp, Kf, Kv = Ks
+    kernel = _make_kernel(cfg, S, BE, Kp, Kf, Kv, n_other,
+                          {k: v for k, v in offs.items()}, packed_table,
+                          _only, _ladder, _strip_dtype, multi=names)
+    return pl.pallas_call(
+        kernel,
+        grid=(N // BE,),
+        in_specs=[pl.BlockSpec((BE, a.shape[1]), lambda i: (i, 0))
+                  for a in arrs],
+        out_specs=pl.BlockSpec((BE, S, S), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((N, S, S), jnp.int32),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(*arrs)
+
+
 def _rasterize_table(cfg: EnvConfig, S: int, tab, offs, n_other, Ks,
                      block_envs: int, interpret: bool,
-                     packed_table=None, _only=None):
+                     packed_table=None, _only=None, _ladder=False,
+                     _strip_dtype=None):
     """pallas_call on a prebuilt table (see _build_table)."""
     N, off = tab.shape
     BE = _block_size(N, block_envs)
     Kp, Kf, Kv = Ks
     kernel = _make_kernel(cfg, S, BE, Kp, Kf, Kv, n_other,
                           {k: v for k, v in offs.items()}, packed_table,
-                          _only)
+                          _only, _ladder, _strip_dtype)
     return pl.pallas_call(
         kernel,
         grid=(N // BE,),
@@ -389,13 +453,16 @@ def _rasterize_table(cfg: EnvConfig, S: int, tab, offs, n_other, Ks,
 def _rasterize(cfg: EnvConfig, S: int, states, block_envs: int,
                interpret: bool, packed_table=None, _only=None):
     """(N, S, S) int32: class ids, or final packed pixels when packed_table
-    is given (see _packed_palette). All entity tables ride ONE consolidated
-    (N, total-lanes) input (sections 128-aligned) so each grid step issues a
-    single input DMA."""
+    is given (see _packed_palette). Entity sections ride as SEPARATE kernel
+    inputs (128-lane-padded each): the chained e2e probe measured this
+    0.39 ms/frame cheaper than the consolidated-table layout at 2048 envs
+    (the concat copies cost more than the extra per-grid-step DMAs — the
+    round-1 'one table beats 16 inputs' reading was dispatch-polluted)."""
     assert supports(cfg)
-    tab, offs, n_other, Ks = _build_table(cfg, S, states)
-    return _rasterize_table(cfg, S, tab, offs, n_other, Ks, block_envs,
-                            interpret, packed_table, _only)
+    secs, offs, n_other, Ks = _build_table(cfg, S, states,
+                                           _ablate='sections')
+    return _rasterize_sections(cfg, S, secs, offs, n_other, Ks, block_envs,
+                               interpret, packed_table, _only)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 3, 4))

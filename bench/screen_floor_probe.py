@@ -36,6 +36,8 @@ def main():
     ap.add_argument("--mode", type=int, default=1)
     ap.add_argument("--calls", type=int, default=4)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--quick", action="store_true",
+                    help="only the e2e layout comparison (fewest compiles)")
     args = ap.parse_args()
     N = args.envs
     cfg = EnvConfig(num_agents=1, ticks_per_step=4, arena_size=350,
@@ -67,7 +69,7 @@ def main():
               flush=True)
         return dt
 
-    def chained_raster(be, only, packed=None):
+    def chained_raster(be, only, packed=None, ladder=True, sdt=None):
         @jax.jit
         def run(tab):
             c = jnp.float32(0.0)
@@ -75,28 +77,70 @@ def main():
                 t = tab.at[0, 0].add(c)
                 out = _rasterize_table(cfg, S, t, offs, n_other, Ks,
                                        block_envs=be, interpret=False,
-                                       packed_table=packed, _only=only)
+                                       packed_table=packed, _only=only,
+                                       _ladder=ladder, _strip_dtype=sdt)
                 c = out[0, 0, 0].astype(jnp.float32) * 0.0
             return c
         return run
 
-    @jax.jit
-    def build_chain(s):
-        c = jnp.float32(0.0)
-        for _ in range(CHAIN):
-            s2 = s.replace(cell_pos=s.cell_pos + c)
-            tab = _build_table(cfg, S, s2)[0]
-            c = tab[0, 0] * 0.0
-        return c
-    timed("table build (XLA)", build_chain, states)
+    def build_chain(ablate):
+        @jax.jit
+        def run(s):
+            c = jnp.float32(0.0)
+            for _ in range(CHAIN):
+                s2 = s.replace(cell_pos=s.cell_pos + c)
+                tab = _build_table(cfg, S, s2, _ablate=ablate)[0]
+                c = tab[0, 0] * 0.0
+            return c
+        return run
+    timed("table build (XLA)", build_chain(None), states)
+    timed("table build nocompact", build_chain('nocompact'), states)
 
-    for be in (8, 16, 32, 64):
-        for only in ("write_block", "write", "none", None):
-            if be != 8 and only == "write":
-                continue
-            timed(f"BE={be:3d} _only={only}", chained_raster(be, only), tab0)
-    timed("BE=  8 full packed frame",
-          chained_raster(8, None, _packed_palette(True)), tab0)
+    # e2e (build + kernel) chained from states, both input layouts
+    from agarcl_tpu.ops.fused_screen import _rasterize_sections
+
+    def e2e_chain(layout):
+        @jax.jit
+        def run(s):
+            c = jnp.float32(0.0)
+            for _ in range(CHAIN):
+                s2 = s.replace(cell_pos=s.cell_pos + c)
+                if layout == "table":
+                    tab, o2, no2, ks2 = _build_table(cfg, S, s2)
+                    out = _rasterize_table(
+                        cfg, S, tab, o2, no2, ks2, block_envs=8,
+                        interpret=False, packed_table=_packed_palette(True))
+                else:
+                    secs, o2, no2, ks2 = _build_table(cfg, S, s2,
+                                                      _ablate='sections')
+                    out = _rasterize_sections(
+                        cfg, S, secs, o2, no2, ks2, block_envs=8,
+                        interpret=False, packed_table=_packed_palette(True))
+                c = out[0, 0, 0].astype(jnp.float32) * 0.0
+            return c
+        return run
+    timed("e2e table layout", e2e_chain("table"), states)
+    timed("e2e sections layout", e2e_chain("sections"), states)
+    if args.quick:
+        return
+
+    bf16 = jnp.bfloat16
+    for name, kw in (
+            ("floor (write_block)", dict(only="write_block")),
+            ("lines only", dict(only="lines")),
+            ("strips only", dict(only="strips")),
+            ("strips only bf16", dict(only="strips", sdt=bf16)),
+            ("circles only", dict(only="circles")),
+            ("circles only bf16", dict(only="circles", sdt=bf16)),
+            ("circles only no-ladder", dict(only="circles", ladder=False)),
+            ("full class map", dict(only=None)),
+            ("full bf16", dict(only=None, sdt=bf16)),
+            ("full bf16 packed frame",
+             dict(only=None, sdt=bf16, packed=_packed_palette(True))),
+            ("full packed frame", dict(only=None,
+                                       packed=_packed_palette(True))),
+    ):
+        timed(f"BE=8 {name}", chained_raster(8, **kw), tab0)
 
 
 if __name__ == "__main__":
