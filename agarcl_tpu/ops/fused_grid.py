@@ -63,7 +63,8 @@ def supports(cfg: EnvConfig, ocfg) -> bool:
 
 
 def _make_kernel(cfg: EnvConfig, G: int, BE: int, n_other: int, offs,
-                 _only: str | None = None, out_dtype=jnp.int32):
+                 _only: str | None = None, out_dtype=jnp.int32,
+                 multi: tuple | None = None, _vmax: str = 'cond'):
     """offs: {section: (lane offset, real width, padded width)} into the one
     consolidated input table (one DMA per grid step instead of 13).
     _only: benchmarking knob — compute just one channel group ('pellets',
@@ -85,10 +86,21 @@ def _make_kernel(cfg: EnvConfig, G: int, BE: int, n_other: int, offs,
     PACK = 128 // G          # grid rows packed per 128-lane output row
     ROWS = G * G // 128      # output rows per channel
 
-    def kernel(tab, o_ref):
+    def kernel(*refs):
+        o_ref = refs[-1]
+        tabs = dict(zip(multi, refs[:-1])) if multi else None
+        tab = None if multi else refs[0]
+
         def sec(name):
+            if multi:
+                return tabs[name][:, :]                   # (BE, padded Ne)
             o, w, pw = offs[name]
             return tab[:, o:o + pw]                       # (BE, padded Ne)
+
+        def scal(name, be, j):
+            if multi:
+                return tabs[name][be, j]
+            return tab[be, offs[name][0] + j]
 
         def st(x):
             """int32 channel -> output dtype; int16 saturates (mass sums
@@ -114,10 +126,15 @@ def _make_kernel(cfg: EnvConfig, G: int, BE: int, n_other: int, offs,
         # lanes: (BE, Ne) f32 — the exact obs/grid.py _to_grid expression
         # (division, not reciprocal-multiply, so f32 rounding matches
         # bin-for-bin). cols (BE, 1) broadcast against the entity lanes.
-        po = offs['params'][0]
-        cxc = tab[:, po:po + 1]
-        cyc = tab[:, po + 1:po + 2]
-        vwc = tab[:, po + 2:po + 3]
+        if multi:
+            cxc = tabs['params'][:, 0:1]
+            cyc = tabs['params'][:, 1:2]
+            vwc = tabs['params'][:, 2:3]
+        else:
+            po = offs['params'][0]
+            cxc = tab[:, po:po + 1]
+            cyc = tab[:, po + 1:po + 2]
+            vwc = tab[:, po + 2:po + 3]
 
         def bins_blk(xn, yn):
             bx = jnp.trunc(G * (sec(xn) - cxc) / vwc + G / 2.0)
@@ -130,6 +147,19 @@ def _make_kernel(cfg: EnvConfig, G: int, BE: int, n_other: int, offs,
         if n_other:
             obx, oby = bins_blk('ox', 'oy')
 
+        def flat_bin_at(be, x, y):
+            """Scalar flat bin (see flat_bin) for the block-level slow
+            rewrites, reading this env's camera scalars itself."""
+            cx_ = scal('params', be, 0)
+            cy_ = scal('params', be, 1)
+            vw_ = scal('params', be, 2)
+            bx = jnp.trunc(G * (x - cx_) / vw_ + G / 2.0)
+            by = jnp.trunc(G * (y - cy_) / vw_ + G / 2.0)
+            ok = (bx >= 0.0) & (bx < G) & (by >= 0.0) & (by < G)
+            return jnp.where(ok, bx * G + by, -1.0).astype(jnp.int32)
+
+        vneed = []
+        oneed = []
         for be in range(BE):
             def ohyT(b_all, dtype=jnp.bfloat16):
                 """Col-bin one-hot (G, Ne): (G,1) == (1,Ne) broadcast."""
@@ -155,9 +185,9 @@ def _make_kernel(cfg: EnvConfig, G: int, BE: int, n_other: int, offs,
                                                                   axis=1)
 
             # --- out-of-bounds (GridEnvironment.hpp:240-248) --------------
-            cx = tab[be, po]
-            cy = tab[be, po + 1]
-            view = tab[be, po + 2]
+            cx = scal('params', be, 0)
+            cy = scal('params', be, 1)
+            view = scal('params', be, 2)
             zero = jnp.zeros((ROWS, 128), out_dtype)
             if on('oob'):
                 wx = cx + (rf - G / 2.0) * view / G           # row-bin axis
@@ -201,15 +231,27 @@ def _make_kernel(cfg: EnvConfig, G: int, BE: int, n_other: int, offs,
                 def vmax_slow():
                     m_ = jnp.zeros((ROWS, 128), jnp.float32)
                     for e in range(Nv):
-                        flat = flat_bin(tab[be, offs['vx'][0] + e],
-                                        tab[be, offs['vy'][0] + e])
+                        flat = flat_bin(scal('vx', be, e), scal('vy', be, e))
                         m_ = jnp.maximum(
                             m_, jnp.where(iota_flat == flat,
-                                          tab[be, offs['vm'][0] + e], 0.0))
+                                          scal('vm', be, e), 0.0))
                     return m_
 
-                vmax = jax.lax.cond(jnp.max(vcnt) >= 2.0, vmax_slow,
-                                    lambda: vadd)
+                if _vmax == 'nocond':
+                    vmax = vmax_slow()
+                elif _vmax in ('fast', 'block'):
+                    # max == sum when every bin holds <= 1 virus; the exact
+                    # unrolled fallback runs once per BLOCK behind pl.when
+                    # (see below) — a per-env lax.cond costs ~1.9 ms/frame
+                    # at 8192 envs in carry copies + pipeline breaks even
+                    # when never taken (bench/grid_floor_probe.py), the
+                    # block-level rewrite costs only the rare slow frames
+                    vmax = vadd
+                    if _vmax == 'block':
+                        vneed.append(jnp.max(vcnt))
+                else:
+                    vmax = jax.lax.cond(jnp.max(vcnt) >= 2.0, vmax_slow,
+                                        lambda: vadd)
                 o_ref[be, 3] = st(vmax.astype(jnp.int32))
                 o_ref[be, 4] = st(vadd.astype(jnp.int32))
             else:
@@ -238,37 +280,81 @@ def _make_kernel(cfg: EnvConfig, G: int, BE: int, n_other: int, offs,
                     mn = jnp.full((ROWS, 128), _INF_F, jnp.float32)
                     mx_ = jnp.zeros((ROWS, 128), jnp.float32)
                     for e in range(n_other):
-                        flat = flat_bin(tab[be, offs['ox'][0] + e],
-                                        tab[be, offs['oy'][0] + e])
+                        flat = flat_bin(scal('ox', be, e), scal('oy', be, e))
                         hit = iota_flat == flat
                         mn = jnp.minimum(mn, jnp.where(
-                            hit, tab[be, offs['ok'][0] + e], _INF_F))
+                            hit, scal('ok', be, e), _INF_F))
                         mx_ = jnp.maximum(mx_, jnp.where(
-                            hit, tab[be, offs['om'][0] + e], 0.0))
+                            hit, scal('om', be, e), 0.0))
                     return jnp.where(mn == _INF_F, 0.0, mn), mx_
 
-                omin, omax = jax.lax.cond(
-                    jnp.max(ocnt_) >= 2.0, oth_slow, lambda: (oadd, oadd))
+                if _vmax in ('fast', 'block'):
+                    omin = omax = oadd       # exact when <=1 cell per bin;
+                    #                          'block' rewrites below
+                    if _vmax == 'block':
+                        oneed.append(jnp.max(ocnt_))
+                else:
+                    omin, omax = jax.lax.cond(
+                        jnp.max(ocnt_) >= 2.0, oth_slow, lambda: (oadd, oadd))
                 o_ref[be, 6] = st(omin.astype(jnp.int32))
                 o_ref[be, 7] = st(omax.astype(jnp.int32))
             else:
                 o_ref[be, 6] = zero
                 o_ref[be, 7] = zero
 
+        # --- block-level exact rewrites (_vmax='block'): the fast values
+        # above are exact unless some bin in some env of this block holds
+        # two entities; then ONE pl.when redoes the unrolled exact min/max
+        # for the whole block, writing o_ref directly (no carries — a
+        # per-env lax.cond costs ~1.9 ms/frame at 8192 envs even when the
+        # branch is never taken, bench/grid_floor_probe.py) ---------------
+        if vneed:
+            need = vneed[0]
+            for f in vneed[1:]:
+                need = jnp.maximum(need, f)
+
+            @pl.when(need >= 2.0)
+            def _vrewrite():
+                for be in range(BE):
+                    m_ = jnp.zeros((ROWS, 128), jnp.float32)
+                    for e in range(Nv):
+                        flat = flat_bin_at(be, scal('vx', be, e),
+                                           scal('vy', be, e))
+                        m_ = jnp.maximum(
+                            m_, jnp.where(iota_flat == flat,
+                                          scal('vm', be, e), 0.0))
+                    o_ref[be, 3] = st(m_.astype(jnp.int32))
+
+        if oneed:
+            needo = oneed[0]
+            for f in oneed[1:]:
+                needo = jnp.maximum(needo, f)
+
+            @pl.when(needo >= 2.0)
+            def _orewrite():
+                for be in range(BE):
+                    mn = jnp.full((ROWS, 128), _INF_F, jnp.float32)
+                    mx_ = jnp.zeros((ROWS, 128), jnp.float32)
+                    for e in range(n_other):
+                        flat = flat_bin_at(be, scal('ox', be, e),
+                                           scal('oy', be, e))
+                        hit = iota_flat == flat
+                        mn = jnp.minimum(mn, jnp.where(
+                            hit, scal('ok', be, e), _INF_F))
+                        mx_ = jnp.maximum(mx_, jnp.where(
+                            hit, scal('om', be, e), 0.0))
+                    o_ref[be, 6] = st(
+                        jnp.where(mn == _INF_F, 0.0, mn).astype(jnp.int32))
+                    o_ref[be, 7] = st(mx_.astype(jnp.int32))
+
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 3, 4, 5, 6))
-def fused_grid_channels(cfg: EnvConfig, G: int, states,
-                        block_envs: int = 8, interpret: bool = False,
-                        _only: str | None = None,
-                        out_dtype: str = "int32"):
-    """(N, 8, G, G) int32 (or saturating int16 when out_dtype="int16") —
-    all grid channels for a batched GameState, bin-exact vs jax.vmap of
-    obs/grid.py grid_frame (single-agent).
-    _only: see _make_kernel (benchmark ablation)."""
+def _build_grid_table(cfg: EnvConfig, G: int, states, sections: bool = False):
+    """Entity input tables + offsets + n_other for the grid kernel.
+    sections=True returns the padded sections as a dict (the separate-
+    inputs layout) instead of concatenating into one table."""
     N = states.ticks.shape[0]
-    BE = _block_size(N, block_envs)
     P, Cc = states.cell_mass.shape[1:]
 
     centroid = states.player_centroid()[:, 0, :]              # (N, 2)
@@ -326,21 +412,55 @@ def fused_grid_channels(cfg: EnvConfig, G: int, states,
         offs[name] = (off, w, pw)
         parts.append(arr)
         off += pw
+    if sections:
+        return dict(zip([n for n, _, _ in named], parts)), offs, n_other
     tab = jnp.concatenate(parts, axis=1)                       # (N, off)
+    return tab, offs, n_other
 
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 3, 4, 5, 6, 7, 8))
+def fused_grid_channels(cfg: EnvConfig, G: int, states,
+                        block_envs: int = 8, interpret: bool = False,
+                        _only: str | None = None,
+                        out_dtype: str = "int32",
+                        layout: str = "sections",
+                        _vmax: str = "block"):
+    """(N, 8, G, G) int32 (or saturating int16 when out_dtype="int16") —
+    all grid channels for a batched GameState, bin-exact vs jax.vmap of
+    obs/grid.py grid_frame (single-agent).
+    _only / layout / _vmax: see _make_kernel (benchmark ablations; the
+    separate-inputs 'sections' layout is the production default — same
+    finding as fused_screen, the concat copies cost more than the extra
+    per-grid-step DMA setups)."""
+    N = states.ticks.shape[0]
+    BE = _block_size(N, block_envs)
+    secs_or_tab, offs, n_other = _build_grid_table(
+        cfg, G, states, sections=(layout == "sections"))
     odt = jnp.int16 if out_dtype == "int16" else jnp.int32
-    kernel = _make_kernel(cfg, G, BE, n_other, offs, _only, odt)
     ROWS = G * G // 128
+    if layout == "sections":
+        names = tuple(secs_or_tab.keys())
+        arrs = [secs_or_tab[n] for n in names]
+        kernel = _make_kernel(cfg, G, BE, n_other, offs, _only, odt,
+                              multi=names, _vmax=_vmax)
+        in_specs = [pl.BlockSpec((BE, a.shape[1]), lambda i: (i, 0))
+                    for a in arrs]
+    else:
+        arrs = [secs_or_tab]
+        kernel = _make_kernel(cfg, G, BE, n_other, offs, _only, odt,
+                              _vmax=_vmax)
+        in_specs = [pl.BlockSpec((BE, secs_or_tab.shape[1]),
+                                 lambda i: (i, 0))]
     out = pl.pallas_call(
         kernel,
         grid=(N // BE,),
-        in_specs=[pl.BlockSpec((BE, off), lambda i: (i, 0))],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((BE, 8, ROWS, 128), lambda i: (i, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((N, 8, ROWS, 128), odt),
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(tab)
+    )(*arrs)
     # (ROWS, 128) is the same row-major bytes as (G, G): free reshape
     return out.reshape(N, 8, G, G)
 

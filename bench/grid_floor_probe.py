@@ -27,6 +27,8 @@ def main():
     ap.add_argument("--size", type=int, default=64)
     ap.add_argument("--calls", type=int, default=4)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--quick", action="store_true",
+                    help="only the block-variant + BE32 lines")
     args = ap.parse_args()
     N, G = args.envs, args.size
     cfg = EnvConfig(num_agents=1, ticks_per_step=4, arena_size=350,
@@ -54,13 +56,14 @@ def main():
               flush=True)
         return dt
 
-    def grid_chain(only, dtype):
+    def grid_chain(only, dtype, layout="table", vmax="cond", be=8):
         @jax.jit
         def run(s):
             c = jnp.float32(0.0)
             for _ in range(CHAIN):
                 s2 = s.replace(cell_pos=s.cell_pos + c)
-                out = fused_grid_channels(cfg, G, s2, 8, False, only, dtype)
+                out = fused_grid_channels(cfg, G, s2, be, False, only, dtype,
+                                          layout, vmax)
                 c = out[0, 0, 0, 0].astype(jnp.float32) * 0.0
             return c
         return run
@@ -71,11 +74,54 @@ def main():
             s = fused_engine_tick(cfg, s, 128, False)
         return s
 
-    t = timed("tick x1 (chained)", tick_chain, states)
-    for only in ("none", "oob", "pellets", "virus", "own"):
-        timed(f"_only={only} int16", grid_chain(only, "int16"), states)
-    timed("full int16", grid_chain(None, "int16"), states)
-    timed("full int32", grid_chain(None, "int32"), states)
+    from agarcl_tpu.ops.fused_grid import _build_grid_table
+
+    @jax.jit
+    def build_chain(s):
+        c = jnp.float32(0.0)
+        for _ in range(CHAIN):
+            s2 = s.replace(cell_pos=s.cell_pos + c)
+            tab = _build_grid_table(cfg, G, s2)[0]
+            c = tab[0, 0] * 0.0
+        return c
+
+    if args.quick:
+        timed("full int16 sections block",
+              grid_chain(None, "int16", "sections", "block"), states)
+        timed("virus/sections block",
+              grid_chain("virus", "int16", "sections", "block"), states)
+        timed("full int32 sections block",
+              grid_chain(None, "int32", "sections", "block"), states)
+        timed("none/sections BE32",
+              grid_chain("none", "int16", "sections", be=32), states)
+        timed("full int16 sections block BE32",
+              grid_chain(None, "int16", "sections", "block", 32), states)
+        return
+
+    timed("tick x1 (chained)", tick_chain, states)
+    timed("table build (XLA)", build_chain, states)
+    timed("none/table", grid_chain("none", "int16"), states)
+    timed("none/sections", grid_chain("none", "int16", "sections"), states)
+    timed("virus/table cond", grid_chain("virus", "int16"), states)
+    timed("virus/sections cond",
+          grid_chain("virus", "int16", "sections"), states)
+    timed("virus/sections nocond",
+          grid_chain("virus", "int16", "sections", "nocond"), states)
+    timed("virus/sections fast",
+          grid_chain("virus", "int16", "sections", "fast"), states)
+    timed("full int16 table", grid_chain(None, "int16"), states)
+    timed("full int16 sections",
+          grid_chain(None, "int16", "sections"), states)
+    timed("full int16 sections nocond",
+          grid_chain(None, "int16", "sections", "nocond"), states)
+    timed("full int16 sections block",
+          grid_chain(None, "int16", "sections", "block"), states)
+    timed("virus/sections block",
+          grid_chain("virus", "int16", "sections", "block"), states)
+    timed("full int32 sections",
+          grid_chain(None, "int32", "sections"), states)
+    timed("full int32 sections block",
+          grid_chain(None, "int32", "sections", "block"), states)
 
 
 if __name__ == "__main__":
