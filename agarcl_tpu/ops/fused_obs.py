@@ -73,82 +73,97 @@ def _nearest_rows(d2_masked, idx, k, cols):
     return rows
 
 
-def _make_obs_kernel(cfg: EnvConfig, ocfg: RamObsConfig, inv_w, inv_h):
+def obs_rows(cfg: EnvConfig, ocfg: RamObsConfig, inv_w, inv_h,
+             cpx, cpy, cvx, cvy, cmass, calive,
+             ppx, ppy, palive, vpx, vpy, vmass, valive):
+    """The RAM frame as an (A*ram_size, E) f32 VALUE from env-in-lanes
+    state tensors ((rows, E); alive masks as >0-truthy ints). Shared by
+    the standalone obs kernel below and the merged tick+obs kernel
+    (ops/fused_tick.py) — the tick's in-VMEM state has exactly this
+    layout, so emitting the frame there saves the obs kernel's separate
+    state read (~1 ms/call at 8192 envs)."""
     kp = min(ocfg.num_pellets, cfg.pellet_capacity)
     kv = min(ocfg.num_viruses, cfg.virus_capacity)
     Cc = cfg.max_cells
     P = cfg.num_players
     A = cfg.num_agents
+    # per-player centroid + total mass (state.py player_centroid /
+    # player_mass); cells arrive flat (P*Cc, E)
+    E = cpx.shape[1]
+    af_all = jnp.where(calive > 0, 1.0, 0.0)                     # (PC, E)
+    w_all = cmass.astype(jnp.float32) * af_all
+    if P == 1:
+        tot = jnp.sum(w_all, axis=0, keepdims=True)          # (P, E)
+        sx = jnp.sum(cpx * w_all, axis=0, keepdims=True)
+        sy = jnp.sum(cpy * w_all, axis=0, keepdims=True)
+        pal = jnp.max(af_all, axis=0, keepdims=True)
+    else:
+        tot = jnp.sum(w_all.reshape(P, Cc, E), axis=1)
+        sx = jnp.sum((cpx * w_all).reshape(P, Cc, E), axis=1)
+        sy = jnp.sum((cpy * w_all).reshape(P, Cc, E), axis=1)
+        pal = jnp.max(af_all.reshape(P, Cc, E), axis=1)
+    den = jnp.maximum(tot, 1.0)
+    cenx = sx / den
+    ceny = sy / den
 
+    rows = []
+    for a in range(A):
+        sl = slice(a * Cc, (a + 1) * Cc)
+        cx = cenx[a:a + 1]                                   # (1, E)
+        cy = ceny[a:a + 1]
+        rows += [cx * inv_w, cy * inv_h, tot[a:a + 1]]
+
+        # own cell slots: rel_x, rel_y, mass, vel_x, vel_y, alive
+        af = af_all[sl]
+        relx = (cpx[sl] - cx) * af
+        rely = (cpy[sl] - cy) * af
+        mass = cmass[sl].astype(jnp.float32) * af
+        velx = cvx[sl] * af
+        vely = cvy[sl] * af
+        for c in range(Cc):
+            rows += [relx[c:c + 1], rely[c:c + 1], mass[c:c + 1],
+                     velx[c:c + 1], vely[c:c + 1], af[c:c + 1]]
+
+        # Kp nearest pellets: rel_x, rel_y, alive
+        prx = ppx - cx
+        pry = ppy - cy
+        d2 = prx * prx + pry * pry
+        d2 = jnp.where(palive > 0, d2, _INF)
+        pidx = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0)
+        rows += _nearest_rows(d2, pidx, kp, [prx, pry])
+
+        # Kv nearest viruses: rel_x, rel_y, mass, alive
+        vrx = vpx - cx
+        vry = vpy - cy
+        vd2 = vrx * vrx + vry * vry
+        vd2 = jnp.where(valive > 0, vd2, _INF)
+        vidx = jax.lax.broadcasted_iota(jnp.int32, vd2.shape, 0)
+        rows += _nearest_rows(vd2, vidx, kv,
+                              [vrx, vry, vmass.astype(jnp.float32)])
+
+        # per-player block: rel_x, rel_y, total_mass, alive; self slot
+        # zeroed (obs/ram.py:88-96 keep mask)
+        zero = jnp.zeros_like(cx)
+        for p in range(P):
+            if p == a:
+                rows += [zero, zero, zero, zero]
+            else:
+                keep = pal[p:p + 1]
+                rows += [(cenx[p:p + 1] - cx) * keep,
+                         (ceny[p:p + 1] - cy) * keep,
+                         tot[p:p + 1] * keep, keep]
+
+    return jnp.concatenate(rows, axis=0)
+
+
+def _make_obs_kernel(cfg: EnvConfig, ocfg: RamObsConfig, inv_w, inv_h):
     def kernel(cpx, cpy, cvx, cvy, cmass, calive,
                ppx, ppy, palive, vpx, vpy, vmass, valive, o_ref):
-        E = cpx.shape[1]
-        # per-player centroid + total mass (state.py player_centroid /
-        # player_mass); cells arrive flat (P*Cc, E)
-        af_all = jnp.where(calive[:] > 0, 1.0, 0.0)              # (PC, E)
-        w_all = cmass[:].astype(jnp.float32) * af_all
-        if P == 1:
-            tot = jnp.sum(w_all, axis=0, keepdims=True)          # (P, E)
-            sx = jnp.sum(cpx[:] * w_all, axis=0, keepdims=True)
-            sy = jnp.sum(cpy[:] * w_all, axis=0, keepdims=True)
-            pal = jnp.max(af_all, axis=0, keepdims=True)
-        else:
-            tot = jnp.sum(w_all.reshape(P, Cc, E), axis=1)
-            sx = jnp.sum((cpx[:] * w_all).reshape(P, Cc, E), axis=1)
-            sy = jnp.sum((cpy[:] * w_all).reshape(P, Cc, E), axis=1)
-            pal = jnp.max(af_all.reshape(P, Cc, E), axis=1)
-        den = jnp.maximum(tot, 1.0)
-        cenx = sx / den
-        ceny = sy / den
-
-        rows = []
-        for a in range(A):
-            sl = slice(a * Cc, (a + 1) * Cc)
-            cx = cenx[a:a + 1]                                   # (1, E)
-            cy = ceny[a:a + 1]
-            rows += [cx * inv_w, cy * inv_h, tot[a:a + 1]]
-
-            # own cell slots: rel_x, rel_y, mass, vel_x, vel_y, alive
-            af = af_all[sl]
-            relx = (cpx[sl] - cx) * af
-            rely = (cpy[sl] - cy) * af
-            mass = cmass[sl].astype(jnp.float32) * af
-            velx = cvx[sl] * af
-            vely = cvy[sl] * af
-            for c in range(Cc):
-                rows += [relx[c:c + 1], rely[c:c + 1], mass[c:c + 1],
-                         velx[c:c + 1], vely[c:c + 1], af[c:c + 1]]
-
-            # Kp nearest pellets: rel_x, rel_y, alive
-            prx = ppx[:] - cx
-            pry = ppy[:] - cy
-            d2 = prx * prx + pry * pry
-            d2 = jnp.where(palive[:] > 0, d2, _INF)
-            pidx = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0)
-            rows += _nearest_rows(d2, pidx, kp, [prx, pry])
-
-            # Kv nearest viruses: rel_x, rel_y, mass, alive
-            vrx = vpx[:] - cx
-            vry = vpy[:] - cy
-            vd2 = vrx * vrx + vry * vry
-            vd2 = jnp.where(valive[:] > 0, vd2, _INF)
-            vidx = jax.lax.broadcasted_iota(jnp.int32, vd2.shape, 0)
-            rows += _nearest_rows(vd2, vidx, kv,
-                                  [vrx, vry, vmass[:].astype(jnp.float32)])
-
-            # per-player block: rel_x, rel_y, total_mass, alive; self slot
-            # zeroed (obs/ram.py:88-96 keep mask)
-            zero = jnp.zeros_like(cx)
-            for p in range(P):
-                if p == a:
-                    rows += [zero, zero, zero, zero]
-                else:
-                    keep = pal[p:p + 1]
-                    rows += [(cenx[p:p + 1] - cx) * keep,
-                             (ceny[p:p + 1] - cy) * keep,
-                             tot[p:p + 1] * keep, keep]
-
-        o_ref[:] = jnp.concatenate(rows, axis=0)
+        o_ref[:] = obs_rows(cfg, ocfg, inv_w, inv_h,
+                            cpx[...], cpy[...], cvx[...], cvy[...],
+                            cmass[...], calive[...],
+                            ppx[...], ppy[...], palive[...],
+                            vpx[...], vpy[...], vmass[...], valive[...])
 
     return kernel
 

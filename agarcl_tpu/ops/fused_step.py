@@ -49,6 +49,38 @@ def fused_env_step(cfg: EnvConfig, states: GameState, actions,
         return fused_engine_tick(cfg, s, block_envs, interpret)
 
     F = min(num_frames, cfg.ticks_per_step) if obs_fn is not None else 0
+    # ram obs merges into the tick kernel itself (fused_engine_tick's
+    # ram_obs output): the whole step is then ONE kernel call per frame
+    # group with no separate obs-kernel state read
+    from agarcl_tpu.obs.ram import ram_frame
+    ram_ocfg = (obs_fn.args[1]
+                if (obs_fn is not None
+                    and isinstance(obs_fn, functools.partial)
+                    and obs_fn.func is ram_frame) else None)
+    if ram_ocfg is not None and F >= 1:
+        if F == 1:
+            states, frame = fused_engine_tick(
+                cfg, states, block_envs, interpret,
+                n_ticks=cfg.ticks_per_step, ram_obs=ram_ocfg)
+            obs = frame[:, None]                         # (N, 1, A, R)
+        else:
+            n_pre = cfg.ticks_per_step - F
+            if n_pre > 0:
+                states = fused_engine_tick(cfg, states, block_envs,
+                                           interpret, n_ticks=n_pre)
+
+            def body_ram(s, _):
+                s, frame = fused_engine_tick(cfg, s, block_envs, interpret,
+                                             ram_obs=ram_ocfg)
+                return s, frame
+            states, obs = jax.lax.scan(body_ram, states, None, length=F)
+            obs = jnp.swapaxes(obs, 0, 1)                # (N, F, A, R)
+        # match the vmapped XLA frame axis order (N, A?, ...) — ram obs is
+        # (N, F, A, R); downstream (vec.py) expects the same shape the
+        # batched_obs scan produced before: (N, F, A, R). Nothing to do.
+        return _finish_step(cfg, states, obs, before, N, A, ms,
+                            respawn_main_during_obs, auto_reset)
+
     # all obs-free ticks run inside ONE multi-tick kernel: the state then
     # round-trips HBM once instead of once per tick (the round trip alone
     # is ~1 ms per kernel call at 8192 envs, bench/tick_ablate.py). For the
@@ -113,6 +145,14 @@ def fused_env_step(cfg: EnvConfig, states: GameState, actions,
             # obs: (F, N, ...) -> (N, F, ...) to match the vmapped XLA path
             obs = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), obs)
 
+    return _finish_step(cfg, states, obs, before, N, A, ms,
+                        respawn_main_during_obs, auto_reset)
+
+
+def _finish_step(cfg, states, obs, before, N, A, ms,
+                 respawn_main_during_obs, auto_reset):
+    """Post-obs step tail shared by the merged-ram and generic paths:
+    respawn/termination per mode, rewards, auto-reset."""
     if respawn_main_during_obs:
         main_dead = ~states.player_alive()[:, 0]         # (N,)
         mask = main_dead[:, None] & (

@@ -142,7 +142,7 @@ def _bint(b):
 
 # ------------------------------------------------------------------ kernel
 def _make_kernel(cfg: EnvConfig, phases: int = 99,
-                 n_ticks: int = 1, sub: int = 99):
+                 n_ticks: int = 1, sub: int = 99, ram_obs=None):
     # `sub` bisects the phase-UNGATED per-tick code for hardware ablation
     # (bench/tick_ablate.py). Only meaningful at phases=0; production runs
     # (phases >= 1) force sub=99 so every downstream dependency exists.
@@ -269,7 +269,7 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
                o_px, o_py, o_palive,
                o_vx, o_vy, o_vvx, o_vvy, o_vmass, o_vhits, o_valive,
                o_fx, o_fy, o_fvx, o_fvy, o_falive, o_fnext,
-               o_ticks, o_seed):
+               o_ticks, o_seed, *o_extra):
         E = tx_ref.shape[1]
         tx = tx_ref[...]                     # (P, E)
         ty = ty_ref[...]
@@ -1576,6 +1576,20 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
         o_ticks[...] = ticks
         o_seed[...] = seed
 
+        if ram_obs is not None:
+            # RAM frame emitted from the final in-VMEM state: saves the
+            # standalone obs kernel's separate state read+dispatch (~1 ms
+            # per call at 8192 envs). Bit-identical to fused_ram_obs on
+            # the written-back state (same tensors, same layout, same ops;
+            # the stale dead-cell positions are masked by the alive flags
+            # exactly as obs/ram.py does).
+            from agarcl_tpu.ops.fused_obs import obs_rows
+            b2i = lambda b: jnp.where(b, 1, 0)
+            o_extra[0][...] = obs_rows(
+                cfg, ram_obs, 1.0 / cfg.arena_width, 1.0 / cfg.arena_height,
+                cx, cy, cvx, cvy, cmass, b2i(calive),
+                px, py, b2i(palive), vx_, vy_, vmass, b2i(valive))
+
     return kernel
 
 
@@ -1672,13 +1686,14 @@ def supports(cfg: EnvConfig) -> bool:
     return cfg.num_players <= 5
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5, 6, 7))
 def fused_engine_tick(cfg: EnvConfig, states: GameState,
                       block_envs: int = 128,
                       interpret: bool = False,
                       phases: int = 99,
                       n_ticks: int = 1,
-                      sub: int = 99) -> GameState:
+                      sub: int = 99,
+                      ram_obs=None):
     """n_ticks engine ticks over a BATCH of envs via ONE fused kernel.
 
     states: a vmapped GameState with leading env axis N. block_envs should
@@ -1686,6 +1701,11 @@ def fused_engine_tick(cfg: EnvConfig, states: GameState,
     ticks inside one kernel round-trips the state through HBM once instead
     of once per tick — the round trip alone measures 0.98 ms per tick at
     8192 envs (half the total tick cost).
+
+    ram_obs: optional RamObsConfig — the kernel additionally emits the RAM
+    frame from the post-tick in-VMEM state (ops/fused_obs.py::obs_rows) and
+    the call returns (states, obs (N, A, ram_size)); this saves the
+    standalone obs kernel's state re-read and dispatch.
     """
     assert supports(cfg), "fused tick requires num_players <= 5"
     N = states.ticks.shape[0]
@@ -1699,10 +1719,15 @@ def fused_engine_tick(cfg: EnvConfig, states: GameState,
         return pl.BlockSpec(blk, lambda i, nd=nd: (0,) * (nd - 1) + (i,))
 
     in_specs = [spec_for(x) for x in ins]
-    out_specs = in_specs
+    out_specs = list(in_specs)
     out_shapes = [jax.ShapeDtypeStruct(x.shape, x.dtype) for x in ins]
+    if ram_obs is not None:
+        from agarcl_tpu.obs.ram import ram_size
+        AR = cfg.num_agents * ram_size(cfg, ram_obs)
+        out_specs.append(pl.BlockSpec((AR, E), lambda i: (0, i)))
+        out_shapes.append(jax.ShapeDtypeStruct((AR, N), jnp.float32))
 
-    kernel = _make_kernel(cfg, phases, n_ticks, sub)
+    kernel = _make_kernel(cfg, phases, n_ticks, sub, ram_obs)
     outs = pl.pallas_call(
         kernel,
         grid=(N // E,),
@@ -1715,4 +1740,9 @@ def fused_engine_tick(cfg: EnvConfig, states: GameState,
             vmem_limit_bytes=100 * 1024 * 1024),
     )(*ins)
 
-    return _from_kernel_arrays(states, outs)
+    if ram_obs is None:
+        return _from_kernel_arrays(states, outs)
+    new_states = _from_kernel_arrays(states, outs[:-1])
+    R = outs[-1].shape[0] // cfg.num_agents
+    obs = jnp.transpose(outs[-1]).reshape(N, cfg.num_agents, R)
+    return new_states, obs
