@@ -62,6 +62,38 @@ def supports(cfg: EnvConfig, ocfg) -> bool:
             and ocfg.num_frames == 1 and 128 % ocfg.grid_size == 0)
 
 
+def section_meta(cfg: EnvConfig):
+    """Static (name, width, padded width, pad fill) rows of the kernel's
+    input-section contract — the single source of truth shared by
+    _build_grid_table (XLA build) and the fused tick's in-kernel emission
+    (fused_tick.py grid_tab), which writes the same sections straight from
+    its post-tick VMEM state so the XLA build (+~2 ms/step of transposes at
+    8192 envs, bench/obs_table_probe.py) never runs."""
+    P, Cc = cfg.num_players, cfg.max_cells
+    Np, Nv = cfg.pellet_capacity, cfg.virus_capacity
+    n_other = (P - 1) * Cc
+    ow = n_other if n_other else 8
+    rows = [("params", 8, 0.0),
+            ("px", Np, 1e9), ("py", Np, 1e9),
+            ("vx", Nv, 1e9), ("vy", Nv, 1e9), ("vm", Nv, 0.0),
+            ("mx", Cc, 1e9), ("my", Cc, 1e9), ("mm", Cc, 0.0),
+            ("ox", ow, 1e9), ("oy", ow, 1e9), ("om", ow, 0.0),
+            ("ok", ow, 0.0)]
+    return [(n, w, -(-w // 128) * 128, f) for n, w, f in rows]
+
+
+def _meta_offs(meta):
+    """offs dict {name: (lane offset, width, padded width)} for a meta list
+    (the consolidated-table addressing _make_kernel uses in non-multi
+    mode; in sections mode only the widths matter)."""
+    offs = {}
+    off = 0
+    for n, w, pw, _ in meta:
+        offs[n] = (off, w, pw)
+        off += pw
+    return offs
+
+
 def _make_kernel(cfg: EnvConfig, G: int, BE: int, n_other: int, offs,
                  _only: str | None = None, out_dtype=jnp.int32,
                  multi: tuple | None = None, _vmax: str = 'cond'):
@@ -469,14 +501,8 @@ _CH_ORDER = dict(oob=0, pel_presence=1, pel_count=2, vir_max=3, vir_add=4,
                  own=5, oth_min=6, oth_max=7)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 3, 4))
-def fused_grid_frame(cfg: EnvConfig, ocfg: GridObsConfig, states,
-                     block_envs: int = 8, interpret: bool = False):
-    """(N, 1, C, G, G) int32 — batched grid frames with the ocfg's channel
-    selection, matching jax.vmap(grid_frame) exactly."""
-    assert supports(cfg, ocfg)
-    all_ch = fused_grid_channels(cfg, ocfg.grid_size, states, block_envs,
-                                 interpret, None, ocfg.out_dtype)
+def _select_channels(ocfg: GridObsConfig, all_ch):
+    """(N, 8, G, G) -> (N, 1, C, G, G) with the ocfg's channel selection."""
     idx = [0]
     if ocfg.observe_pellets:
         idx += [1, 2]
@@ -491,3 +517,51 @@ def fused_grid_frame(cfg: EnvConfig, ocfg: GridObsConfig, states,
     else:
         sel = jnp.stack([all_ch[:, i] for i in idx], axis=1)
     return sel[:, None]                                       # (N, 1, C, G, G)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 3, 4))
+def fused_grid_frame(cfg: EnvConfig, ocfg: GridObsConfig, states,
+                     block_envs: int = 8, interpret: bool = False):
+    """(N, 1, C, G, G) int32 — batched grid frames with the ocfg's channel
+    selection, matching jax.vmap(grid_frame) exactly."""
+    assert supports(cfg, ocfg)
+    all_ch = fused_grid_channels(cfg, ocfg.grid_size, states, block_envs,
+                                 interpret, None, ocfg.out_dtype)
+    return _select_channels(ocfg, all_ch)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 3, 4))
+def fused_grid_frame_from_secs(cfg: EnvConfig, ocfg: GridObsConfig, secs,
+                               block_envs: int = 32,
+                               interpret: bool = False):
+    """(N, 1, C, G, G) — grid frames from TICK-EMITTED sections
+    (fused_engine_tick(grid_tab=True)): the identical rasterizer kernel,
+    but the XLA table build (and its ~2 ms/step of state transposes at
+    8192 envs) never runs — the tick kernel wrote the sections from its
+    post-tick VMEM state. Bin-exact vs fused_grid_frame on the same
+    post-tick state (tests/test_fused_tick.py)."""
+    assert supports(cfg, ocfg)
+    G = ocfg.grid_size
+    meta = section_meta(cfg)
+    offs = _meta_offs(meta)
+    n_other = (cfg.num_players - 1) * cfg.max_cells
+    N = secs["params"].shape[0]
+    BE = _block_size(N, block_envs)
+    odt = jnp.int16 if ocfg.out_dtype == "int16" else jnp.int32
+    ROWS = G * G // 128
+    names = tuple(n for n, _, _, _ in meta)
+    arrs = [secs[n] for n in names]
+    kernel = _make_kernel(cfg, G, BE, n_other, offs, None, odt,
+                          multi=names, _vmax='block')
+    out = pl.pallas_call(
+        kernel,
+        grid=(N // BE,),
+        in_specs=[pl.BlockSpec((BE, a.shape[1]), lambda i: (i, 0))
+                  for a in arrs],
+        out_specs=pl.BlockSpec((BE, 8, ROWS, 128), lambda i: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((N, 8, ROWS, 128), odt),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(*arrs)
+    return _select_channels(ocfg, out.reshape(N, 8, G, G))

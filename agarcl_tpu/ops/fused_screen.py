@@ -59,6 +59,51 @@ def supports(cfg: EnvConfig) -> bool:
     return cfg.num_agents == 1
 
 
+def section_meta(cfg: EnvConfig):
+    """Static (name, width, padded width, pad fill) rows of the kernel's
+    input-section contract — shared by _build_table (XLA build) and the
+    fused tick's in-kernel emission (fused_tick.py screen_tab), which
+    writes the same sections from its post-tick VMEM state so the XLA
+    build (+1.5 ms/step of transposes/compaction at 2048 envs,
+    bench/obs_table_probe.py) never runs. NOTE: tick-emitted sections are
+    NOT alive-compacted, so they are only valid with the default
+    no-ladder kernel (_ladder=False draws every lane; coverage is an OR
+    over entities, so lane order is semantics-free)."""
+    P, Cc = cfg.num_players, cfg.max_cells
+    Np, Nv = cfg.pellet_capacity, cfg.virus_capacity
+    Nf = cfg.food_capacity
+    n_other = (P - 1) * Cc
+    ow = n_other if n_other else 1
+    rows = [("params", 8, 0.0),
+            ("px", Np, 1e9), ("py", Np, 1e9), ("pr2", Np, -1.0),
+            ("fx", Nf, 1e9), ("fy", Nf, 1e9), ("fr2", Nf, -1.0),
+            ("mx", Cc, 1e9), ("my", Cc, 1e9), ("mr2", Cc, -1.0),
+            ("ox", ow, 1e9), ("oy", ow, 1e9), ("or2", ow, -1.0),
+            ("vx", Nv, 1e9), ("vy", Nv, 1e9), ("vr2", Nv, -1.0)]
+    return [(n, w, -(-w // 128) * 128, f) for n, w, f in rows]
+
+
+def _meta_offs(meta):
+    """offs dict {name: (lane offset, width, padded width)} for a meta
+    list (sections mode only reads the widths)."""
+    offs = {}
+    off = 0
+    for n, w, pw, _ in meta:
+        offs[n] = (off, w, pw)
+        off += pw
+    return offs
+
+
+def _section_Ks(cfg: EnvConfig, S: int):
+    """Static strip budgets (Kp, Kf, Kv) — the _build_table expressions."""
+    import math as _math
+    from agarcl_tpu import constants as _C
+    rv_max = _math.sqrt((_C.VIRUS_INITIAL_MASS + _C.NUMBER_OF_FOOD_HITS
+                         * _C.FOOD_MASS) / _math.pi)
+    return (_strip_K(_RAD_PELLET, S), _strip_K(_RAD_FOOD, S),
+            _strip_K(rv_max, S))
+
+
 def _packed_palette(agent_view: bool):
     """Per-class colors packed little-endian into one int32 (byte c = channel
     c), so the kernel can emit final pixels and the frame needs no gather —
@@ -471,6 +516,32 @@ def fused_screen_class_map(cfg: EnvConfig, S: int, states,
     """(N, 1, S, S) int32 class map for a batched GameState — pixel-exact vs
     jax.vmap of obs/screen.py `_class_map` (single-agent configs)."""
     return _rasterize(cfg, S, states, block_envs, interpret)[:, None]
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 3, 4))
+def fused_screen_frame_from_secs(cfg: EnvConfig, ocfg: ScreenObsConfig,
+                                 secs, block_envs: int = 8,
+                                 interpret: bool = False):
+    """(N, 1, S, S, 3|4) uint8 — screen frames from TICK-EMITTED sections
+    (fused_engine_tick(screen_tab=True)): the identical no-ladder
+    rasterizer, no XLA table build. Pixel-exact vs fused_screen_frame on
+    the same post-tick state (tests/test_fused_tick.py; tick sections are
+    uncompacted, which only the OFF-by-default count ladder would
+    notice)."""
+    S = ocfg.screen_len
+    meta = section_meta(cfg)
+    offs = _meta_offs(meta)
+    n_other = (cfg.num_players - 1) * cfg.max_cells
+    Ks = _section_Ks(cfg, S)
+    ordered = {n: secs[n] for n, _, _, _ in meta}
+    packed = _rasterize_sections(cfg, S, ordered, offs, n_other, Ks,
+                                 block_envs, interpret,
+                                 packed_table=_packed_palette(
+                                     ocfg.agent_view))
+    out = jax.lax.bitcast_convert_type(packed, jnp.uint8)     # (N, S, S, 4)
+    if not ocfg.agent_view:
+        out = out[..., :3]
+    return out[:, None]                                       # (N,1,S,S,3|4)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 3, 4))

@@ -81,6 +81,53 @@ def fused_env_step(cfg: EnvConfig, states: GameState, actions,
         return _finish_step(cfg, states, obs, before, N, A, ms,
                             respawn_main_during_obs, auto_reset)
 
+    # grid/screen frames: the tick kernel emits the obs-kernel input
+    # sections itself (grid_tab/screen_tab) from its post-tick VMEM state,
+    # so the XLA table build — +2.1 ms/step (grid, 8192 envs) / +1.5 ms/step
+    # (screen, 2048 envs) of state transposes + masking
+    # (bench/obs_table_probe.py) — never runs
+    from agarcl_tpu.obs.grid import grid_frame as _gframe
+    from agarcl_tpu.obs.screen import screen_frame as _sframe
+    tab_kind = None
+    if obs_fn is not None and isinstance(obs_fn, functools.partial):
+        from agarcl_tpu.ops import fused_grid, fused_screen
+        if (obs_fn.func is _gframe
+                and fused_grid.supports(cfg, obs_fn.args[1])):
+            tab_kind = "grid"
+        elif (obs_fn.func is _sframe and fused_screen.supports(cfg)
+                and not obs_fn.args[1].polygon_edges):
+            tab_kind = "screen"
+    if tab_kind is not None and F >= 1:
+        ocfg = obs_fn.args[1]
+        tab_kw = {f"{tab_kind}_tab": True}
+        if tab_kind == "grid":
+            def secs_obs(secs):
+                return fused_grid.fused_grid_frame_from_secs(
+                    cfg, ocfg, secs, block_envs=32, interpret=interpret)
+        else:
+            def secs_obs(secs):
+                return fused_screen.fused_screen_frame_from_secs(
+                    cfg, ocfg, secs, block_envs=8, interpret=interpret)
+        if F == 1:
+            states, secs = fused_engine_tick(
+                cfg, states, block_envs, interpret,
+                n_ticks=cfg.ticks_per_step, **tab_kw)
+            obs = jax.tree.map(lambda x: x[:, None], secs_obs(secs))
+        else:
+            n_pre = cfg.ticks_per_step - F
+            if n_pre > 0:
+                states = fused_engine_tick(cfg, states, block_envs,
+                                           interpret, n_ticks=n_pre)
+
+            def body_tab(s, _):
+                s, secs = fused_engine_tick(cfg, s, block_envs, interpret,
+                                            **tab_kw)
+                return s, secs_obs(secs)
+            states, obs = jax.lax.scan(body_tab, states, None, length=F)
+            obs = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), obs)
+        return _finish_step(cfg, states, obs, before, N, A, ms,
+                            respawn_main_during_obs, auto_reset)
+
     # all obs-free ticks run inside ONE multi-tick kernel: the state then
     # round-trips HBM once instead of once per tick (the round trip alone
     # is ~1 ms per kernel call at 8192 envs, bench/tick_ablate.py). For the

@@ -142,7 +142,8 @@ def _bint(b):
 
 # ------------------------------------------------------------------ kernel
 def _make_kernel(cfg: EnvConfig, phases: int = 99,
-                 n_ticks: int = 1, sub: int = 99, ram_obs=None):
+                 n_ticks: int = 1, sub: int = 99, ram_obs=None,
+                 grid_tab: bool = False, screen_tab: bool = False):
     # `sub` bisects the phase-UNGATED per-tick code for hardware ablation
     # (bench/tick_ablate.py). Only meaningful at phases=0; production runs
     # (phases >= 1) force sub=99 so every downstream dependency exists.
@@ -1590,6 +1591,108 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
                 cx, cy, cvx, cvy, cmass, b2i(calive),
                 px, py, b2i(palive), vx_, vy_, vmass, b2i(valive))
 
+        if grid_tab or screen_tab:
+            # Obs-kernel input sections emitted from the final in-VMEM
+            # state, transposed to env-major and stored alongside the
+            # state writeback: the XLA table build (a +2.1 ms/step grid /
+            # +1.5 ms/step screen pass of state transposes + masking at
+            # bench sizes, bench/obs_table_probe.py) never runs. Values
+            # are the exact _build_grid_table / _build_table expressions;
+            # the screen m/o sections skip the alive-first compaction
+            # (only the off-by-default count ladder reads lane order).
+            k0 = 1 if ram_obs is not None else 0
+            f32 = jnp.float32
+
+            def emit(idx, val, fill, pw):
+                F = val.shape[0]
+                if pw != F:
+                    val = jnp.concatenate(
+                        [val, jnp.full((pw - F, E), f32(fill))], axis=0)
+                o_extra[k0 + idx][...] = jnp.transpose(val)
+
+            calive0 = pslice(calive, 0)
+            cmass0 = pslice(cmass, 0)
+            cx0 = pslice(cx, 0)
+            cy0 = pslice(cy, 0)
+            w0 = jnp.where(calive0, cmass0.astype(f32), 0.0)
+            tot = jnp.sum(w0, axis=0, keepdims=True)          # (1, E)
+            den = jnp.maximum(tot, 1.0)
+            cenx = jnp.sum(cx0 * w0, axis=0, keepdims=True) / den
+            ceny = jnp.sum(cy0 * w0, axis=0, keepdims=True) / den
+            pmass = jnp.sum(jnp.where(calive0, cmass0, 0), axis=0,
+                            keepdims=True).astype(f32)
+            zrow = jnp.zeros((1, E), f32)
+            n_other = PC - Cc
+            if n_other:
+                oali = _bint(calive)[Cc:] > 0
+                omf = cmass[Cc:].astype(f32)
+
+            pxm = jnp.where(palive, px, f32(1e9))
+            pym = jnp.where(palive, py, f32(1e9))
+            vxm = jnp.where(valive, vx_, f32(1e9))
+            vym = jnp.where(valive, vy_, f32(1e9))
+            next_idx = k0
+
+        if grid_tab:
+            from agarcl_tpu.ops.fused_grid import _INF_F
+            from agarcl_tpu.ops.fused_grid import section_meta as _gmeta
+            view = jnp.clip(2.0 * pmass, 100.0, 300.0)
+            gvals = dict(
+                params=jnp.concatenate([cenx, ceny, view] + [zrow] * 5,
+                                       axis=0),
+                px=pxm, py=pym, vx=vxm, vy=vym,
+                vm=jnp.where(valive, vmass.astype(f32), 0.0),
+                mx=cx0, my=cy0, mm=w0)
+            if n_other:
+                gvals.update(
+                    ox=jnp.where(oali, cx[Cc:], f32(1e9)),
+                    oy=jnp.where(oali, cy[Cc:], f32(1e9)),
+                    om=jnp.where(oali, omf, 0.0),
+                    ok=jnp.where(oali, omf, f32(_INF_F)))
+            else:
+                z8 = jnp.zeros((8, E), f32)
+                gvals.update(ox=z8, oy=z8, om=z8, ok=z8)
+            for i, (name, _w, pw, fill) in enumerate(_gmeta(cfg)):
+                emit(next_idx - k0 + i, gvals[name], fill, pw)
+            next_idx += len(_gmeta(cfg))
+
+        if screen_tab:
+            from agarcl_tpu.obs.screen import (_RAD_FOOD, _RAD_PELLET,
+                                               _TAN_HALF_FOV)
+            from agarcl_tpu.ops.fused_screen import section_meta as _smeta
+            z = jnp.clip(100.0 + pmass / 10.0, 100.0, 900.0)
+            half = z * f32(_TAN_HALF_FOV)
+            mcnt = jnp.sum(jnp.where(calive0, 1.0, 0.0), axis=0,
+                           keepdims=True)
+            rpel = f32(_RAD_PELLET)
+            rfoo = f32(_RAD_FOOD)
+            crad0 = jnp.sqrt(cmass0.astype(f32) / jnp.pi)
+            vrad = jnp.sqrt(vmass.astype(f32) / jnp.pi)
+            svals = dict(
+                px=pxm, py=pym,
+                pr2=jnp.where(palive, rpel * rpel, -1.0),
+                fx=fx, fy=fy,
+                fr2=jnp.where(falive, rfoo * rfoo, -1.0),
+                mx=cx0, my=cy0,
+                mr2=jnp.where(calive0, crad0 * crad0, -1.0),
+                vx=vxm, vy=vym,
+                vr2=jnp.where(valive, vrad * vrad, -1.0))
+            if n_other:
+                orad = jnp.sqrt(omf / jnp.pi)
+                ocnt = jnp.sum(jnp.where(oali, 1.0, 0.0), axis=0,
+                               keepdims=True)
+                svals.update(
+                    ox=cx[Cc:], oy=cy[Cc:],
+                    or2=jnp.where(oali, orad * orad, -1.0))
+            else:
+                z1 = jnp.zeros((1, E), f32)
+                ocnt = z1
+                svals.update(ox=z1, oy=z1, or2=z1)
+            svals["params"] = jnp.concatenate(
+                [cenx, ceny, half, mcnt, ocnt] + [zrow] * 3, axis=0)
+            for i, (name, _w, pw, fill) in enumerate(_smeta(cfg)):
+                emit(next_idx - k0 + i, svals[name], fill, pw)
+
     return kernel
 
 
@@ -1686,14 +1789,16 @@ def supports(cfg: EnvConfig) -> bool:
     return cfg.num_players <= 5
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5, 6, 7))
+@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5, 6, 7, 8, 9))
 def fused_engine_tick(cfg: EnvConfig, states: GameState,
                       block_envs: int = 128,
                       interpret: bool = False,
                       phases: int = 99,
                       n_ticks: int = 1,
                       sub: int = 99,
-                      ram_obs=None):
+                      ram_obs=None,
+                      grid_tab: bool = False,
+                      screen_tab: bool = False):
     """n_ticks engine ticks over a BATCH of envs via ONE fused kernel.
 
     states: a vmapped GameState with leading env axis N. block_envs should
@@ -1706,6 +1811,14 @@ def fused_engine_tick(cfg: EnvConfig, states: GameState,
     frame from the post-tick in-VMEM state (ops/fused_obs.py::obs_rows) and
     the call returns (states, obs (N, A, ram_size)); this saves the
     standalone obs kernel's state re-read and dispatch.
+
+    grid_tab / screen_tab: additionally emit the grid / screen obs-kernel
+    input sections (fused_grid.section_meta / fused_screen.section_meta)
+    env-major from the post-tick in-VMEM state; the call returns
+    (states, [ram obs,] secs dict) and the sections feed
+    fused_grid_frame_from_secs / fused_screen_frame_from_secs directly —
+    the XLA table build (+2.1 / +1.5 ms/step of state transposes at bench
+    sizes, bench/obs_table_probe.py) never runs.
     """
     assert supports(cfg), "fused tick requires num_players <= 5"
     N = states.ticks.shape[0]
@@ -1726,8 +1839,20 @@ def fused_engine_tick(cfg: EnvConfig, states: GameState,
         AR = cfg.num_agents * ram_size(cfg, ram_obs)
         out_specs.append(pl.BlockSpec((AR, E), lambda i: (0, i)))
         out_shapes.append(jax.ShapeDtypeStruct((AR, N), jnp.float32))
+    metas = []
+    if grid_tab:
+        from agarcl_tpu.ops.fused_grid import section_meta as _gm
+        metas.append(("grid", _gm(cfg)))
+    if screen_tab:
+        from agarcl_tpu.ops.fused_screen import section_meta as _sm
+        metas.append(("screen", _sm(cfg)))
+    for _, meta in metas:
+        for _name, _w, pw, _fill in meta:
+            out_specs.append(pl.BlockSpec((E, pw), lambda i: (i, 0)))
+            out_shapes.append(jax.ShapeDtypeStruct((N, pw), jnp.float32))
 
-    kernel = _make_kernel(cfg, phases, n_ticks, sub, ram_obs)
+    kernel = _make_kernel(cfg, phases, n_ticks, sub, ram_obs,
+                          grid_tab, screen_tab)
     outs = pl.pallas_call(
         kernel,
         grid=(N // E,),
@@ -1740,9 +1865,18 @@ def fused_engine_tick(cfg: EnvConfig, states: GameState,
             vmem_limit_bytes=100 * 1024 * 1024),
     )(*ins)
 
-    if ram_obs is None:
-        return _from_kernel_arrays(states, outs)
-    new_states = _from_kernel_arrays(states, outs[:-1])
-    R = outs[-1].shape[0] // cfg.num_agents
-    obs = jnp.transpose(outs[-1]).reshape(N, cfg.num_agents, R)
-    return new_states, obs
+    n_state = len(ins)
+    new_states = _from_kernel_arrays(states, outs[:n_state])
+    ret = [new_states]
+    k = n_state
+    if ram_obs is not None:
+        R = outs[k].shape[0] // cfg.num_agents
+        ret.append(jnp.transpose(outs[k]).reshape(N, cfg.num_agents, R))
+        k += 1
+    for _kind, meta in metas:
+        secs = {}
+        for name, _w, _pw, _fill in meta:
+            secs[name] = outs[k]
+            k += 1
+        ret.append(secs)
+    return ret[0] if len(ret) == 1 else tuple(ret)

@@ -670,3 +670,45 @@ def test_fused_screen_frame_stacking():
     np.testing.assert_array_equal(np.asarray(obs_f), np.asarray(obs_x))
     # consecutive frames differ (the sim advanced between them)
     assert (np.asarray(obs_f[:, 0]) != np.asarray(obs_f[:, 1])).any()
+
+
+def test_tick_emitted_obs_sections():
+    """fused_engine_tick(grid_tab/screen_tab) emits the obs-kernel input
+    sections from its post-tick VMEM state: grid sections must be
+    bit-identical to _build_grid_table on the post-tick state, and the
+    frames from both section sources must match exactly (screen sections
+    are uncompacted, so only frames are compared there). Hardware twin:
+    bench/tab_emit_tpu_check.py (grid +38.5% at 8192 envs)."""
+    from agarcl_tpu.obs.grid import GridObsConfig
+    from agarcl_tpu.obs.screen import ScreenObsConfig
+    from agarcl_tpu.ops import fused_grid, fused_screen
+    from agarcl_tpu.ops.fused_tick import fused_engine_tick
+
+    for mode, bots in ((4, 0), (7, 1)):
+        cfg = EnvConfig(num_agents=1, ticks_per_step=4, arena_size=120,
+                        num_pellets=60, num_viruses=4, num_bots=bots,
+                        reward_type=True, mode=mode)
+        states = jax.vmap(functools.partial(env_reset, cfg))(
+            jnp.arange(8, dtype=jnp.uint32) + 3)
+        for _ in range(3):
+            states = fused_engine_tick(cfg, states, 8, True, n_ticks=4)
+        new_states, gsecs, ssecs = fused_engine_tick(
+            cfg, states, 8, True, n_ticks=1, grid_tab=True, screen_tab=True)
+        gref, _, _ = fused_grid._build_grid_table(cfg, 32, new_states,
+                                                  sections=True)
+        for k in gref:
+            np.testing.assert_array_equal(
+                np.asarray(gsecs[k]), np.asarray(gref[k]),
+                err_msg=f"grid section {k} (mode {mode})")
+        gocfg = GridObsConfig(grid_size=32)
+        np.testing.assert_array_equal(
+            np.asarray(fused_grid.fused_grid_frame_from_secs(
+                cfg, gocfg, gsecs, block_envs=4, interpret=True)),
+            np.asarray(fused_grid.fused_grid_frame(
+                cfg, gocfg, new_states, block_envs=4, interpret=True)))
+        socfg = ScreenObsConfig(screen_len=32, agent_view=True)
+        np.testing.assert_array_equal(
+            np.asarray(fused_screen.fused_screen_frame_from_secs(
+                cfg, socfg, ssecs, block_envs=4, interpret=True)),
+            np.asarray(fused_screen.fused_screen_frame(
+                cfg, socfg, new_states, block_envs=4, interpret=True)))
