@@ -47,6 +47,12 @@ from agarcl_tpu.state import GameState
 _BIG = np.float32(3.4e38)
 _BIG_I = np.int32(2**30)
 _GOLDEN = np.uint32(0x9E3779B9)
+# dead pellets park at this coordinate in the kernel's WORKING copies
+# (pxw/pyw): eligibility then needs no alive-mask ops — (1e9)^2 ~ 1e18
+# overflows no f32 and can never satisfy d2 <= r2 (radii < 1e4). Aliveness
+# derives back as pxw < _DEAD_MIN at writeback.
+_DEAD = np.float32(1e9)
+_DEAD_MIN = np.float32(1e8)
 
 
 # ------------------------------------------------------------------ helpers
@@ -143,7 +149,11 @@ def _bint(b):
 # ------------------------------------------------------------------ kernel
 def _make_kernel(cfg: EnvConfig, phases: int = 99,
                  n_ticks: int = 1, sub: int = 99, ram_obs=None,
-                 grid_tab: bool = False, screen_tab: bool = False):
+                 grid_tab: bool = False, screen_tab: bool = False,
+                 p8: int = 99):
+    # p8 bisects the foods-move block (hardware ablation only):
+    #   0 = skip it entirely, 1 = movement only, 2 = + staging stores,
+    #   3 = + the virus-feed cond
     # `sub` bisects the phase-UNGATED per-tick code for hardware ablation
     # (bench/tick_ablate.py). Only meaningful at phases=0; production runs
     # (phases >= 1) force sub=99 so every downstream dependency exists.
@@ -271,6 +281,13 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
                o_vx, o_vy, o_vvx, o_vvy, o_vmass, o_vhits, o_valive,
                o_fx, o_fy, o_fvx, o_fvy, o_falive, o_fnext,
                o_ticks, o_seed, *o_extra):
+        # trailing refs are VMEM scratch, used by the fori_loop'd fat
+        # branches (pellet/food/feed/regen passes): Mosaic cannot
+        # dynamic-slice VALUES, so chunk loads/stores go through refs.
+        # Ownership rotates within a tick (pellets -> foods -> feed ->
+        # viruses -> regen); each phase re-stages what it needs.
+        s_pxw, s_pyw, s_aux1, s_aux2, s_pmin = o_extra[-5:]
+        o_extra = o_extra[:-5]
         E = tx_ref.shape[1]
         tx = tx_ref[...]                     # (P, E)
         ty = ty_ref[...]
@@ -318,6 +335,25 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
         falive = falive_ref[...]
         fnext = fnext_ref[...]
 
+        # pellet WORKING coords, dead slots parked at _DEAD: the eat passes
+        # drop their per-chunk alive-mask ops (a parked pellet can never
+        # pass d2 <= r2), the obs sections reuse the parked arrays as-is,
+        # and o_palive derives from the park at writeback. px/py keep the
+        # raw stale-pos values for the writeback contract (only regen
+        # writes them).
+        pxw = jnp.where(palive, px, _DEAD)
+        pyw = jnp.where(palive, py, _DEAD)
+        if ms.pellet_regen and phases >= 9:
+            # regen is a no-op unless something is dead when it fires (the
+            # fill masks are all-false at zero deficit); track a
+            # conservative block-level "maybe deficit" flag so quiescent
+            # blocks never pay the regen branch's carry copies. Pellets and
+            # viruses only die via eating, which raises the flag below.
+            maybe_deficit = jnp.maximum(jnp.max(_bint(~palive)),
+                                        jnp.max(_bint(~valive)))
+        else:
+            maybe_deficit = np.int32(1)
+
         for _t in range(n_ticks):
             # the *_in aliases carry this iteration's starting state
             split_cd_in = split_cd
@@ -350,26 +386,25 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
                 nb = (Np + BCH - 1) // BCH
                 padb = nb * BCH - Np
                 if padb:
+                    # pads park at _DEAD like dead pellets (same exclusion)
                     pxb = jnp.concatenate(
-                        [px, jnp.zeros((padb, E), px.dtype)], axis=0)
+                        [pxw, jnp.full((padb, E), _DEAD)], axis=0)
                     pyb = jnp.concatenate(
-                        [py, jnp.zeros((padb, E), py.dtype)], axis=0)
-                    pab = jnp.concatenate(
-                        [_bint(palive), jnp.zeros((padb, E), jnp.int32)], axis=0)
+                        [pyw, jnp.full((padb, E), _DEAD)], axis=0)
                 else:
-                    pxb, pyb, pab = px, py, _bint(palive)
+                    pxb, pyb = pxw, pyw
                 ciota = jax.lax.broadcasted_iota(jnp.int32, (1, BCH, 1), 1)
                 for k in range(nb):
                     cpx = jax.lax.slice_in_dim(pxb, k * BCH, (k + 1) * BCH,
                                                axis=0)
                     cpy = jax.lax.slice_in_dim(pyb, k * BCH, (k + 1) * BCH,
                                                axis=0)
-                    cpa = jax.lax.slice_in_dim(pab, k * BCH, (k + 1) * BCH,
-                                               axis=0)
                     ddx = cenx[:, None, :] - cpx[None, :, :]      # (P, BCH, E)
                     ddy = ceny[:, None, :] - cpy[None, :, :]
                     d = jnp.sqrt(ddx * ddx + ddy * ddy)
-                    okk = (cpa[None, :, :] > 0) & (d > 0.01)
+                    # parked pellets sit ~1e9 away: excluded by d < _DEAD_MIN
+                    # exactly as the old alive mask did (live d < 1e4)
+                    okk = (d > 0.01) & (d < _DEAD_MIN)
                     dm = jnp.where(okk, d, _BIG)
                     m = jnp.min(dm, axis=1)                       # (P, E)
                     ismin = okk & (dm == m[:, None, :])
@@ -383,7 +418,8 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
                     bpx = jnp.where(take, sx, bpx)
                     bpy = jnp.where(take, sy, bpy)
                 has_pel = bd < _BIG
-                any_pel = jnp.max(_bint(palive), axis=0, keepdims=True) > 0
+                any_pel = (jnp.min(pxw, axis=0, keepdims=True)
+                           < _DEAD_MIN)                           # (1, E)
                 piot = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
                 rndx = jnp.floor(_uniform(np.float32(0.0), np.float32(W),
                                           seed, 4, ticks, piot, 0))
@@ -863,8 +899,16 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
                     removed = removed | wwon[p]
                 valive = valive & ~(removed & (jnp.max(_bint(won), axis=0,
                                                        keepdims=True) > 0))
+                if ms.pellet_regen and phases >= 9:
+                    # a virus died: the regen branch has work again
+                    maybe_deficit = jnp.maximum(maybe_deficit,
+                                                jnp.max(_bint(won)))
 
-            # --- pellets (SPEC M1): chunked over Np, contested by gkey --------
+            # --- pellets (SPEC M1): parked-coord eligibility, contested by
+            # gkey. Dead pellets/pads sit at _DEAD so NO alive-mask ops run
+            # in the inner passes; both branches return gone as f32 and the
+            # park update happens once outside the cond (carry size
+            # unchanged vs the old palive update). ------------------------
             radc = _radius(cmass)
             food_eaten = food_eaten_in
             highest = highest_in
@@ -873,90 +917,121 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
             if phases >= 4:
                 n_chunks = (Np + PCHUNK - 1) // PCHUNK
                 pad = n_chunks * PCHUNK - Np
-                pal_int = _bint(palive)
                 if pad:
                     px_p = jnp.concatenate(
-                        [px, jnp.zeros((pad, E), px.dtype)], axis=0)
+                        [pxw, jnp.full((pad, E), _DEAD)], axis=0)
                     py_p = jnp.concatenate(
-                        [py, jnp.zeros((pad, E), py.dtype)], axis=0)
-                    pal_pi = jnp.concatenate(
-                        [pal_int, jnp.zeros((pad, E), jnp.int32)], axis=0)
+                        [pyw, jnp.full((pad, E), _DEAD)], axis=0)
                 else:
-                    px_p, py_p, pal_pi = px, py, pal_int
+                    px_p, py_p = pxw, pyw
 
-                def chunk_slices(k):
-                    cpx = jax.lax.slice_in_dim(px_p, k * PCHUNK,
-                                               (k + 1) * PCHUNK, axis=0)
-                    cpy = jax.lax.slice_in_dim(py_p, k * PCHUNK,
-                                               (k + 1) * PCHUNK, axis=0)
-                    cpa = jax.lax.slice_in_dim(pal_pi, k * PCHUNK,
-                                               (k + 1) * PCHUNK, axis=0)
-                    return cpx, cpy, cpa
+                # contested (multi-cell) paths read chunks from the scratch
+                # copy via dynamic ds inside fori_loop bodies: straight-line
+                # (unrolled) code inside a cond branch costs ~60% of its
+                # executed cost even when the branch is NEVER taken
+                # (bench/pellet_probe.py cond_fat vs cond_fat_loop — the
+                # tax follows static instruction-block size, and scf.for
+                # bodies stay small), so the fat passes must be rolled.
+                if P == 1:
+                    # at rest (single-cell) the scratch is never read
+                    @pl.when(multi_blk)
+                    def _fill_scratch():
+                        s_pxw[...] = px_p
+                        s_pyw[...] = py_p
+                else:
+                    s_pxw[...] = px_p
+                    s_pyw[...] = py_p
 
                 def pellets_full():
-                    def chunk_elig(k):
-                        cpx, cpy, cpa = chunk_slices(k)
-                        # (PC, PCHUNK, E)
+                    radc2 = radc * radc
+
+                    def pass1(k, carry):
+                        cpx = s_pxw[pl.ds(k * PCHUNK, PCHUNK), :]
+                        cpy = s_pyw[pl.ds(k * PCHUNK, PCHUNK), :]
+                        # (PC, PCHUNK, E); dead cells have mass masked to 0
+                        # at the previous writeback -> radius 0, and parked
+                        # pellets sit ~1e9 away -> no mask ops needed beyond
+                        # calive (a dead cell could sit exactly ON a stale
+                        # pellet with r = 0 and d = 0)
                         pdx = cx[:, None, :] - cpx[None, :, :]
                         pdy = cy[:, None, :] - cpy[None, :, :]
                         pd2 = pdx * pdx + pdy * pdy
-                        return (calive[:, None, :] & (cpa[None, :, :] > 0)
-                                & ((radc * radc)[:, None, :] >= pd2))
-
-                    eat = jnp.zeros((PC, E), jnp.int32)
-                    pmins = []
-                    for k in range(n_chunks):
-                        elig = chunk_elig(k)
+                        elig = (calive[:, None, :]
+                                & (radc2[:, None, :] >= pd2))
                         pkey = jnp.where(elig, gkey[:, None, :], _BIG_I)
-                        pmins.append(jnp.min(pkey, axis=0))   # (PCHUNK, E)
-                    for k in range(n_chunks):
-                        elig = chunk_elig(k)
-                        win = elig & (gkey[:, None, :]
-                                      == pmins[k][None, :, :])
-                        eat = eat + jnp.sum(_bint(win), axis=1)
-                    gone = _bint(jnp.concatenate(pmins, axis=0) < _BIG_I)
+                        s_pmin[pl.ds(k * PCHUNK, PCHUNK), :] = jnp.min(
+                            pkey, axis=0)                     # (PCHUNK, E)
+                        return carry
+
+                    def pass2(k, eat):
+                        cpx = s_pxw[pl.ds(k * PCHUNK, PCHUNK), :]
+                        cpy = s_pyw[pl.ds(k * PCHUNK, PCHUNK), :]
+                        pdx = cx[:, None, :] - cpx[None, :, :]
+                        pdy = cy[:, None, :] - cpy[None, :, :]
+                        pd2 = pdx * pdx + pdy * pdy
+                        elig = (calive[:, None, :]
+                                & (radc2[:, None, :] >= pd2))
+                        pmin = s_pmin[pl.ds(k * PCHUNK, PCHUNK), :]
+                        win = elig & (gkey[:, None, :] == pmin[None, :, :])
+                        return eat + jnp.sum(_bint(win), axis=1)
+
+                    jax.lax.fori_loop(0, n_chunks, pass1, jnp.int32(0))
+                    eat = jax.lax.fori_loop(0, n_chunks, pass2,
+                                            jnp.zeros((PC, E), jnp.int32))
+                    gone = jnp.where(s_pmin[...] < _BIG_I, 1.0, 0.0)
                     return eat, gone[:Np]
 
                 def pellets_single():
-                    # every player in the block has <= 1 live cell: run the
-                    # pass on (P, PCHUNK, E) instead of (PC, PCHUNK, E).
-                    # The lone cell's fields extract EXACTLY via masked
-                    # sums, and gkey arbitration (pid*Cc + rank, rank = 0)
-                    # degenerates to pid order. 16 slots -> P rows is the
-                    # bulk of the tick's compute at rest (measured 0.58 of
-                    # the 1.2 ms/tick at 8192 envs, bench/tick_ablate.py).
+                    # every player in the block has <= 1 live cell: the lone
+                    # cell's fields extract EXACTLY via masked sums (a dead
+                    # player sums to centroid (0,0) with radius 0, which no
+                    # pellet coordinate can satisfy), and gkey arbitration
+                    # (pid*Cc + rank, rank = 0) degenerates to pid order.
                     ai = jnp.where(calive, 1.0, 0.0)
                     sx = preduce(cx * ai, jnp.sum)            # (P, E)
                     sy = preduce(cy * ai, jnp.sum)
                     sr = preduce(radc * ai, jnp.sum)
-                    hasp = n_start > 0                        # (P, E)
-                    pid3 = jax.lax.broadcasted_iota(jnp.int32, (P, 1, 1), 0)
-                    eat_p = jnp.zeros((P, E), jnp.int32)
-                    gone = []
                     sr2 = sr * sr
-                    for k in range(n_chunks):
-                        cpx, cpy, cpa = chunk_slices(k)
+                    if P == 1:
+                        # one unchunked (Np, E) pass: 6 VPU ops + one f32
+                        # sum; this is the branch that executes at rest
+                        pdx = sx - pxw                        # (Np, E)
+                        pdy = sy - pyw
+                        gonef = jnp.where(
+                            pdx * pdx + pdy * pdy <= sr2, 1.0, 0.0)
+                        eat_p = jnp.sum(gonef, axis=0,
+                                        keepdims=True).astype(jnp.int32)
+                        eat = jnp.where(calive, pexpand(eat_p), 0)
+                        return eat, gonef
+                    pid3 = jax.lax.broadcasted_iota(jnp.int32, (P, 1, 1), 0)
+
+                    def chunk1(k, eat_p):
+                        cpx = s_pxw[pl.ds(k * PCHUNK, PCHUNK), :]
+                        cpy = s_pyw[pl.ds(k * PCHUNK, PCHUNK), :]
                         pdx = sx[:, None, :] - cpx[None, :, :]
                         pdy = sy[:, None, :] - cpy[None, :, :]
                         pd2 = pdx * pdx + pdy * pdy
-                        elig = (hasp[:, None, :] & (cpa[None, :, :] > 0)
-                                & (sr2[:, None, :] >= pd2))
-                        if P == 1:
-                            win = elig
-                            kmin = win[0]                     # (PCHUNK, E)
-                            gone.append(_bint(kmin))
-                        else:
-                            key = jnp.where(elig, pid3, _BIG_I)
-                            kmin = jnp.min(key, axis=0)       # (PCHUNK, E)
-                            win = elig & (key == kmin[None, :, :])
-                            gone.append(_bint(kmin < _BIG_I))
-                        eat_p = eat_p + jnp.sum(_bint(win), axis=1)
+                        elig = sr2[:, None, :] >= pd2
+                        key = jnp.where(elig, pid3, _BIG_I)
+                        kmin = jnp.min(key, axis=0)           # (PCHUNK, E)
+                        s_pmin[pl.ds(k * PCHUNK, PCHUNK), :] = kmin
+                        win = elig & (key == kmin[None, :, :])
+                        return eat_p + jnp.sum(_bint(win), axis=1)
+
+                    eat_p = jax.lax.fori_loop(0, n_chunks, chunk1,
+                                              jnp.zeros((P, E), jnp.int32))
                     eat = jnp.where(calive, pexpand(eat_p), 0)
-                    return eat, jnp.concatenate(gone, axis=0)[:Np]
+                    gone = jnp.where(s_pmin[...] < _BIG_I, 1.0, 0.0)
+                    return eat, gone[:Np]
 
                 eaten_pc, pgone = jax.lax.cond(multi_blk, pellets_full,
                                                pellets_single)
-                palive = palive & (pgone == 0)
+                pxw = jnp.where(pgone != 0.0, _DEAD, pxw)
+                pyw = jnp.where(pgone != 0.0, _DEAD, pyw)
+                if ms.pellet_regen and phases >= 9:
+                    maybe_deficit = jnp.maximum(
+                        maybe_deficit,
+                        (jnp.max(pgone) != 0.0).astype(jnp.int32))
                 cmass = cmass + eaten_pc * C.PELLET_MASS
                 food_eaten = food_eaten_in + preduce(eaten_pc, jnp.sum)
                 pm_now = preduce(jnp.where(calive, cmass, 0), jnp.sum)
@@ -982,21 +1057,39 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
             if Nf > 0 and do_actions:
                 rf = _radius(np.float32(C.FOOD_MASS))
 
+                FCH = 32 if Nf % 32 == 0 else Nf
+
                 def foods_full():
+                    # rolled into fori_loop chunks like pellets_full (the
+                    # unrolled (PC, Nf, E) body is taxed ~60% of its cost
+                    # every tick even untaken, bench/pellet_probe.py).
+                    # Dead foods park at _DEAD in the scratch copy so the
+                    # chunk test needs no falive mask.
+                    s_pxw[0:Nf, :] = jnp.where(falive, fx, _DEAD)
+                    s_pyw[0:Nf, :] = jnp.where(falive, fy, _DEAD)
                     radc2 = _radius(cmass)
-                    fdx = cx[:, None, :] - fx[None, :, :]     # (PC, Nf, E)
-                    fdy = cy[:, None, :] - fy[None, :, :]
-                    fd2 = fdx * fdx + fdy * fdy
-                    rm2 = jnp.maximum(radc2[:, None, :], rf)
+                    rm2 = jnp.maximum(radc2[:, None, :], rf)  # (PC, 1, E)
                     can_f = cmass[:, None, :] > np.int32(
                         C.FOOD_MASS * C.CELL_EAT_MARGIN)
-                    felig = (calive[:, None, :] & falive[None, :, :] & can_f
-                             & (rm2 * rm2 >= fd2))
-                    fkey = jnp.where(felig, gkey[:, None, :], _BIG_I)
-                    fmin = jnp.min(fkey, axis=0)              # (Nf, E)
-                    fwin = felig & (fkey == fmin[None, :, :])
-                    return (jnp.sum(_bint(fwin), axis=1),
-                            _bint(fmin < _BIG_I))
+                    rm22 = rm2 * rm2
+
+                    def fbody(k, eat):
+                        cfx = s_pxw[pl.ds(k * FCH, FCH), :]
+                        cfy = s_pyw[pl.ds(k * FCH, FCH), :]
+                        fdx = cx[:, None, :] - cfx[None, :, :]
+                        fdy = cy[:, None, :] - cfy[None, :, :]
+                        fd2 = fdx * fdx + fdy * fdy
+                        felig = (calive[:, None, :] & can_f
+                                 & (rm22 >= fd2))             # (PC, FCH, E)
+                        fkey = jnp.where(felig, gkey[:, None, :], _BIG_I)
+                        fmin = jnp.min(fkey, axis=0)          # (FCH, E)
+                        s_pmin[pl.ds(k * FCH, FCH), :] = fmin
+                        fwin = felig & (fkey == fmin[None, :, :])
+                        return eat + jnp.sum(_bint(fwin), axis=1)
+
+                    eat = jax.lax.fori_loop(0, Nf // FCH, fbody,
+                                            jnp.zeros((PC, E), jnp.int32))
+                    return eat, _bint(s_pmin[0:Nf, :] < _BIG_I)
 
                 def foods_single():
                     # single-live-cell block: (P, Nf, E) instead of
@@ -1030,8 +1123,19 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
                     eat_p = jnp.sum(_bint(fwin), axis=1)      # (P, E)
                     return jnp.where(calive, pexpand(eat_p), 0), fgone
 
-                eaten_fc, fgone = jax.lax.cond(multi_blk, foods_full,
-                                               foods_single)
+                # the whole eat pass is inert without a live food (the usual
+                # state: ejected mass is rare and short-lived); the outer
+                # block-level branch skips both (…, Nf, E) passes and costs
+                # only the small (PC, E)+(Nf, E) carries
+                def foods_none():
+                    return (jnp.zeros((PC, E), jnp.int32),
+                            jnp.zeros((Nf, E), jnp.int32))
+
+                eaten_fc, fgone = jax.lax.cond(
+                    jnp.max(_bint(falive)) > 0,
+                    lambda: jax.lax.cond(multi_blk, foods_full,
+                                         foods_single),
+                    foods_none)
                 falive = falive & (fgone == 0)
                 cmass = cmass + eaten_fc * C.FOOD_MASS
                 food_eaten = food_eaten + preduce(eaten_fc, jnp.sum)
@@ -1067,27 +1171,50 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
                     eord = jnp.sum(_bint((ekey[None, :, :] < ekey[:, None, :])
                                          & emit[None, :, :]), axis=1)
                     slot = (fnext + eord) % Nf                # (PC, E)
-                    fiota = jax.lax.broadcasted_iota(jnp.int32, (1, Nf, 1), 1)
-                    oh = emit[:, None, :] & (slot[:, None, :] == fiota)
-                    wrote = jnp.max(_bint(oh), axis=0) > 0    # (Nf, E)
-                    ohf = jnp.where(oh, 1.0, 0.0)
-                    fx = jnp.where(wrote,
-                                   jnp.sum(elx[:, None, :] * ohf, axis=0), fx)
-                    fy = jnp.where(wrote,
-                                   jnp.sum(ely[:, None, :] * ohf, axis=0), fy)
-                    fvx = jnp.where(wrote,
-                                    jnp.sum(evx[:, None, :] * ohf, axis=0),
-                                    fvx)
-                    fvy = jnp.where(wrote,
-                                    jnp.sum(evy[:, None, :] * ohf, axis=0),
-                                    fvy)
-                    falive = falive | wrote
+                    # the (PC, Nf, E) slot one-hot + four masked sums ride
+                    # fori_loop chunks through scratch (unrolled fat cond
+                    # bodies are taxed even untaken, bench/pellet_probe.py)
+                    s_pxw[0:Nf, :] = fx
+                    s_pyw[0:Nf, :] = fy
+                    s_aux1[0:Nf, :] = fvx
+                    s_aux2[0:Nf, :] = fvy
+                    s_pmin[0:Nf, :] = _bint(falive)
+
+                    def febody(k, c):
+                        fiota = (jax.lax.broadcasted_iota(
+                            jnp.int32, (1, FCH, 1), 1) + k * FCH)
+                        oh = emit[:, None, :] & (slot[:, None, :] == fiota)
+                        wrote_i = jnp.max(_bint(oh), axis=0)  # (FCH, E)
+                        wrote = wrote_i > 0
+                        ohf = jnp.where(oh, 1.0, 0.0)
+                        ds = pl.ds(k * FCH, FCH)
+                        s_pxw[ds, :] = jnp.where(
+                            wrote, jnp.sum(elx[:, None, :] * ohf, axis=0),
+                            s_pxw[ds, :])
+                        s_pyw[ds, :] = jnp.where(
+                            wrote, jnp.sum(ely[:, None, :] * ohf, axis=0),
+                            s_pyw[ds, :])
+                        s_aux1[ds, :] = jnp.where(
+                            wrote, jnp.sum(evx[:, None, :] * ohf, axis=0),
+                            s_aux1[ds, :])
+                        s_aux2[ds, :] = jnp.where(
+                            wrote, jnp.sum(evy[:, None, :] * ohf, axis=0),
+                            s_aux2[ds, :])
+                        s_pmin[ds, :] = jnp.maximum(s_pmin[ds, :], wrote_i)
+                        return c
+
+                    jax.lax.fori_loop(0, Nf // FCH, febody, jnp.int32(0))
+                    fx = s_pxw[0:Nf, :]
+                    fy = s_pyw[0:Nf, :]
+                    fvx = s_aux1[0:Nf, :]
+                    fvy = s_aux2[0:Nf, :]
+                    falive_i = s_pmin[0:Nf, :]
                     fnext = fnext + jnp.sum(_bint(emit), axis=0,
                                             keepdims=True)
                     cmass = jnp.where(emit, cmass - C.FOOD_MASS, cmass)
                     # bools cross the scf.if as int32 (i1 vector results
                     # fail Mosaic legalization, like scf.for carries)
-                    return fx, fy, fvx, fvy, _bint(falive), fnext, cmass
+                    return fx, fy, fvx, fvy, falive_i, fnext, cmass
 
                 fx, fy, fvx, fvy, falive_i, fnext, cmass = jax.lax.cond(
                     jnp.max(_bint(emit)) > 0, feed_run,
@@ -1370,37 +1497,62 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
             # state at rest: feeds are rare and emitted foods settle within
             # ~30 ticks); one block-level branch skips its 0.37 ms/tick
             # (8192 envs, bench/tick_ablate.py)
-            if Nf > 0 and phases >= 8:
+            if Nf > 0 and phases >= 8 and p8 >= 1:
                 moving = falive & ((fvx != 0.0) | (fvy != 0.0))
+                rf_m = _radius(np.float32(C.FOOD_MASS))
+                FCH2 = 32 if Nf % 32 == 0 else Nf
 
+                # the whole pass (movement + virus feeding) sits behind one
+                # block-level branch: the movement ops cost ~0.06 ms/tick
+                # when unconditional (p8 bisect), thin-cond carries are
+                # near-free, and the fat (Nf, Nv, E) collision table rides
+                # fori_loop chunks so its untaken tax is gone
+                # (bench/pellet_probe.py)
                 def foods_move_run(fx=fx, fy=fy, fvx=fvx, fvy=fvy,
                                    falive=falive, vx_=vx_, vy_=vy_, vvx=vvx,
                                    vvy=vvy, vmass=vmass, vhits=vhits,
                                    valive=valive):
-                    pfvx, pfvy = fvx, fvy
+                    pfvx, pfvy = fvx, fvy          # launch-tick velocities
                     nfvx, nfvy = _decel(fvx, fvy, C.FOOD_DECEL, dt)
-                    rf = _radius(np.float32(C.FOOD_MASS))
                     nfx = fx + nfvx * dt
                     nfy = fy + nfvy * dt
-                    nfx, nfy = clampb(nfx, nfy, rf)
+                    nfx, nfy = clampb(nfx, nfy, rf_m)
                     fx = jnp.where(moving, nfx, fx)
                     fy = jnp.where(moving, nfy, fy)
                     fvx = jnp.where(moving, nfvx, fvx)
                     fvy = jnp.where(moving, nfvy, fvy)
                     if Nv == 0:
                         return fx, fy, fvx, fvy, _bint(falive)
+                    # non-moving foods park at _DEAD in scratch so no
+                    # `moving` mask runs per chunk
+                    s_pxw[0:Nf, :] = jnp.where(moving, fx, _DEAD)
+                    s_pyw[0:Nf, :] = jnp.where(moving, fy, _DEAD)
+                    if p8 < 3:
+                        return (fx, fy, fvx, fvy, _bint(falive), vx_, vy_,
+                                vvx, vvy, vmass, vhits, _bint(valive))
                     radv2 = _radius(vmass)
-                    cdx = fx[:, None, :] - vx_[None, :, :]    # (Nf, Nv, E)
-                    cdy = fy[:, None, :] - vy_[None, :, :]
-                    cd2 = cdx * cdx + cdy * cdy
-                    rmv = jnp.maximum(rf, radv2[None, :, :])
-                    coll = (moving[:, None, :] & valive[None, :, :]
-                            & (rmv * rmv >= cd2))
+                    rmv = jnp.maximum(rf_m, radv2[None, :, :])   # (1, Nv, E)
+                    rmv2 = rmv * rmv
                     viota2 = jax.lax.broadcasted_iota(jnp.int32, (1, Nv, 1), 1)
-                    hitv = jnp.min(jnp.where(coll, viota2, _BIG_I), axis=1)
-                    fhit = hitv < _BIG_I                      # (Nf, E)
-                    hitm = fhit[:, None, :] & (hitv[:, None, :] == viota2)
-                    hcount = jnp.sum(_bint(hitm), axis=0)     # (Nv, E)
+
+                    def vbody(k, hcount):
+                        cfx = s_pxw[pl.ds(k * FCH2, FCH2), :]
+                        cfy = s_pyw[pl.ds(k * FCH2, FCH2), :]
+                        cdx = cfx[:, None, :] - vx_[None, :, :]
+                        cdy = cfy[:, None, :] - vy_[None, :, :]
+                        cd2 = cdx * cdx + cdy * cdy           # (FCH2, Nv, E)
+                        coll = valive[None, :, :] & (rmv2 >= cd2)
+                        hv = jnp.min(jnp.where(coll, viota2, _BIG_I),
+                                     axis=1)                  # (FCH2, E)
+                        s_pmin[pl.ds(k * FCH2, FCH2), :] = hv
+                        fh = hv < _BIG_I
+                        hm = fh[:, None, :] & (hv[:, None, :] == viota2)
+                        return hcount + jnp.sum(_bint(hm), axis=0)
+
+                    hcount = jax.lax.fori_loop(
+                        0, Nf // FCH2, vbody, jnp.zeros((Nv, E), jnp.int32))
+                    hitv = s_pmin[0:Nf, :]                    # (Nf, E)
+                    fhit = hitv < _BIG_I
                     nh = vhits + hcount
                     burst = valive & (nh > C.NUMBER_OF_FOOD_HITS)
                     post = jnp.maximum(nh - (C.NUMBER_OF_FOOD_HITS + 1), 0)
@@ -1450,40 +1602,79 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
                     return (fx, fy, fvx, fvy, _bint(falive), vx_, vy_, vvx,
                             vvy, vmass, vhits, _bint(valive))
 
-                outs = jax.lax.cond(jnp.max(_bint(moving)) > 0,
-                                    foods_move_run, foods_move_skip)
-                if Nv == 0:
-                    fx, fy, fvx, fvy, falive_i = outs
-                else:
-                    (fx, fy, fvx, fvy, falive_i, vx_, vy_, vvx, vvy, vmass,
-                     vhits, valive_i) = outs
-                    valive = valive_i > 0
-                falive = falive_i > 0
+                if p8 >= 2:
+                    outs = jax.lax.cond(jnp.max(_bint(moving)) > 0,
+                                        foods_move_run, foods_move_skip)
+                    if Nv == 0:
+                        fx, fy, fvx, fvy, falive_i = outs
+                    else:
+                        (fx, fy, fvx, fvy, falive_i, vx_, vy_, vvx, vvy,
+                         vmass, vhits, valive_i) = outs
+                        valive = valive_i > 0
+                    falive = falive_i > 0
 
             # --- regeneration -------------------------------------------------
             if ms.pellet_regen and phases >= 9:
                 due_r = (ticks % C.REGEN_PERIOD) == 0         # (1, E)
-                # regen only fires every REGEN_PERIOD ticks; a block-level
-                # branch skips the uniform draws + fill scans on off ticks
-                # (0.14 ms/tick at 8192 envs, bench/tick_ablate.py)
-                def regen_run(px=px, py=py, palive=palive, vx_=vx_,
+                # regen fires every REGEN_PERIOD ticks AND only matters when
+                # something is dead (maybe_deficit): quiescent blocks skip
+                # even the branch's carry copies
+                RCH = 128
+                np_pad_k = -(-Np // RCH) * RCH
+
+                def regen_run(px=px, py=py, pxw=pxw, pyw=pyw, vx_=vx_,
                               vy_=vy_, vvx=vvx, vvy=vvy, vmass=vmass,
                               vhits=vhits, valive=valive):
-                    n_alive = jnp.sum(_bint(palive), axis=0, keepdims=True)
+                    # pellet fill rides fori_loop chunks over the scratch
+                    # copies (unrolled fat cond bodies — here the per-slot
+                    # uniform draws — are taxed even untaken). Pads park at
+                    # _DEAD but can never fill: deficit <= #dead real rows.
+                    pal = pxw < _DEAD_MIN                     # (Np, E)
+                    n_alive = jnp.sum(_bint(pal), axis=0, keepdims=True)
                     deficit = jnp.maximum(cfg.num_pellets - n_alive, 0)
-                    dead_order = _cumsum0(_bint(~palive)) - 1
-                    fill = due_r & ~palive & (dead_order < deficit)
+                    if np_pad_k != Np:
+                        zf = jnp.full((np_pad_k - Np, E), _DEAD)
+                        s_pxw[...] = jnp.concatenate([pxw, zf], axis=0)
+                        s_pyw[...] = jnp.concatenate([pyw, zf], axis=0)
+                        zg = jnp.zeros((np_pad_k - Np, E), jnp.float32)
+                        s_aux1[...] = jnp.concatenate([px, zg], axis=0)
+                        s_aux2[...] = jnp.concatenate([py, zg], axis=0)
+                    else:
+                        s_pxw[...] = pxw
+                        s_pyw[...] = pyw
+                        s_aux1[...] = px
+                        s_aux2[...] = py
                     rp = _radius(np.float32(C.PELLET_MASS))
-                    piota = jax.lax.broadcasted_iota(jnp.int32, (Np, 1), 0)
-                    nx_ = _uniform(0.0, W - 2 * rp, seed, 1, ticks, piota,
-                                   0) + rp
-                    ny_ = _uniform(0.0, H - 2 * rp, seed, 1, ticks, piota,
-                                   1) + rp
-                    px = jnp.where(fill, nx_, px)
-                    py = jnp.where(fill, ny_, py)
-                    palive = palive | fill
+
+                    def rbody(k, base):
+                        cpxw = s_pxw[pl.ds(k * RCH, RCH), :]
+                        dead_c = _bint(~(cpxw < _DEAD_MIN))   # (RCH, E)
+                        order_c = base + _cumsum0(dead_c) - 1
+                        fill = due_r & (dead_c > 0) & (order_c < deficit)
+                        piota = (jax.lax.broadcasted_iota(
+                            jnp.int32, (RCH, 1), 0) + k * RCH)
+                        nx_ = _uniform(0.0, W - 2 * rp, seed, 1, ticks,
+                                       piota, 0) + rp
+                        ny_ = _uniform(0.0, H - 2 * rp, seed, 1, ticks,
+                                       piota, 1) + rp
+                        s_pxw[pl.ds(k * RCH, RCH), :] = jnp.where(
+                            fill, nx_, cpxw)
+                        s_pyw[pl.ds(k * RCH, RCH), :] = jnp.where(
+                            fill, ny_, s_pyw[pl.ds(k * RCH, RCH), :])
+                        s_aux1[pl.ds(k * RCH, RCH), :] = jnp.where(
+                            fill, nx_, s_aux1[pl.ds(k * RCH, RCH), :])
+                        s_aux2[pl.ds(k * RCH, RCH), :] = jnp.where(
+                            fill, ny_, s_aux2[pl.ds(k * RCH, RCH), :])
+                        return base + jnp.sum(dead_c, axis=0, keepdims=True)
+
+                    jax.lax.fori_loop(0, np_pad_k // RCH, rbody,
+                                      jnp.zeros((1, E), jnp.int32))
+                    pxw = s_pxw[0:Np, :]
+                    pyw = s_pyw[0:Np, :]
+                    px = s_aux1[0:Np, :]
+                    py = s_aux2[0:Np, :]
                     if Nv == 0:
-                        return px, py, _bint(palive)
+                        return px, py, pxw, pyw
                     nv_alive = jnp.sum(_bint(valive), axis=0, keepdims=True)
                     vdef = jnp.maximum(cfg.num_viruses - nv_alive, 0)
                     vdead_order = _cumsum0(_bint(~valive)) - 1
@@ -1501,24 +1692,24 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
                     vmass = jnp.where(vfill, C.VIRUS_INITIAL_MASS, vmass)
                     vhits = jnp.where(vfill, 0, vhits)
                     valive = valive | vfill
-                    return (px, py, _bint(palive), vx_, vy_, vvx, vvy,
+                    return (px, py, pxw, pyw, vx_, vy_, vvx, vvy,
                             vmass, vhits, _bint(valive))
 
                 def regen_skip():
                     if Nv == 0:
-                        return px, py, _bint(palive)
-                    return (px, py, _bint(palive), vx_, vy_, vvx, vvy,
+                        return px, py, pxw, pyw
+                    return (px, py, pxw, pyw, vx_, vy_, vvx, vvy,
                             vmass, vhits, _bint(valive))
 
-                outs_r = jax.lax.cond(jnp.max(_bint(due_r)) > 0, regen_run,
-                                      regen_skip)
+                outs_r = jax.lax.cond(
+                    (jnp.max(_bint(due_r)) > 0) & (maybe_deficit > 0),
+                    regen_run, regen_skip)
                 if Nv == 0:
-                    px, py, palive_i = outs_r
+                    px, py, pxw, pyw = outs_r
                 else:
-                    (px, py, palive_i, vx_, vy_, vvx, vvy, vmass, vhits,
+                    (px, py, pxw, pyw, vx_, vy_, vvx, vvy, vmass, vhits,
                      valive_i) = outs_r
                     valive = valive_i > 0
-                palive = palive_i > 0
 
             # chain exactly what the XLA writeback exposes to the
             # next tick (engine/tick.py:184-198): dead cells' split
@@ -1560,7 +1751,7 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
         o_next_id[...] = next_id
         o_px[...] = px
         o_py[...] = py
-        o_palive[...] = palive
+        o_palive[...] = pxw < _DEAD_MIN
         o_vx[...] = vx_
         o_vy[...] = vy_
         o_vvx[...] = vvx
@@ -1589,7 +1780,8 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
             o_extra[0][...] = obs_rows(
                 cfg, ram_obs, 1.0 / cfg.arena_width, 1.0 / cfg.arena_height,
                 cx, cy, cvx, cvy, cmass, b2i(calive),
-                px, py, b2i(palive), vx_, vy_, vmass, b2i(valive))
+                px, py, jnp.where(pxw < _DEAD_MIN, 1, 0),
+                vx_, vy_, vmass, b2i(valive))
 
         if grid_tab or screen_tab:
             # Obs-kernel input sections emitted from the final in-VMEM
@@ -1627,8 +1819,8 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
                 oali = _bint(calive)[Cc:] > 0
                 omf = cmass[Cc:].astype(f32)
 
-            pxm = jnp.where(palive, px, f32(1e9))
-            pym = jnp.where(palive, py, f32(1e9))
+            # pellets already ride parked (dead at 1e9) — reuse directly
+            pxm, pym = pxw, pyw
             vxm = jnp.where(valive, vx_, f32(1e9))
             vym = jnp.where(valive, vy_, f32(1e9))
             next_idx = k0
@@ -1670,7 +1862,7 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
             vrad = jnp.sqrt(vmass.astype(f32) / jnp.pi)
             svals = dict(
                 px=pxm, py=pym,
-                pr2=jnp.where(palive, rpel * rpel, -1.0),
+                pr2=jnp.where(pxw < _DEAD_MIN, rpel * rpel, -1.0),
                 fx=fx, fy=fy,
                 fr2=jnp.where(falive, rfoo * rfoo, -1.0),
                 mx=cx0, my=cy0,
@@ -1789,7 +1981,8 @@ def supports(cfg: EnvConfig) -> bool:
     return cfg.num_players <= 5
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2, 3, 4, 5, 6, 7, 8, 9))
+@functools.partial(jax.jit,
+                   static_argnums=(0, 2, 3, 4, 5, 6, 7, 8, 9, 10))
 def fused_engine_tick(cfg: EnvConfig, states: GameState,
                       block_envs: int = 128,
                       interpret: bool = False,
@@ -1798,7 +1991,8 @@ def fused_engine_tick(cfg: EnvConfig, states: GameState,
                       sub: int = 99,
                       ram_obs=None,
                       grid_tab: bool = False,
-                      screen_tab: bool = False):
+                      screen_tab: bool = False,
+                      p8: int = 99):
     """n_ticks engine ticks over a BATCH of envs via ONE fused kernel.
 
     states: a vmapped GameState with leading env axis N. block_envs should
@@ -1852,7 +2046,17 @@ def fused_engine_tick(cfg: EnvConfig, states: GameState,
             out_shapes.append(jax.ShapeDtypeStruct((N, pw), jnp.float32))
 
     kernel = _make_kernel(cfg, phases, n_ticks, sub, ram_obs,
-                          grid_tab, screen_tab)
+                          grid_tab, screen_tab, p8)
+    # VMEM scratch for the fori_loop'd contested pellet passes (see the
+    # kernel comment: Mosaic cannot dynamic-slice values, and unrolled fat
+    # cond branches are taxed even untaken)
+    PCHUNK = 128
+    np_pad = -(-cfg.pellet_capacity // PCHUNK) * PCHUNK
+    scratch = [pltpu.VMEM((np_pad, E), jnp.float32),
+               pltpu.VMEM((np_pad, E), jnp.float32),
+               pltpu.VMEM((np_pad, E), jnp.float32),
+               pltpu.VMEM((np_pad, E), jnp.float32),
+               pltpu.VMEM((np_pad, E), jnp.int32)]
     outs = pl.pallas_call(
         kernel,
         grid=(N // E,),
@@ -1860,6 +2064,7 @@ def fused_engine_tick(cfg: EnvConfig, states: GameState,
         out_specs=out_specs,
         out_shape=out_shapes,
         input_output_aliases={i: i for i in range(len(ins))},
+        scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),

@@ -37,6 +37,8 @@ def main():
     ap.add_argument("--lo", type=int, default=1)
     ap.add_argument("--hi", type=int, default=4)
     ap.add_argument("--sweep", choices=("sub", "phases"), default="phases")
+    ap.add_argument("--only", default="",
+                    help="comma-separated phase levels to time (default all)")
     args = ap.parse_args()
 
     from agarcl_tpu import EnvConfig
@@ -80,6 +82,9 @@ def main():
         grid = [(0, 0), (0, 1), (0, 2), (0, 3), (99, 99)]
     else:
         grid = [(p, 99) for p in range(10)] + [(99, 99)]
+    if args.only:
+        keep = {int(x) for x in args.only.split(",")}
+        grid = [(p, s) for p, s in grid if p in keep]
 
     lo, hi = args.lo, args.hi
     prev = 0.0

@@ -66,7 +66,20 @@ def make_train(cfg, ocfg, num_envs, rollout_len, lr, clip_eps=0.2,
         logp = -jnp.sum((act - mean) ** 2, axis=-1) / (2 * 0.09)
         return act, logp, value
 
-    step_one = functools.partial(env_step, cfg, obs_fn=frame_fn)
+    # ride the fused Pallas tick when it applies (TPU): the whole
+    # rollout+update program then steps the env batch at the bench.py
+    # rate instead of the vmapped op-graph tick's
+    from agarcl_tpu.ops.fused_tick import supports as _fused_ok
+    if _fused_ok(cfg) and jax.default_backend() != "cpu":
+        from agarcl_tpu.ops.fused_step import fused_env_step
+
+        def step_batch(states, actions):
+            return fused_env_step(cfg, states, actions, obs_fn=frame_fn)
+    else:
+        step_one = functools.partial(env_step, cfg, obs_fn=frame_fn)
+
+        def step_batch(states, actions):
+            return jax.vmap(step_one)(states, actions)
 
     def rollout(params, states, obs, key):
         def body(carry, _):
@@ -75,7 +88,7 @@ def make_train(cfg, ocfg, num_envs, rollout_len, lr, clip_eps=0.2,
             act, logp, value = sample_action(params, obs[:, 0], k1)
             actions = jnp.concatenate(
                 [act, jnp.zeros((num_envs, 1))], axis=-1)[:, None, :]
-            out = jax.vmap(step_one)(states, actions)
+            out = step_batch(states, actions)
             states, obs_f, rewards, dones = out
             nobs = obs_f[:, -1]
             return (states, nobs, key), (obs[:, 0], act, logp, value,
