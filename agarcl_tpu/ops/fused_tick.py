@@ -150,10 +150,12 @@ def _bint(b):
 def _make_kernel(cfg: EnvConfig, phases: int = 99,
                  n_ticks: int = 1, sub: int = 99, ram_obs=None,
                  grid_tab: bool = False, screen_tab: bool = False,
-                 p8: int = 99):
-    # p8 bisects the foods-move block (hardware ablation only):
-    #   0 = skip it entirely, 1 = movement only, 2 = + staging stores,
-    #   3 = + the virus-feed cond
+                 loo: int = 0):
+    # loo ("leave one out") skips ONE block for hardware attribution
+    # (bench/tick_ablate.py --loo; timing-only, semantics break):
+    #   1 relax, 2 virus events, 4 food-eat, 5 feed, 6 split-sord,
+    #   7 foods-move, 8 regen, 9 placement, 10 recombine, 11 decay,
+    #   13 rank
     # `sub` bisects the phase-UNGATED per-tick code for hardware ablation
     # (bench/tick_ablate.py). Only meaningful at phases=0; production runs
     # (phases >= 1) force sub=99 so every downstream dependency exists.
@@ -561,7 +563,8 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
                 svy = jnp.where(calive, svy, 0.0)
 
             if sub >= 1:
-                rank = (rank_of(cid, calive) if phases >= 2
+                rank = (rank_of(cid, calive)
+                        if phases >= 2 and loo != 13
                         else jnp.zeros((PC, E), jnp.int32))
                 if P > 1:
                     pidc = jax.lax.broadcasted_iota(jnp.int32, (PC, 1), 0) // Cc
@@ -738,7 +741,7 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
                                  jnp.where(has_b, bvy_upd, cvy))
                 return ncx, ncy, ncvx, ncvy
 
-            if phases >= 2:
+            if phases >= 2 and loo != 1:
                 ncx, ncy, ncvx, ncvy = [], [], [], []
                 for p in range(P):
                     c0 = (pslice(cx, p), pslice(cy, p),
@@ -756,7 +759,10 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
                     def run_relax(c, extra=extra):
                         def relax_body(_, cc):
                             return pair_pass(*cc, *extra, False)
-                        cc = jax.lax.fori_loop(0, 5, relax_body, c)
+                        cc = (jax.lax.fori_loop(0, 5, relax_body, c)
+                              if loo != 15 else c)
+                        if loo == 14:
+                            return cc
                         return pair_pass(*cc, *extra, True)
 
                     out = jax.lax.cond(multi, run_relax, lambda c: c, c0)
@@ -780,7 +786,7 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
             pop_mass = jnp.zeros((P, E), jnp.int32)
             hit_cvx = hit_cvy = jnp.zeros((P, E), jnp.float32)
             hit_vx = hit_vy = jnp.zeros((P, E), jnp.float32)
-            if Nv > 0 and phases >= 3:
+            if Nv > 0 and phases >= 3 and loo != 2:
                 radc = _radius(cmass)
                 radv = _radius(vmass)
                 viota = jax.lax.broadcasted_iota(jnp.int32, (1, Nv, 1), 1)
@@ -1054,10 +1060,10 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
                 crecomb = jnp.where(do_aspl, elc + C.RECOMBINE_TICKS, crecomb)
                 n_auto = preduce(_bint(do_aspl), jnp.sum)         # (P, E)
 
-            if Nf > 0 and do_actions:
+            FCH = 32 if Nf % 32 == 0 else Nf
+            if Nf > 0 and do_actions and loo != 4:
                 rf = _radius(np.float32(C.FOOD_MASS))
 
-                FCH = 32 if Nf % 32 == 0 else Nf
 
                 def foods_full():
                     # rolled into fori_loop chunks like pellets_full (the
@@ -1148,7 +1154,7 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
                     do_feed = jnp.zeros_like(do_feed)
                 emit = (calive & pexpand(do_feed)
                         & (cmass >= C.CELL_MIN_SIZE + C.FOOD_MASS))
-            if Nf > 0 and do_actions:
+            if Nf > 0 and do_actions and loo != 5:
                 # inert without a feeding cell this tick (feed actions are
                 # rare); one block-level branch skips the (PC, Nf, E)
                 # emission one-hot machinery
@@ -1234,13 +1240,16 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
                     0)                                            # (P, E)
                 s_elig = calive & (cmass >= C.CELL_SPLIT_MINIMUM) \
                     & pexpand(do_split)
-                sords = []
-                for p in range(P):
-                    se = pslice(s_elig, p)
-                    sk = jnp.where(se, pslice(rank, p), _BIG_I)
-                    sords.append(jnp.sum(
-                        _bint((sk[None, :, :] < sk[:, None, :])
-                              & se[None, :, :]), axis=1))
+                if loo == 6:
+                    sords = [jnp.zeros((Cc, E), jnp.int32)] * P
+                else:
+                    sords = []
+                    for p in range(P):
+                        se = pslice(s_elig, p)
+                        sk = jnp.where(se, pslice(rank, p), _BIG_I)
+                        sords.append(jnp.sum(
+                            _bint((sk[None, :, :] < sk[:, None, :])
+                                  & se[None, :, :]), axis=1))
                 sord = pcat(sords)
                 chosen = s_elig & (sord < pexpand(limit))
                 s_rem, s_nf = split_fields(cx, cy, cmass, txc, tyc)
@@ -1253,7 +1262,7 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
             # Ids are phase-major like the XLA tick's three place_new_cells
             # calls: all players' disrupt cells, then all autos, then all
             # splits, pid-major within a phase (engine/actions.py:54-59).
-            if phases >= 3:
+            if phases >= 3 and loo != 9:
                 K = C.PLAYER_CELL_LIMIT
                 kk = jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0)   # (K, 1)
                 pop_speed = _max_speed(np.float32(C.CELL_POP_SIZE))
@@ -1383,7 +1392,7 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
                 calive = pcat(outs["calive"])
 
             # --- recombine (SPEC M7), per player ------------------------------
-            if phases >= 6:
+            if phases >= 6 and loo != 10:
                 ncm, ncl = [], []
                 for p in range(P):
                     cidp = pslice(cid, p)
@@ -1441,7 +1450,7 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
             # --- anti-team + decay --------------------------------------------
             last_decay = last_decay_in
             anti_team = anti_team_in
-            if ms.mass_decay and phases >= 7:
+            if ms.mass_decay and phases >= 7 and loo != 11:
                 due = palive_p & (elapsed % 60 == 0)              # (P, E)
                 KT2 = vticks.shape[0] // P
                 fall_off = elapsed - C.ANTI_TEAM_ACTIVATION_TICKS
@@ -1497,7 +1506,7 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
             # state at rest: feeds are rare and emitted foods settle within
             # ~30 ticks); one block-level branch skips its 0.37 ms/tick
             # (8192 envs, bench/tick_ablate.py)
-            if Nf > 0 and phases >= 8 and p8 >= 1:
+            if Nf > 0 and phases >= 8 and loo != 7:
                 moving = falive & ((fvx != 0.0) | (fvy != 0.0))
                 rf_m = _radius(np.float32(C.FOOD_MASS))
                 FCH2 = 32 if Nf % 32 == 0 else Nf
@@ -1527,9 +1536,6 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
                     # `moving` mask runs per chunk
                     s_pxw[0:Nf, :] = jnp.where(moving, fx, _DEAD)
                     s_pyw[0:Nf, :] = jnp.where(moving, fy, _DEAD)
-                    if p8 < 3:
-                        return (fx, fy, fvx, fvy, _bint(falive), vx_, vy_,
-                                vvx, vvy, vmass, vhits, _bint(valive))
                     radv2 = _radius(vmass)
                     rmv = jnp.maximum(rf_m, radv2[None, :, :])   # (1, Nv, E)
                     rmv2 = rmv * rmv
@@ -1602,19 +1608,18 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
                     return (fx, fy, fvx, fvy, _bint(falive), vx_, vy_, vvx,
                             vvy, vmass, vhits, _bint(valive))
 
-                if p8 >= 2:
-                    outs = jax.lax.cond(jnp.max(_bint(moving)) > 0,
-                                        foods_move_run, foods_move_skip)
-                    if Nv == 0:
-                        fx, fy, fvx, fvy, falive_i = outs
-                    else:
-                        (fx, fy, fvx, fvy, falive_i, vx_, vy_, vvx, vvy,
-                         vmass, vhits, valive_i) = outs
-                        valive = valive_i > 0
-                    falive = falive_i > 0
+                outs = jax.lax.cond(jnp.max(_bint(moving)) > 0,
+                                    foods_move_run, foods_move_skip)
+                if Nv == 0:
+                    fx, fy, fvx, fvy, falive_i = outs
+                else:
+                    (fx, fy, fvx, fvy, falive_i, vx_, vy_, vvx, vvy,
+                     vmass, vhits, valive_i) = outs
+                    valive = valive_i > 0
+                falive = falive_i > 0
 
             # --- regeneration -------------------------------------------------
-            if ms.pellet_regen and phases >= 9:
+            if ms.pellet_regen and phases >= 9 and loo != 8:
                 due_r = (ticks % C.REGEN_PERIOD) == 0         # (1, E)
                 # regen fires every REGEN_PERIOD ticks AND only matters when
                 # something is dead (maybe_deficit): quiescent blocks skip
@@ -1992,7 +1997,7 @@ def fused_engine_tick(cfg: EnvConfig, states: GameState,
                       ram_obs=None,
                       grid_tab: bool = False,
                       screen_tab: bool = False,
-                      p8: int = 99):
+                      loo: int = 0):
     """n_ticks engine ticks over a BATCH of envs via ONE fused kernel.
 
     states: a vmapped GameState with leading env axis N. block_envs should
@@ -2046,7 +2051,7 @@ def fused_engine_tick(cfg: EnvConfig, states: GameState,
             out_shapes.append(jax.ShapeDtypeStruct((N, pw), jnp.float32))
 
     kernel = _make_kernel(cfg, phases, n_ticks, sub, ram_obs,
-                          grid_tab, screen_tab, p8)
+                          grid_tab, screen_tab, loo)
     # VMEM scratch for the fori_loop'd contested pellet passes (see the
     # kernel comment: Mosaic cannot dynamic-slice values, and unrolled fat
     # cond branches are taxed even untaken)
