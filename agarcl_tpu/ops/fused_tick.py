@@ -372,164 +372,178 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
             # --- bot decisions (SPEC Q12: every BOT_ACTION_PERIOD ticks from
             # the start-of-tick snapshot; XLA twin engine/bots.py) -------------
             if any(b > 0 for b in bt_list) and phases >= 1:
-                w0 = jnp.where(calive, cmass, 0).astype(jnp.float32)
-                pm0 = preduce(w0, jnp.sum)                        # (P, E)
-                den0 = jnp.maximum(pm0, 1.0)
-                cenx = preduce(w0 * cx, jnp.sum) / den0
-                ceny = preduce(w0 * cy, jnp.sum) / den0
-                palive0 = preduce(_bint(calive), jnp.max) > 0     # (P, E)
-
-                # nearest pellet (Bot.hpp:92-129): chunked first-min; strict <
-                # across chunks preserves argmin's first-index tie pick
-                bd = jnp.full((P, E), _BIG, jnp.float32)
-                bpx = jnp.zeros((P, E), jnp.float32)
-                bpy = jnp.zeros((P, E), jnp.float32)
-                BCH = 128
-                nb = (Np + BCH - 1) // BCH
-                padb = nb * BCH - Np
-                if padb:
-                    # pads park at _DEAD like dead pellets (same exclusion)
-                    pxb = jnp.concatenate(
-                        [pxw, jnp.full((padb, E), _DEAD)], axis=0)
-                    pyb = jnp.concatenate(
-                        [pyw, jnp.full((padb, E), _DEAD)], axis=0)
-                else:
-                    pxb, pyb = pxw, pyw
-                ciota = jax.lax.broadcasted_iota(jnp.int32, (1, BCH, 1), 1)
-                for k in range(nb):
-                    cpx = jax.lax.slice_in_dim(pxb, k * BCH, (k + 1) * BCH,
-                                               axis=0)
-                    cpy = jax.lax.slice_in_dim(pyb, k * BCH, (k + 1) * BCH,
-                                               axis=0)
-                    ddx = cenx[:, None, :] - cpx[None, :, :]      # (P, BCH, E)
-                    ddy = ceny[:, None, :] - cpy[None, :, :]
-                    d = jnp.sqrt(ddx * ddx + ddy * ddy)
-                    # parked pellets sit ~1e9 away: excluded by d < _DEAD_MIN
-                    # exactly as the old alive mask did (live d < 1e4)
-                    okk = (d > 0.01) & (d < _DEAD_MIN)
-                    dm = jnp.where(okk, d, _BIG)
-                    m = jnp.min(dm, axis=1)                       # (P, E)
-                    ismin = okk & (dm == m[:, None, :])
-                    isel = jnp.min(jnp.where(ismin, ciota, _BIG_I), axis=1)
-                    ohf = jnp.where(ismin & (ciota == isel[:, None, :]),
-                                    1.0, 0.0)
-                    sx = jnp.sum(cpx[None, :, :] * ohf, axis=1)
-                    sy = jnp.sum(cpy[None, :, :] * ohf, axis=1)
-                    take = m < bd
-                    bd = jnp.where(take, m, bd)
-                    bpx = jnp.where(take, sx, bpx)
-                    bpy = jnp.where(take, sy, bpy)
-                has_pel = bd < _BIG
-                any_pel = (jnp.min(pxw, axis=0, keepdims=True)
-                           < _DEAD_MIN)                           # (1, E)
-                piot = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
-                rndx = jnp.floor(_uniform(np.float32(0.0), np.float32(W),
-                                          seed, 4, ticks, piot, 0))
-                rndy = jnp.floor(_uniform(np.float32(0.0), np.float32(H),
-                                          seed, 4, ticks, piot, 1))
-                ptx = jnp.where(has_pel, bpx, jnp.where(any_pel, 0.0, rndx))
-                pty = jnp.where(has_pel, bpy, jnp.where(any_pel, 0.0, rndy))
-
-                # Flee/hunt pair terms unroll over the tiny static opponent
-                # axis j: Mosaic cannot relayout reductions over a small (<8)
-                # middle dim of a (P, P, E) vector ("Invalid relayout:
-                # non-singleton logical dimension is replicated"), so every
-                # pairwise quantity is accumulated j-by-j on (P, E) tiles.
-                need_flee = any(b in (2, 4) for b in bt_list)
-                need_hunt = any(b in (3, 4) for b in bt_list)
-                if need_flee or need_hunt:
-                    piv = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
-                if need_flee:
-                    # HungryShyBot.hpp:24-49 — the mass test is vacuous (SPEC Q1)
-                    fj = jnp.full((P, E), _BIG_I, jnp.int32)
-                    for j in range(P):
-                        dxj = cenx - prow(cenx, j)
-                        dyj = ceny - prow(ceny, j)
-                        dj = jnp.sqrt(dxj * dxj + dyj * dyj)
-                        scaryj = ((piv != j) & prow(palive0, j)
-                                  & (dj < np.float32(C.SHY_RADIUS))
-                                  & (prow(pm0, j) > 0))           # (P, E)
-                        fj = jnp.minimum(fj, jnp.where(scaryj, j, _BIG_I))
-                    has_flee = fj < _BIG_I                        # (P, E)
-                    fcx = jnp.zeros((P, E), jnp.float32)
-                    fcy = jnp.zeros((P, E), jnp.float32)
-                    for j in range(P):
-                        selj = fj == j
-                        fcx = jnp.where(selj, prow(cenx, j), fcx)
-                        fcy = jnp.where(selj, prow(ceny, j), fcy)
-                    fltx = 2.0 * cenx - fcx
-                    flty = 2.0 * ceny - fcy
-                if need_hunt:
-                    # AggressiveBot.hpp:27-55 + Bot.hpp:56-67
-                    lm = jnp.where(calive, cmass, -1)
-                    bigm = jnp.maximum(preduce(lm, jnp.max), 0)   # (P, E)
-                    bigf = bigm.astype(jnp.float32)
-                    hj = jnp.full((P, E), _BIG_I, jnp.int32)
-                    hunt_j = []   # per-j (edm_j, w_j) for the prey-centroid pass
-                    for j in range(P):
-                        cmj = pslice(cmass, j).astype(jnp.float32)  # (Cc, E)
-                        caj = pslice(calive, j)
-                        canj = ((bigm[:, None, :] > C.CELL_EAT_REQUIREMENT)
-                                & (bigf[:, None, :]
-                                   > cmj[None] * np.float32(C.CELL_EAT_MARGIN))
-                                & caj[None])                      # (P, Cc, E)
-                        wj = jnp.where(canj, cmj[None], 0.0)
-                        edmj = jnp.sum(wj, axis=1)                # (P, E)
-                        hunt_j.append((edmj, wj))
-                        dxj = cenx - prow(cenx, j)
-                        dyj = ceny - prow(ceny, j)
-                        dj = jnp.sqrt(dxj * dxj + dyj * dyj)
-                        nearj = ((piv != j) & prow(palive0, j)
-                                 & (dj <= np.float32(C.AGGRESSIVE_RADIUS))
-                                 & (edmj > 0))
-                        hj = jnp.minimum(hj, jnp.where(nearj, j, _BIG_I))
-                    has_hunt = hj < _BIG_I
-                    hj0 = jnp.where(has_hunt, hj, 0)
-                    wsum = jnp.zeros((P, E), jnp.float32)
-                    pnx = jnp.zeros((P, E), jnp.float32)
-                    pny = jnp.zeros((P, E), jnp.float32)
-                    for j in range(P):
-                        selj = hj0 == j
-                        edmj, wj = hunt_j[j]
-                        cxj = pslice(cx, j)
-                        cyj = pslice(cy, j)
-                        wsum = jnp.where(selj, edmj, wsum)
-                        pnx = jnp.where(selj,
-                                        jnp.sum(cxj[None] * wj, axis=1), pnx)
-                        pny = jnp.where(selj,
-                                        jnp.sum(cyj[None] * wj, axis=1), pny)
-                    wsum = jnp.maximum(wsum, 1.0)
-                    preyx = pnx / wsum
-                    preyy = pny / wsum
-                    hntx = cenx + 3.0 * (preyx - cenx)
-                    hnty = ceny + 3.0 * (preyy - ceny)
-
                 do_bot = (ticks % C.BOT_ACTION_PERIOD) == 0       # (1, E)
-                ntx, nty, nact = [], [], []
-                for p, b in enumerate(bt_list):
-                    rtx, rty, rac = tx[p:p + 1], ty[p:p + 1], action[p:p + 1]
-                    if b > 0:
-                        btx, bty = ptx[p:p + 1], pty[p:p + 1]
-                        if b in (3, 4):
-                            btx = jnp.where(prow(has_hunt, p), hntx[p:p + 1],
-                                            btx)
-                            bty = jnp.where(prow(has_hunt, p), hnty[p:p + 1],
-                                            bty)
-                        if b in (2, 4):
-                            btx = jnp.where(prow(has_flee, p), fltx[p:p + 1],
-                                            btx)
-                            bty = jnp.where(prow(has_flee, p), flty[p:p + 1],
-                                            bty)
-                        do = do_bot & prow(palive0, p)
-                        rtx = jnp.where(do, btx, rtx)
-                        rty = jnp.where(do, bty, rty)
-                        rac = jnp.where(do, 0, rac)
-                    ntx.append(rtx)
-                    nty.append(rty)
-                    nact.append(rac)
-                tx = pcat(ntx)
-                ty = pcat(nty)
-                action = pcat(nact)
+
+                def bots_run(tx=tx, ty=ty, action=action):
+                    w0 = jnp.where(calive, cmass, 0).astype(jnp.float32)
+                    pm0 = preduce(w0, jnp.sum)                    # (P, E)
+                    den0 = jnp.maximum(pm0, 1.0)
+                    cenx = preduce(w0 * cx, jnp.sum) / den0
+                    ceny = preduce(w0 * cy, jnp.sum) / den0
+                    palive0 = preduce(_bint(calive), jnp.max) > 0
+
+                    # nearest pellet (Bot.hpp:92-129): rolled chunk loop
+                    # over scratch-staged parked coords (chunked first-min;
+                    # strict < across chunks preserves argmin's first-index
+                    # tie pick). The whole bot pass sits behind one
+                    # block-level branch: decisions fire only every
+                    # BOT_ACTION_PERIOD ticks (SPEC Q12), so 9/10 ticks pay
+                    # only the (P, E) carries.
+                    BCH = 128
+                    nb = s_pxw.shape[0] // BCH
+                    if s_pxw.shape[0] != Np:
+                        zf = jnp.full((s_pxw.shape[0] - Np, E), _DEAD)
+                        s_pxw[...] = jnp.concatenate([pxw, zf], axis=0)
+                        s_pyw[...] = jnp.concatenate([pyw, zf], axis=0)
+                    else:
+                        s_pxw[...] = pxw
+                        s_pyw[...] = pyw
+                    ciota = jax.lax.broadcasted_iota(jnp.int32, (1, BCH, 1),
+                                                     1)
+
+                    def bchunk(k, carry):
+                        bd, bpx, bpy = carry
+                        cpx = s_pxw[pl.ds(k * BCH, BCH), :]
+                        cpy = s_pyw[pl.ds(k * BCH, BCH), :]
+                        ddx = cenx[:, None, :] - cpx[None, :, :]  # (P,BCH,E)
+                        ddy = ceny[:, None, :] - cpy[None, :, :]
+                        d = jnp.sqrt(ddx * ddx + ddy * ddy)
+                        # parked pellets sit ~1e9 away: excluded by
+                        # d < _DEAD_MIN exactly as an alive mask would
+                        okk = (d > 0.01) & (d < _DEAD_MIN)
+                        dm = jnp.where(okk, d, _BIG)
+                        m = jnp.min(dm, axis=1)                   # (P, E)
+                        ismin = okk & (dm == m[:, None, :])
+                        isel = jnp.min(jnp.where(ismin, ciota, _BIG_I),
+                                       axis=1)
+                        ohf = jnp.where(ismin & (ciota == isel[:, None, :]),
+                                        1.0, 0.0)
+                        sx = jnp.sum(cpx[None, :, :] * ohf, axis=1)
+                        sy = jnp.sum(cpy[None, :, :] * ohf, axis=1)
+                        take = m < bd
+                        return (jnp.where(take, m, bd),
+                                jnp.where(take, sx, bpx),
+                                jnp.where(take, sy, bpy))
+
+                    bd, bpx, bpy = jax.lax.fori_loop(
+                        0, nb, bchunk,
+                        (jnp.full((P, E), _BIG, jnp.float32),
+                         jnp.zeros((P, E), jnp.float32),
+                         jnp.zeros((P, E), jnp.float32)))
+                    has_pel = bd < _BIG
+                    any_pel = (jnp.min(pxw, axis=0, keepdims=True)
+                               < _DEAD_MIN)                           # (1, E)
+                    piot = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+                    rndx = jnp.floor(_uniform(np.float32(0.0), np.float32(W),
+                                              seed, 4, ticks, piot, 0))
+                    rndy = jnp.floor(_uniform(np.float32(0.0), np.float32(H),
+                                              seed, 4, ticks, piot, 1))
+                    ptx = jnp.where(has_pel, bpx, jnp.where(any_pel, 0.0, rndx))
+                    pty = jnp.where(has_pel, bpy, jnp.where(any_pel, 0.0, rndy))
+
+                    # Flee/hunt pair terms unroll over the tiny static opponent
+                    # axis j: Mosaic cannot relayout reductions over a small (<8)
+                    # middle dim of a (P, P, E) vector ("Invalid relayout:
+                    # non-singleton logical dimension is replicated"), so every
+                    # pairwise quantity is accumulated j-by-j on (P, E) tiles.
+                    need_flee = any(b in (2, 4) for b in bt_list)
+                    need_hunt = any(b in (3, 4) for b in bt_list)
+                    if need_flee or need_hunt:
+                        piv = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+                    if need_flee:
+                        # HungryShyBot.hpp:24-49 — the mass test is vacuous (SPEC Q1)
+                        fj = jnp.full((P, E), _BIG_I, jnp.int32)
+                        for j in range(P):
+                            dxj = cenx - prow(cenx, j)
+                            dyj = ceny - prow(ceny, j)
+                            dj = jnp.sqrt(dxj * dxj + dyj * dyj)
+                            scaryj = ((piv != j) & prow(palive0, j)
+                                      & (dj < np.float32(C.SHY_RADIUS))
+                                      & (prow(pm0, j) > 0))           # (P, E)
+                            fj = jnp.minimum(fj, jnp.where(scaryj, j, _BIG_I))
+                        has_flee = fj < _BIG_I                        # (P, E)
+                        fcx = jnp.zeros((P, E), jnp.float32)
+                        fcy = jnp.zeros((P, E), jnp.float32)
+                        for j in range(P):
+                            selj = fj == j
+                            fcx = jnp.where(selj, prow(cenx, j), fcx)
+                            fcy = jnp.where(selj, prow(ceny, j), fcy)
+                        fltx = 2.0 * cenx - fcx
+                        flty = 2.0 * ceny - fcy
+                    if need_hunt:
+                        # AggressiveBot.hpp:27-55 + Bot.hpp:56-67
+                        lm = jnp.where(calive, cmass, -1)
+                        bigm = jnp.maximum(preduce(lm, jnp.max), 0)   # (P, E)
+                        bigf = bigm.astype(jnp.float32)
+                        hj = jnp.full((P, E), _BIG_I, jnp.int32)
+                        hunt_j = []   # per-j (edm_j, w_j) for the prey-centroid pass
+                        for j in range(P):
+                            cmj = pslice(cmass, j).astype(jnp.float32)  # (Cc, E)
+                            caj = pslice(calive, j)
+                            canj = ((bigm[:, None, :] > C.CELL_EAT_REQUIREMENT)
+                                    & (bigf[:, None, :]
+                                       > cmj[None] * np.float32(C.CELL_EAT_MARGIN))
+                                    & caj[None])                      # (P, Cc, E)
+                            wj = jnp.where(canj, cmj[None], 0.0)
+                            edmj = jnp.sum(wj, axis=1)                # (P, E)
+                            hunt_j.append((edmj, wj))
+                            dxj = cenx - prow(cenx, j)
+                            dyj = ceny - prow(ceny, j)
+                            dj = jnp.sqrt(dxj * dxj + dyj * dyj)
+                            nearj = ((piv != j) & prow(palive0, j)
+                                     & (dj <= np.float32(C.AGGRESSIVE_RADIUS))
+                                     & (edmj > 0))
+                            hj = jnp.minimum(hj, jnp.where(nearj, j, _BIG_I))
+                        has_hunt = hj < _BIG_I
+                        hj0 = jnp.where(has_hunt, hj, 0)
+                        wsum = jnp.zeros((P, E), jnp.float32)
+                        pnx = jnp.zeros((P, E), jnp.float32)
+                        pny = jnp.zeros((P, E), jnp.float32)
+                        for j in range(P):
+                            selj = hj0 == j
+                            edmj, wj = hunt_j[j]
+                            cxj = pslice(cx, j)
+                            cyj = pslice(cy, j)
+                            wsum = jnp.where(selj, edmj, wsum)
+                            pnx = jnp.where(selj,
+                                            jnp.sum(cxj[None] * wj, axis=1), pnx)
+                            pny = jnp.where(selj,
+                                            jnp.sum(cyj[None] * wj, axis=1), pny)
+                        wsum = jnp.maximum(wsum, 1.0)
+                        preyx = pnx / wsum
+                        preyy = pny / wsum
+                        hntx = cenx + 3.0 * (preyx - cenx)
+                        hnty = ceny + 3.0 * (preyy - ceny)
+
+                    ntx, nty, nact = [], [], []
+                    for p, b in enumerate(bt_list):
+                        rtx, rty, rac = tx[p:p + 1], ty[p:p + 1], action[p:p + 1]
+                        if b > 0:
+                            btx, bty = ptx[p:p + 1], pty[p:p + 1]
+                            if b in (3, 4):
+                                btx = jnp.where(prow(has_hunt, p), hntx[p:p + 1],
+                                                btx)
+                                bty = jnp.where(prow(has_hunt, p), hnty[p:p + 1],
+                                                bty)
+                            if b in (2, 4):
+                                btx = jnp.where(prow(has_flee, p), fltx[p:p + 1],
+                                                btx)
+                                bty = jnp.where(prow(has_flee, p), flty[p:p + 1],
+                                                bty)
+                            do = do_bot & prow(palive0, p)
+                            rtx = jnp.where(do, btx, rtx)
+                            rty = jnp.where(do, bty, rty)
+                            rac = jnp.where(do, 0, rac)
+                        ntx.append(rtx)
+                        nty.append(rty)
+                        nact.append(rac)
+                    return pcat(ntx), pcat(nty), pcat(nact)
+
+                def bots_skip():
+                    return tx, ty, action
+
+                tx, ty, action = jax.lax.cond(
+                    jnp.max(_bint(do_bot)) > 0, bots_run, bots_skip)
 
             if sub >= 1:
                 palive_p = preduce(_bint(calive), jnp.max) > 0    # (P, E)
