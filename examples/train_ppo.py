@@ -175,13 +175,19 @@ def main():
     obs = jax.vmap(frame_fn)(states)
 
     t0 = time.time()
+    t_win = t0
     rewards_hist = []
     for it in range(args.iters):
         params, opt_state, states, obs, key, loss, mr = train_iter(
             params, opt_state, states, obs, key)
         rewards_hist.append(float(mr))
         if it % 5 == 0 or it == args.iters - 1:
-            sps = args.envs * args.rollout * (it + 1) / (time.time() - t0)
+            # windowed SPS: the first window is compile-dominated; later
+            # windows are the steady-state training rate
+            now = time.time()
+            n_win = 5 if it else 1
+            sps = args.envs * args.rollout * n_win / (now - t_win)
+            t_win = now
             print(f"iter {it:4d}  mean_reward/step {float(mr):7.4f}  "
                   f"loss {float(loss):8.4f}  env-steps/s {sps:9.0f}",
                   flush=True)

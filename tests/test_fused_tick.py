@@ -94,6 +94,34 @@ def test_fused_matches_through_regen_boundary():
     assert int(np.asarray(s_ref.pellet_alive).sum()) >= N * cfg.num_pellets - N
 
 
+def test_fused_multi_tick_regen_after_in_call_eats():
+    """Pellets eaten INSIDE the same multi-tick kernel call whose later tick
+    crosses the regen boundary: the kernel's conservative maybe-deficit
+    flag must still let regen fire (it is raised by in-call eats, not just
+    by dead-at-entry slots)."""
+    cfg = EnvConfig(num_agents=1, ticks_per_step=4, arena_size=60,
+                    num_pellets=24, num_viruses=2, num_bots=0, mode=4)
+    N = 4
+    reset_b = jax.vmap(functools.partial(env_reset, cfg))
+    tick_b = jax.jit(jax.vmap(functools.partial(engine_tick, cfg)))
+    s = reset_b(jnp.arange(N, dtype=jnp.uint32) + 11)
+    # park the agent ON a live pellet just before the boundary so ticks
+    # 117-119 eat (raising the flag in-call) and tick 120 regenerates
+    ppos = np.asarray(s.pellet_pos)
+    tgt = jnp.asarray(ppos[:, 3], jnp.float32)
+    cp = s.cell_pos.at[:, 0, 0, :].set(tgt)
+    s = s.replace(ticks=jnp.full((N,), 117, jnp.int32), cell_pos=cp,
+                  target=tgt[:, None, :])
+    s_ref = s
+    for _ in range(4):
+        s_ref = tick_b(s_ref)
+    s_out = fused_engine_tick(cfg, s, 4, True, n_ticks=4)
+    compare(s_ref, s_out, "regen-after-eats")
+    # something was actually eaten and then refilled
+    assert int(np.asarray(s_ref.food_eaten).sum()) > 0
+    assert int(np.asarray(s_ref.pellet_alive).sum()) == N * cfg.num_pellets
+
+
 def test_fused_supports_gate():
     assert supports(CFG)
     assert supports(EnvConfig(num_agents=2))
