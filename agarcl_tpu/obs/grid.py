@@ -44,11 +44,15 @@ class GridObsConfig:
     observe_others: bool = True
     observe_viruses: bool = True
     observe_pellets: bool = True
-    # OPT-IN narrow output: "int16" halves the frame's HBM write cost (the
-    # (N, 8, G, G) int32 store is the measured floor of the fused grid
-    # kernel at large batches). int32 stays the contract default, matching
-    # the reference's int grids (GridEnvironment.hpp:91-123). int16 values
-    # SATURATE at +-32767 (own/other mass sums can exceed it in late game).
+    # OPT-IN narrow output: "int16" halves / "int8" quarters the frame's
+    # HBM write cost (the (N, 8, G, G) int32 store is the measured floor of
+    # the fused grid kernel at large batches). int32 stays the contract
+    # default, matching the reference's int grids
+    # (GridEnvironment.hpp:91-123). Narrow values SATURATE at the dtype
+    # bounds: mass sums exceed int16 only in the late game, but int8 caps
+    # at 127 — cell/virus MASS channels are effectively presence bits
+    # there, while oob/presence/count channels stay exact. Pick int8 only
+    # when the policy reads geometry, not masses.
     out_dtype: str = "int32"
 
     @property
@@ -58,8 +62,9 @@ class GridObsConfig:
 
     @property
     def jnp_dtype(self):
-        assert self.out_dtype in ("int32", "int16"), self.out_dtype
-        return jnp.int16 if self.out_dtype == "int16" else jnp.int32
+        assert self.out_dtype in ("int32", "int16", "int8"), self.out_dtype
+        return dict(int32=jnp.int32, int16=jnp.int16,
+                    int8=jnp.int8)[self.out_dtype]
 
 
 def _to_grid(pos, center, view, G):

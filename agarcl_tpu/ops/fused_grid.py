@@ -135,11 +135,12 @@ def _make_kernel(cfg: EnvConfig, G: int, BE: int, n_other: int, offs,
             return tab[be, offs[name][0] + j]
 
         def st(x):
-            """int32 channel -> output dtype; int16 saturates (mass sums
-            can exceed 2^15 in late game, GridObsConfig.out_dtype)."""
+            """int32 channel -> output dtype; narrow dtypes saturate at
+            their bounds (GridObsConfig.out_dtype)."""
             if out_dtype == jnp.int32:
                 return x
-            return jnp.clip(x, -32768, 32767).astype(out_dtype)
+            info = jnp.iinfo(out_dtype)
+            return jnp.clip(x, info.min, info.max).astype(out_dtype)
 
         iota_i = jax.lax.broadcasted_iota(jnp.int32, (ROWS, 128), 0)
         iota_j = jax.lax.broadcasted_iota(jnp.int32, (ROWS, 128), 1)
@@ -468,7 +469,7 @@ def fused_grid_channels(cfg: EnvConfig, G: int, states,
     BE = _block_size(N, block_envs)
     secs_or_tab, offs, n_other = _build_grid_table(
         cfg, G, states, sections=(layout == "sections"))
-    odt = jnp.int16 if out_dtype == "int16" else jnp.int32
+    odt = dict(int32=jnp.int32, int16=jnp.int16, int8=jnp.int8)[out_dtype]
     ROWS = G * G // 128
     if layout == "sections":
         names = tuple(secs_or_tab.keys())
@@ -547,7 +548,8 @@ def fused_grid_frame_from_secs(cfg: EnvConfig, ocfg: GridObsConfig, secs,
     n_other = (cfg.num_players - 1) * cfg.max_cells
     N = secs["params"].shape[0]
     BE = _block_size(N, block_envs)
-    odt = jnp.int16 if ocfg.out_dtype == "int16" else jnp.int32
+    odt = dict(int32=jnp.int32, int16=jnp.int16,
+               int8=jnp.int8)[ocfg.out_dtype]
     ROWS = G * G // 128
     names = tuple(n for n, _, _, _ in meta)
     arrs = [secs[n] for n in names]

@@ -31,9 +31,10 @@ def main():
     ap.add_argument("--size", type=int, default=0,
                     help="grid_size / screen_len override (0 = default)")
     ap.add_argument("--grid-dtype", default="int32",
-                    choices=("int32", "int16"),
-                    help="grid obs output dtype (int16 = opt-in saturating "
-                         "narrow output, halves the frame write cost)")
+                    choices=("int32", "int16", "int8"),
+                    help="grid obs output dtype (int16/int8 = opt-in "
+                         "saturating narrow output, halves/quarters the "
+                         "frame write cost)")
     args = ap.parse_args()
     num_envs, steps_per_call, timed_calls = args.envs, args.steps, args.iters
 

@@ -549,6 +549,16 @@ def test_fused_grid_obs_int16():
     ref16 = jax.jit(jax.vmap(functools.partial(grid_frame, cfg, o16)))(states)
     assert ref16.dtype == jnp.int16
     np.testing.assert_array_equal(np.asarray(ref16), g)
+    # int8 quarters the store; saturates at 127 (mass channels become
+    # presence-ish), oob/presence/count channels stay exact
+    o8 = GridObsConfig(grid_size=32, out_dtype="int8")
+    got8 = fused_grid_frame(cfg, o8, states, block_envs=4, interpret=True)
+    assert got8.dtype == jnp.int8
+    g8 = np.asarray(got8)
+    np.testing.assert_array_equal(g8, np.clip(r, -128, 127))
+    assert (g8 == 127).any()
+    ref8 = jax.jit(jax.vmap(functools.partial(grid_frame, cfg, o8)))(states)
+    np.testing.assert_array_equal(np.asarray(ref8), g8)
 
 
 def test_fused_env_step_grid_obs():
