@@ -755,6 +755,198 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
                                  jnp.where(has_b, bvy_upd, cvy))
                 return ncx, ncy, ncvx, ncvy
 
+            # -- chunked relax: pair_pass with the i axis in CH-row fori
+            # chunks through scratch. Every live value stays (CH, Cc, E)
+            # = 8 vregs: the untaken-branch tax follows value footprint —
+            # the (Cc, Cc, E) = 32-vreg form costs ~0.4 ms/tick per player
+            # even when the relax cond is never taken, while a max_cells=8
+            # config (8-vreg pairs) measures ~0 (CLAUDE.md). Identical
+            # per-pair arithmetic: cross-chunk reductions are exact since
+            # minkey_j is a running min and mutual matches are 1-1 (at most
+            # one nonzero term per j in the b-side sums). calive derives as
+            # cmass > 0 (dead cells are mass-masked at the previous
+            # writeback, and nothing kills or revives cells before the
+            # relax phase within a tick). ----------------------------------
+            # 0 -> unchunked pair_pass (also when the scratch rows cannot
+            # hold the 7 staged cell-field groups of an oversized Cc)
+            CH = 4 if (Cc % 4 == 0 and 7 * Cc <= s_pxw.shape[0]) else 0
+
+            def relax_stage_fixed(cmass_p, rank_p, svx_p, svy_p):
+                """Per-cond-entry staging of the relax-invariant rows."""
+                s_pxw[4 * Cc:5 * Cc, :] = svx_p
+                s_pxw[5 * Cc:6 * Cc, :] = svy_p
+                s_pxw[6 * Cc:7 * Cc, :] = cmass_p.astype(jnp.float32)
+                s_pmin[Cc:2 * Cc, :] = rank_p
+                s_pmin[3 * Cc:4 * Cc, :] = cmass_p
+
+            def chunk_pass(cx_p, cy_p, cvx_p, cvy_p, cmass_p, rank_p,
+                           svx_p, svy_p, txp, typ, static_only):
+                f32 = jnp.float32
+                calive_j = cmass_p > 0
+                radc_j = _radius(cmass_p)
+                s_pxw[0:Cc, :] = cx_p
+                s_pxw[Cc:2 * Cc, :] = cy_p
+                s_pxw[2 * Cc:3 * Cc, :] = cvx_p
+                s_pxw[3 * Cc:4 * Cc, :] = cvy_p
+                n_ch = Cc // CH
+                jiota = jax.lax.broadcasted_iota(jnp.int32, (1, Cc, 1), 1)
+
+                def geom(ci):
+                    cxI = s_pxw[pl.ds(ci * CH, CH), :]
+                    cyI = s_pxw[pl.ds(Cc + ci * CH, CH), :]
+                    cmI = s_pxw[pl.ds(6 * Cc + ci * CH, CH), :]
+                    rkI = s_pmin[pl.ds(Cc + ci * CH, CH), :]
+                    radI = jnp.sqrt(cmI / jnp.pi)    # == _radius bits
+                    dx = cx_p[None, :, :] - cxI[:, None, :]
+                    dy = cy_p[None, :, :] - cyI[:, None, :]
+                    d2 = dx * dx + dy * dy
+                    rs = radI[:, None, :] + radc_j[None, :, :]
+                    eyeI = ((jax.lax.broadcasted_iota(
+                        jnp.int32, (CH, 1, 1), 0) + ci * CH) == jiota)
+                    both = ((cmI > 0)[:, None, :] & calive_j[None, :, :]
+                            & ~eyeI)
+                    touch = both & (rs * rs >= d2)
+                    return cxI, cyI, cmI, rkI, radI, dx, dy, d2, touch
+
+                def pass1(ci, mkj):
+                    g = geom(ci)
+                    rkI, touch = g[3], g[8]
+                    key = jnp.where(touch, rank_p[None, :, :], _BIG_I)
+                    s_pmin[pl.ds(2 * Cc + ci * CH, CH), :] = jnp.min(
+                        key, axis=1)                       # minkey_i rows
+                    kji = jnp.where(touch, rkI[:, None, :], _BIG_I)
+                    return jnp.minimum(mkj, jnp.min(kji, axis=0))
+
+                mkj = jax.lax.fori_loop(
+                    0, n_ch, pass1, jnp.full((Cc, E), _BIG_I, jnp.int32))
+
+                def pass2(ci, carry):
+                    hb, bxs, bys, bvxs, bvys = carry
+                    (cxI, cyI, cmI, rkI, radI, dx, dy, d2,
+                     touch) = geom(ci)
+                    key = jnp.where(touch, rank_p[None, :, :], _BIG_I)
+                    mki = s_pmin[pl.ds(2 * Cc + ci * CH, CH), :]
+                    chose = touch & (key == mki[:, None, :])
+                    # chose[j,i]: touch is symmetric; key[j,i] = rank_i
+                    chose_t = touch & (rkI[:, None, :] == mkj[None, :, :])
+                    M = chose & chose_t
+                    Mlow = M & (rkI[:, None, :] < rank_p[None, :, :])
+
+                    pax, pay = cxI[:, None, :], cyI[:, None, :]
+                    pbx, pby = cx_p[None, :, :], cy_p[None, :, :]
+                    cvxI = s_pxw[pl.ds(2 * Cc + ci * CH, CH), :]
+                    cvyI = s_pxw[pl.ds(3 * Cc + ci * CH, CH), :]
+                    vax, vay = cvxI[:, None, :], cvyI[:, None, :]
+                    vbx, vby = cvx_p[None, :, :], cvy_p[None, :, :]
+                    svxI = s_pxw[pl.ds(4 * Cc + ci * CH, CH), :]
+                    svyI = s_pxw[pl.ds(5 * Cc + ci * CH, CH), :]
+                    sax, say = svxI[:, None, :], svyI[:, None, :]
+                    sbx, sby = svx_p[None, :, :], svy_p[None, :, :]
+                    ma = cmI[:, None, :]
+                    mb = cmass_p[None, :, :].astype(f32)
+                    ra = radI[:, None, :]
+                    rb = radc_j[None, :, :]
+
+                    if static_only:
+                        (npax, nvax, npay, nvay, npbx, nvbx, npby,
+                         nvby) = avoid_static(pax, pay, vax, vay, pbx,
+                                              pby, vbx, vby, ra, rb)
+                    else:
+                        d0 = jnp.sqrt(d2)
+                        qax = pax - (vax + sax) * dt
+                        qay = pay - (vay + say) * dt
+                        qbx = pbx - (vbx + sbx) * dt
+                        qby = pby - (vby + sby) * dt
+                        dd = jnp.maximum(d0, 1e-12)
+                        nx = dx / dd
+                        ny = dy / dd
+                        txn = -ny
+                        tyn = nx
+                        dpn1 = vax * nx + vay * ny
+                        dpn2 = vbx * nx + vby * ny
+                        dpt1 = vax * txn + vay * tyn
+                        dpt2 = vbx * txn + vby * tyn
+                        msum = jnp.maximum(ma + mb, 1.0)
+                        v1 = (dpn1 * (ma - mb) + 2.0 * mb * dpn2) / msum
+                        v2 = (dpn2 * (mb - ma) + 2.0 * ma * dpn1) / msum
+                        ia = ma <= mb
+                        ib = ma >= mb
+                        vax = jnp.where(ia, txn * dpt1 + nx * v1, vax)
+                        vay = jnp.where(ia, tyn * dpt1 + ny * v1, vay)
+                        vbx = jnp.where(ib, txn * dpt2 + nx * v2, vbx)
+                        vby = jnp.where(ib, tyn * dpt2 + ny * v2, vby)
+                        npax = qax + (vax + sax) * dt
+                        npay = qay + (vay + say) * dt
+                        npbx = qbx + (vbx + sbx) * dt
+                        npby = qby + (vby + sby) * dt
+                        ddx1 = npbx - npax
+                        ddy1 = npby - npay
+                        dd21 = ddx1 * ddx1 + ddy1 * ddy1
+                        still = (ra + rb) * (ra + rb) >= dd21
+                        cmiI = s_pmin[pl.ds(3 * Cc + ci * CH, CH), :]
+                        near = jnp.abs(cmiI[:, None, :]
+                                       - cmass_p[None, :, :]) <= 10
+                        (s_ax, s_vax, s_ay, s_vay, s_bx, s_vbx, s_by,
+                         s_vby) = avoid_static(npax, npay, vax, vay,
+                                               npbx, npby, vbx, vby,
+                                               ra, rb)
+                        p_ax, p_ay, p_bx, p_by = separate(
+                            npax, npay, npbx, npby, ma, mb, ra, rb,
+                            cmass_p, txp, typ)
+                        us = still & near
+                        up = still & ~near
+                        npax = jnp.where(us, s_ax,
+                                         jnp.where(up, p_ax, npax))
+                        npay = jnp.where(us, s_ay,
+                                         jnp.where(up, p_ay, npay))
+                        npbx = jnp.where(us, s_bx,
+                                         jnp.where(up, p_bx, npbx))
+                        npby = jnp.where(us, s_by,
+                                         jnp.where(up, p_by, npby))
+                        vax = jnp.where(us, s_vax, vax)
+                        vay = jnp.where(us, s_vay, vay)
+                        vbx = jnp.where(us, s_vbx, vbx)
+                        vby = jnp.where(us, s_vby, vby)
+                        nvax, nvay, nvbx, nvby = vax, vay, vbx, vby
+                        npax, npay = clampb(npax, npay, ra)
+                        npbx, npby = clampb(npbx, npby, rb)
+
+                    ml = jnp.where(Mlow, 1.0, 0.0)
+                    s_pyw[pl.ds(0 * Cc + ci * CH, CH), :] = jnp.max(
+                        ml, axis=1)                        # has_a rows
+                    s_pyw[pl.ds(1 * Cc + ci * CH, CH), :] = jnp.sum(
+                        npax * ml, axis=1)
+                    s_pyw[pl.ds(2 * Cc + ci * CH, CH), :] = jnp.sum(
+                        npay * ml, axis=1)
+                    s_pyw[pl.ds(3 * Cc + ci * CH, CH), :] = jnp.sum(
+                        nvax * ml, axis=1)
+                    s_pyw[pl.ds(4 * Cc + ci * CH, CH), :] = jnp.sum(
+                        nvay * ml, axis=1)
+                    return (jnp.maximum(hb, jnp.max(_bint(Mlow), axis=0)),
+                            bxs + jnp.sum(npbx * ml, axis=0),
+                            bys + jnp.sum(npby * ml, axis=0),
+                            bvxs + jnp.sum(nvbx * ml, axis=0),
+                            bvys + jnp.sum(nvby * ml, axis=0))
+
+                hb, bxs, bys, bvxs, bvys = jax.lax.fori_loop(
+                    0, n_ch, pass2,
+                    (jnp.zeros((Cc, E), jnp.int32),
+                     jnp.zeros((Cc, E), f32), jnp.zeros((Cc, E), f32),
+                     jnp.zeros((Cc, E), f32), jnp.zeros((Cc, E), f32)))
+                has_a = s_pyw[0:Cc, :] > 0.0
+                has_b = hb > 0
+                ax = s_pyw[Cc:2 * Cc, :]
+                ay = s_pyw[2 * Cc:3 * Cc, :]
+                avx = s_pyw[3 * Cc:4 * Cc, :]
+                avy = s_pyw[4 * Cc:5 * Cc, :]
+                ncx = jnp.where(has_a, ax, jnp.where(has_b, bxs, cx_p))
+                ncy = jnp.where(has_a, ay, jnp.where(has_b, bys, cy_p))
+                ncvx = jnp.where(has_a, avx,
+                                 jnp.where(has_b, bvxs, cvx_p))
+                ncvy = jnp.where(has_a, avy,
+                                 jnp.where(has_b, bvys, cvy_p))
+                return ncx, ncy, ncvx, ncvy
+
             if phases >= 2 and loo != 1:
                 ncx, ncy, ncvx, ncvy = [], [], [], []
                 for p in range(P):
@@ -771,15 +963,28 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
                     multi = jnp.max(nl) >= 2
 
                     def run_relax(c, extra=extra):
+                        (cmass_p, _calive_p, rank_p, svx_p, svy_p,
+                         txp, typ) = extra
+                        if CH:
+                            relax_stage_fixed(cmass_p, rank_p, svx_p,
+                                              svy_p)
+
+                            def trip(_, cc):
+                                return chunk_pass(*cc, cmass_p, rank_p,
+                                                  svx_p, svy_p, txp, typ,
+                                                  False)
+                            cc = jax.lax.fori_loop(0, 5, trip, c)
+                            return chunk_pass(*cc, cmass_p, rank_p,
+                                              svx_p, svy_p, txp, typ,
+                                              True)
+
                         def relax_body(_, cc):
                             return pair_pass(*cc, *extra, False)
-                        cc = (jax.lax.fori_loop(0, 5, relax_body, c)
-                              if loo != 15 else c)
-                        if loo == 14:
-                            return cc
+                        cc = jax.lax.fori_loop(0, 5, relax_body, c)
                         return pair_pass(*cc, *extra, True)
 
-                    out = jax.lax.cond(multi, run_relax, lambda c: c, c0)
+                    out = jax.lax.cond(multi, run_relax, lambda c: c,
+                                       c0)
                     ncx.append(out[0])
                     ncy.append(out[1])
                     ncvx.append(out[2])
