@@ -36,7 +36,8 @@ def main():
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--lo", type=int, default=1)
     ap.add_argument("--hi", type=int, default=4)
-    ap.add_argument("--sweep", choices=("sub", "phases"), default="phases")
+    ap.add_argument("--sweep", choices=("sub", "phases", "loo"),
+                    default="phases")
     ap.add_argument("--only", default="",
                     help="comma-separated phase levels to time (default all)")
     args = ap.parse_args()
@@ -55,7 +56,7 @@ def main():
 
     CHAIN = 10
 
-    def timed(phases, sub, n_ticks):
+    def timed(phases, sub, n_ticks, loo=0):
         # chain CHAIN kernel invocations inside ONE program (bench.py
         # style): per-call dispatch timing through the tunnel is unreliable
         # (sub-ms readings for multi-ms programs), and the chain also
@@ -64,7 +65,7 @@ def main():
         def run(s):
             for _ in range(CHAIN):
                 s = fused_engine_tick(cfg, s, 128, False, phases, n_ticks,
-                                      sub)
+                                      sub, None, False, False, loo)
             return s
         s = run(states)
         jax.block_until_ready(s.ticks)                         # compile+warm
@@ -79,20 +80,30 @@ def main():
         return statistics.median(best)
 
     if args.sweep == "sub":
-        grid = [(0, 0), (0, 1), (0, 2), (0, 3), (99, 99)]
+        grid = [(0, 0, 0), (0, 1, 0), (0, 2, 0), (0, 3, 0), (99, 99, 0)]
+    elif args.sweep == "loo":
+        # leave-one-out block attribution at full phases (honest per-block
+        # marginals; the cumulative phases sweep is DCE-polluted): 0 = all
+        # blocks on; see _make_kernel's loo docstring for the block ids
+        grid = [(99, 99, k) for k in (0, 1, 2, 4, 5, 6, 7, 8, 9, 10, 11,
+                                      13)]
     else:
-        grid = [(p, 99) for p in range(10)] + [(99, 99)]
+        grid = [(p, 99, 0) for p in range(10)] + [(99, 99, 0)]
     if args.only:
         keep = {int(x) for x in args.only.split(",")}
-        grid = [(p, s) for p, s in grid if p in keep]
+        if args.sweep == "loo":
+            grid = [(p, s, k) for p, s, k in grid if k in keep]
+        else:
+            grid = [(p, s, k) for p, s, k in grid if p in keep]
 
     lo, hi = args.lo, args.hi
     prev = 0.0
-    for phases, sub in grid:
-        tlo = timed(phases, sub, lo)
-        thi = timed(phases, sub, hi)
+    for phases, sub, loo in grid:
+        tlo = timed(phases, sub, lo, loo)
+        thi = timed(phases, sub, hi, loo)
         per = (thi - tlo) / (hi - lo)
-        print(f"phases={phases:2d} sub={sub:2d}  t[{lo}]={tlo*1e3:7.3f} ms  "
+        print(f"phases={phases:2d} sub={sub:2d} loo={loo:2d}  "
+              f"t[{lo}]={tlo*1e3:7.3f} ms  "
               f"t[{hi}]={thi*1e3:7.3f} ms  marginal={per*1e3:7.3f} ms/tick  "
               f"delta={(per-prev)*1e3:+7.3f}", flush=True)
         prev = per
