@@ -155,6 +155,7 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
     # (bench/tick_ablate.py --loo; timing-only, semantics break):
     #   1 relax, 2 virus events, 4 food-eat, 5 feed, 6 split-sord,
     #   7 foods-move, 8 regen, 9 placement, 10 recombine, 11 decay,
+    #   12 cross-player eat,
     #   13 rank
     # `sub` bisects the phase-UNGATED per-tick code for hardware ablation
     # (bench/tick_ablate.py). Only meaningful at phases=0; production runs
@@ -1691,7 +1692,7 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
                 last_decay = jnp.where(do_decay, elapsed, last_decay)
 
             # --- cross-player eating (Engine.hpp:150-200, SPEC M3) ------------
-            if P > 1 and phases >= 8:
+            if P > 1 and phases >= 8 and loo != 12:
                 rk2 = rank_of(cid, calive)
                 gkey2 = pidc * Cc + rk2                           # (PC, E)
                 radc3 = _radius(cmass)
