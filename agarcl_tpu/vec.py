@@ -119,9 +119,27 @@ class VecEnv:
         def _multi_step(states, actions, k):
             # chain k env-steps inside one program (amortizes dispatch; the
             # shape a fused actor-learner loop would use). obs is stacked
-            # per step — keeping it in the scan output forces it to be
-            # computed every step (discarding it would let XLA dead-code
-            # the whole observation path and overstate throughput).
+            # per step — keeping it in the output forces it to be computed
+            # every step (discarding it would let XLA dead-code the whole
+            # observation path and overstate throughput).
+            if backend == "fused" and k <= 16:
+                # python unroll: XLA fuses each step's obs store directly
+                # into its stack slot — measured 0.3 ms/step CHEAPER than
+                # lax.scan at 8192 envs (the scan copies the per-iteration
+                # obs into the stacked carry). The fused step's graph is
+                # small, so the unrolled trace stays cheap to compile; the
+                # op-graph (xla) backend keeps the scan.
+                fr, rs, ds = [], [], []
+                s = states
+                for _ in range(k):
+                    s, obs, rewards, dones = step_b(s, actions)
+                    fr.append(obs)
+                    rs.append(rewards)
+                    ds.append(dones)
+                obs = (jax.tree.map(lambda *x: jnp.stack(x), *fr)
+                       if fr[0] is not None else None)
+                return s, obs, jnp.stack(rs), jnp.stack(ds)
+
             def body(s, _):
                 s, obs, rewards, dones = step_b(s, actions)
                 return s, (obs, rewards, dones)
