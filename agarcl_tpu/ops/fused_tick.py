@@ -1724,8 +1724,7 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
             # --- foods move + virus feeding (SPEC M4) -------------------------
             # the whole pass is inert without a live MOVING food (the usual
             # state at rest: feeds are rare and emitted foods settle within
-            # ~30 ticks); one block-level branch skips its 0.37 ms/tick
-            # (8192 envs, bench/tick_ablate.py)
+            # ~30 ticks); one block-level branch skips it
             if Nf > 0 and phases >= 8 and loo != 7:
                 moving = falive & ((fvx != 0.0) | (fvy != 0.0))
                 rf_m = _radius(np.float32(C.FOOD_MASS))
