@@ -215,6 +215,51 @@ def test_multi_step_returns_obs():
     assert np.all(np.isfinite(np.asarray(obs)))
 
 
+def test_multi_step_matches_stepwise():
+    """multi_step's stacked obs/rewards/dones must equal k sequential
+    step() calls exactly (the fused backend python-unrolls instead of
+    scanning; the op-graph backend keeps lax.scan — both must be pure
+    restackings of the per-step results)."""
+    from agarcl_tpu.vec import VecEnv
+    cfg = EnvConfig(num_agents=1, ticks_per_step=2, arena_size=80,
+                    num_pellets=20, num_viruses=2, num_bots=0, mode=4)
+    acts = jnp.zeros((4, 1, 3), jnp.float32).at[..., 0].set(0.5)
+    env = VecEnv(cfg, 4, obs_type="ram", backend="xla", donate=False)
+    st, _ = env.reset(3)
+    st_scan, obs_scan, r_scan, d_scan = env.multi_step(st, acts, 3)
+    st2, _ = env.reset(3)
+    obs_l, r_l, d_l = [], [], []
+    for _ in range(3):
+        st2, o, r, d = env.step(st2, acts)
+        obs_l.append(o)
+        r_l.append(r)
+        d_l.append(d)
+    np.testing.assert_array_equal(np.asarray(obs_scan),
+                                  np.asarray(jnp.stack(obs_l)))
+    np.testing.assert_array_equal(np.asarray(r_scan),
+                                  np.asarray(jnp.stack(r_l)))
+    np.testing.assert_array_equal(np.asarray(d_scan),
+                                  np.asarray(jnp.stack(d_l)))
+    compare(st_scan, st2, "multi-step-scan")
+
+    # the fused backend's unrolled multi_step is the same composition of
+    # fused_env_step calls; check the composition itself in interpret mode
+    import agarcl_tpu.ops.fused_step as FS
+    st3, _ = env.reset(3)
+    s_out = st3
+    fr2, rs2 = [], []
+    for _ in range(3):
+        s_out, o2, r2, d2 = FS.fused_env_step(
+            cfg, s_out, acts, obs_fn=env._frame_fn, num_frames=1,
+            block_envs=4, interpret=True)
+        fr2.append(o2)
+        rs2.append(r2)
+    np.testing.assert_allclose(np.asarray(obs_scan),
+                               np.asarray(jnp.stack(fr2)), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(r_scan),
+                               np.asarray(jnp.stack(rs2)), atol=1e-3)
+
+
 def test_fused_screen_obs_parity():
     """fused_screen kernel (interpret) == vmapped screen_frame, pixel-exact,
     including a bot opponent (other-player class) and viruses."""
