@@ -1511,105 +1511,192 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
                 def cat(*parts):
                     return jnp.concatenate(parts, axis=0)
 
-                outs = {f: [] for f in
-                        ("cx", "cy", "cvx", "cvy", "svx", "svy", "cmass",
-                         "cid", "crecomb", "calive")}
-                for p in range(P):
-                    nn = num_new[p:p + 1]
-                    d_mask = prow(disr, p) & (kk < nn)            # (K, E)
-                    cth, sth = _dir_cos_sin(hit_cvx[p:p + 1], hit_cvy[p:p + 1])
-                    c2 = cth * cth - sth * sth
-                    s2 = 2.0 * cth * sth
-                    nnf = jnp.maximum(nn, 1).astype(jnp.float32)
-                    phik = 2.0 * jnp.pi * kk.astype(jnp.float32) / nnf
-                    cphi = jnp.cos(phik)
-                    sphi = jnp.sin(phik)
-                    cos_ang = c2 * cphi - s2 * sphi               # (K, E)
-                    sin_ang = s2 * cphi + c2 * sphi
-                    d_mass = jnp.maximum(jnp.minimum(
-                        pop_mass[p:p + 1] - C.CELL_POP_SIZE * kk,
-                        C.CELL_POP_SIZE), 1)
+                NEWK = K + 2 * Cc
+                CH2 = 4 if NEWK % 4 == 0 else 2   # NEWK = 16 + 2*Cc: even
 
-                    a_mask = pslice(do_aspl, p)                   # (Cc, E)
-                    s_mask = pslice(chosen, p)
-                    akey = jnp.where(a_mask, pslice(rank, p), _BIG_I)
-                    a_ord = jnp.sum(_bint((akey[None, :, :] < akey[:, None, :])
-                                          & a_mask[None, :, :]), axis=1)
-                    sord_p = pslice(sord, p)
+                # new cells appear only on disruption / auto-split / split
+                # — rare per tick, so the whole placement pass sits behind
+                # one block-level branch; the (NEWK, Cc, E) claim one-hot
+                # rides fori chunks through scratch (the unrolled form is
+                # 96-vreg-class and pays the untaken footprint tax,
+                # CLAUDE.md). Cross-chunk accumulation is exact: each free
+                # slot is claimed by at most one candidate (orderv values
+                # are distinct among valid candidates), so the field sums
+                # have a single nonzero term and `claimed` is a plain OR.
+                def place_run(cx=cx, cy=cy, cvx=cvx, cvy=cvy, svx=svx,
+                              svy=svy, cmass=cmass, cid=cid,
+                              crecomb=crecomb, calive=calive):
+                    outs = {f: [] for f in
+                            ("cx", "cy", "cvx", "cvy", "svx", "svy",
+                             "cmass", "cid", "crecomb", "calive")}
+                    for p in range(P):
+                        nn = num_new[p:p + 1]
+                        d_mask = prow(disr, p) & (kk < nn)        # (K, E)
+                        cth, sth = _dir_cos_sin(hit_cvx[p:p + 1],
+                                                hit_cvy[p:p + 1])
+                        c2 = cth * cth - sth * sth
+                        s2 = 2.0 * cth * sth
+                        nnf = jnp.maximum(nn, 1).astype(jnp.float32)
+                        phik = 2.0 * jnp.pi * kk.astype(jnp.float32) / nnf
+                        cphi = jnp.cos(phik)
+                        sphi = jnp.sin(phik)
+                        cos_ang = c2 * cphi - s2 * sphi           # (K, E)
+                        sin_ang = s2 * cphi + c2 * sphi
+                        d_mass = jnp.maximum(jnp.minimum(
+                            pop_mass[p:p + 1] - C.CELL_POP_SIZE * kk,
+                            C.CELL_POP_SIZE), 1)
 
-                    cand_mask = cat(_bint(d_mask), _bint(a_mask),
-                                    _bint(s_mask)) > 0            # (NEWK, E)
-                    cand_order = cat(
-                        jnp.where(d_mask, jnp.broadcast_to(kk, (K, E)), _BIG_I),
-                        jnp.where(a_mask, nn + a_ord, _BIG_I),
-                        jnp.where(s_mask, nn + n_auto[p:p + 1] + sord_p,
-                                  _BIG_I))
-                    cand_id = cat(
-                        base_d + pre_d[p] + jnp.broadcast_to(kk, (K, E)),
-                        base_a + pre_a[p] + a_ord,
-                        base_s + pre_s[p] + sord_p)
-                    cand_x = cat(jnp.broadcast_to(hit_vx[p:p + 1], (K, E)),
-                                 pslice(a_nf["x"], p), pslice(s_nf["x"], p))
-                    cand_y = cat(jnp.broadcast_to(hit_vy[p:p + 1], (K, E)),
-                                 pslice(a_nf["y"], p), pslice(s_nf["y"], p))
-                    cand_vx = cat(jnp.broadcast_to(hit_cvx[p:p + 1], (K, E)),
-                                  pslice(a_nf["vx"], p), pslice(s_nf["vx"], p))
-                    cand_vy = cat(jnp.broadcast_to(hit_cvy[p:p + 1], (K, E)),
-                                  pslice(a_nf["vy"], p), pslice(s_nf["vy"], p))
-                    cand_svx = cat(cos_ang * pop_speed, pslice(a_nf["vx"], p),
-                                   pslice(s_nf["vx"], p))
-                    cand_svy = cat(sin_ang * pop_speed, pslice(a_nf["vy"], p),
-                                   pslice(s_nf["vy"], p))
-                    cand_mass = cat(d_mass, pslice(a_nf["mass"], p),
-                                    pslice(s_nf["mass"], p))
+                        a_mask = pslice(do_aspl, p)               # (Cc, E)
+                        s_mask = pslice(chosen, p)
+                        akey = jnp.where(a_mask, pslice(rank, p), _BIG_I)
+                        a_ord = jnp.sum(
+                            _bint((akey[None, :, :] < akey[:, None, :])
+                                  & a_mask[None, :, :]), axis=1)
+                        sord_p = pslice(sord, p)
 
-                    calive_p = pslice(calive, p)
-                    free = ~calive_p
-                    num_free = jnp.sum(_bint(free), axis=0, keepdims=True)
-                    free_rank = _cumsum0(_bint(free)) - 1         # (Cc, E)
-                    orderv = jnp.where(cand_mask, cand_order, _BIG_I)
-                    valid = cand_mask & (orderv < num_free)
-                    # (NEWK, Cc, E): candidate claims matching free-rank slot
-                    oh2 = (valid[:, None, :] & free[None, :, :]
-                           & (free_rank[None, :, :] == orderv[:, None, :]))
-                    claimed = jnp.max(_bint(oh2), axis=0) > 0     # (Cc, E)
-                    oh2f = jnp.where(oh2, 1.0, 0.0)
+                        cand_mask = cat(_bint(d_mask), _bint(a_mask),
+                                        _bint(s_mask)) > 0        # (NEWK, E)
+                        cand_order = cat(
+                            jnp.where(d_mask,
+                                      jnp.broadcast_to(kk, (K, E)), _BIG_I),
+                            jnp.where(a_mask, nn + a_ord, _BIG_I),
+                            jnp.where(s_mask, nn + n_auto[p:p + 1] + sord_p,
+                                      _BIG_I))
+                        cand_id = cat(
+                            base_d + pre_d[p] + jnp.broadcast_to(kk, (K, E)),
+                            base_a + pre_a[p] + a_ord,
+                            base_s + pre_s[p] + sord_p)
+                        cand_x = cat(jnp.broadcast_to(hit_vx[p:p + 1],
+                                                      (K, E)),
+                                     pslice(a_nf["x"], p), pslice(s_nf["x"],
+                                                                  p))
+                        cand_y = cat(jnp.broadcast_to(hit_vy[p:p + 1],
+                                                      (K, E)),
+                                     pslice(a_nf["y"], p), pslice(s_nf["y"],
+                                                                  p))
+                        cand_vx = cat(jnp.broadcast_to(hit_cvx[p:p + 1],
+                                                       (K, E)),
+                                      pslice(a_nf["vx"], p),
+                                      pslice(s_nf["vx"], p))
+                        cand_vy = cat(jnp.broadcast_to(hit_cvy[p:p + 1],
+                                                       (K, E)),
+                                      pslice(a_nf["vy"], p),
+                                      pslice(s_nf["vy"], p))
+                        cand_svx = cat(cos_ang * pop_speed,
+                                       pslice(a_nf["vx"], p),
+                                       pslice(s_nf["vx"], p))
+                        cand_svy = cat(sin_ang * pop_speed,
+                                       pslice(a_nf["vy"], p),
+                                       pslice(s_nf["vy"], p))
+                        cand_mass = jnp.maximum(
+                            cat(d_mass, pslice(a_nf["mass"], p),
+                                pslice(s_nf["mass"], p)), C.CELL_MIN_SIZE)
 
-                    def wr_f(old, vals):
-                        return jnp.where(
-                            claimed,
-                            jnp.sum(vals[:, None, :] * oh2f, axis=0), old)
+                        calive_p = pslice(calive, p)
+                        free = ~calive_p
+                        num_free = jnp.sum(_bint(free), axis=0,
+                                           keepdims=True)
+                        free_rank = _cumsum0(_bint(free)) - 1     # (Cc, E)
+                        orderv = jnp.where(cand_mask, cand_order, _BIG_I)
 
-                    def wr_i(old, vals):
-                        return jnp.where(
-                            claimed,
-                            jnp.sum(jnp.where(oh2, vals[:, None, :], 0),
-                                    axis=0), old)
+                        # stage candidates for the chunked claim loop
+                        s_pxw[0:NEWK, :] = cand_x
+                        s_pxw[NEWK:2 * NEWK, :] = cand_y
+                        s_pyw[0:NEWK, :] = cand_vx
+                        s_pyw[NEWK:2 * NEWK, :] = cand_vy
+                        s_aux1[0:NEWK, :] = cand_svx
+                        s_aux1[NEWK:2 * NEWK, :] = cand_svy
+                        s_aux2[0:NEWK, :] = cand_mass.astype(jnp.float32)
+                        s_pmin[0:NEWK, :] = cand_id
+                        s_pmin[NEWK:2 * NEWK, :] = orderv
 
-                    outs["cx"].append(wr_f(pslice(cx, p), cand_x))
-                    outs["cy"].append(wr_f(pslice(cy, p), cand_y))
-                    outs["cvx"].append(wr_f(pslice(cvx, p), cand_vx))
-                    outs["cvy"].append(wr_f(pslice(cvy, p), cand_vy))
-                    outs["svx"].append(wr_f(pslice(svx, p), cand_svx))
-                    outs["svy"].append(wr_f(pslice(svy, p), cand_svy))
-                    outs["cmass"].append(wr_i(
-                        pslice(cmass, p),
-                        jnp.maximum(cand_mass, C.CELL_MIN_SIZE)))
-                    outs["cid"].append(wr_i(pslice(cid, p), cand_id))
-                    outs["crecomb"].append(jnp.where(
-                        claimed, elapsed[p:p + 1] + C.RECOMBINE_TICKS,
-                        pslice(crecomb, p)))
-                    outs["calive"].append(calive_p | claimed)
-                cx = pcat(outs["cx"])
-                cy = pcat(outs["cy"])
-                cvx = pcat(outs["cvx"])
-                cvy = pcat(outs["cvy"])
-                svx = pcat(outs["svx"])
-                svy = pcat(outs["svy"])
-                cmass = pcat(outs["cmass"])
-                cid = pcat(outs["cid"])
-                crecomb = pcat(outs["crecomb"])
-                calive = pcat(outs["calive"])
+                        def pbody(ki, carry):
+                            (clm, wx, wy, wvx, wvy, wsx, wsy, wm,
+                             wid) = carry
+                            o = s_pmin[pl.ds(NEWK + ki * CH2, CH2), :]
+                            # (CH2, Cc, E): candidate claims the free slot
+                            # whose free-rank equals its order
+                            oh2 = ((o < num_free)[:, None, :]
+                                   & free[None, :, :]
+                                   & (free_rank[None, :, :]
+                                      == o[:, None, :]))
+                            ohf = jnp.where(oh2, 1.0, 0.0)
+                            clm = jnp.maximum(clm,
+                                              jnp.max(_bint(oh2), axis=0))
+
+                            def fsum(ref, off, acc):
+                                v = ref[pl.ds(off + ki * CH2, CH2), :]
+                                return acc + jnp.sum(v[:, None, :] * ohf,
+                                                     axis=0)
+                            wx = fsum(s_pxw, 0, wx)
+                            wy = fsum(s_pxw, NEWK, wy)
+                            wvx = fsum(s_pyw, 0, wvx)
+                            wvy = fsum(s_pyw, NEWK, wvy)
+                            wsx = fsum(s_aux1, 0, wsx)
+                            wsy = fsum(s_aux1, NEWK, wsy)
+                            wm = fsum(s_aux2, 0, wm)
+                            idc = s_pmin[pl.ds(ki * CH2, CH2), :]
+                            wid = wid + jnp.sum(
+                                jnp.where(oh2, idc[:, None, :], 0), axis=0)
+                            return (clm, wx, wy, wvx, wvy, wsx, wsy, wm,
+                                    wid)
+
+                        zf = jnp.zeros((Cc, E), jnp.float32)
+                        (clm, wx, wy, wvx, wvy, wsx, wsy, wm,
+                         wid) = jax.lax.fori_loop(
+                            0, NEWK // CH2, pbody,
+                            (jnp.zeros((Cc, E), jnp.int32), zf, zf, zf,
+                             zf, zf, zf, zf,
+                             jnp.zeros((Cc, E), jnp.int32)))
+                        claimed = clm > 0
+                        outs["cx"].append(jnp.where(claimed, wx,
+                                                    pslice(cx, p)))
+                        outs["cy"].append(jnp.where(claimed, wy,
+                                                    pslice(cy, p)))
+                        outs["cvx"].append(jnp.where(claimed, wvx,
+                                                     pslice(cvx, p)))
+                        outs["cvy"].append(jnp.where(claimed, wvy,
+                                                     pslice(cvy, p)))
+                        outs["svx"].append(jnp.where(claimed, wsx,
+                                                     pslice(svx, p)))
+                        outs["svy"].append(jnp.where(claimed, wsy,
+                                                     pslice(svy, p)))
+                        # the staged mass is an exact small int in f32 (one
+                        # nonzero term per slot); ids stay int32 end-to-end
+                        outs["cmass"].append(jnp.where(
+                            claimed, wm.astype(jnp.int32),
+                            pslice(cmass, p)))
+                        outs["cid"].append(jnp.where(claimed, wid,
+                                                     pslice(cid, p)))
+                        outs["crecomb"].append(jnp.where(
+                            claimed, elapsed[p:p + 1] + C.RECOMBINE_TICKS,
+                            pslice(crecomb, p)))
+                        outs["calive"].append(_bint(calive_p | claimed))
+                    return (pcat(outs["cx"]), pcat(outs["cy"]),
+                            pcat(outs["cvx"]), pcat(outs["cvy"]),
+                            pcat(outs["svx"]), pcat(outs["svy"]),
+                            pcat(outs["cmass"]), pcat(outs["cid"]),
+                            pcat(outs["crecomb"]), pcat(outs["calive"]))
+
+                def place_skip():
+                    return (cx, cy, cvx, cvy, svx, svy, cmass, cid,
+                            crecomb, _bint(calive))
+
+                # nonstandard rosters whose candidate tables exceed the
+                # scratch rows keep the placement unconditional via a
+                # 1-chunk "loop" (canonicalized to straight-line — only
+                # reachable for max_cells > 24, which no config uses)
+                if 2 * NEWK <= s_pxw.shape[0]:
+                    any_new = jnp.max(n_vd + n_va + n_vs) > 0
+                    (cx, cy, cvx, cvy, svx, svy, cmass, cid, crecomb,
+                     calive_i) = jax.lax.cond(any_new, place_run,
+                                              place_skip)
+                    calive = calive_i > 0
+                else:
+                    raise NotImplementedError(
+                        "fused placement needs 2*(PLAYER_CELL_LIMIT + "
+                        "2*max_cells) pellet-scratch rows; use the XLA "
+                        "backend for max_cells > 56")
 
             # --- recombine (SPEC M7), per player ------------------------------
             if phases >= 6 and loo != 10:
