@@ -291,6 +291,7 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
         # viruses -> regen); each phase re-stages what it needs.
         s_pxw, s_pyw, s_aux1, s_aux2, s_pmin = o_extra[-5:]
         o_extra = o_extra[:-5]
+        np_pad_scratch = s_pxw.shape[0]
         E = tx_ref.shape[1]
         tx = tx_ref[...]                     # (P, E)
         ty = ty_ref[...]
@@ -1011,6 +1012,81 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
                 radv = _radius(vmass)
                 viota = jax.lax.broadcasted_iota(jnp.int32, (1, Nv, 1), 1)
 
+                vmf = vmass.astype(jnp.float32) * np.float32(
+                    C.CELL_EAT_MARGIN)
+                VCH = 4 if Cc % 4 == 0 else 0
+                piotav = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+
+                def velig_full_chunked():
+                    # the (PC, Nv, E) eligibility tables ride VCH-row fori
+                    # chunks through scratch (untaken-footprint rule,
+                    # CLAUDE.md); chunks stay within one player (VCH | Cc).
+                    # calive derives as cmass > 0 (no deaths before this
+                    # phase within a tick; dead mass is masked at the
+                    # previous writeback). Exact: best is a running
+                    # per-player min, and the winner masks are recomputed
+                    # with the final best.
+                    s_pxw[0:PC, :] = cx
+                    s_pyw[0:PC, :] = cy
+                    s_aux1[0:PC, :] = radc
+                    s_aux2[0:PC, :] = cmass.astype(jnp.float32)
+                    s_pmin[0:PC, :] = rank
+                    per_p = Cc // VCH
+
+                    def chunk_elig(ci):
+                        kds = pl.ds(ci * VCH, VCH)
+                        cxI = s_pxw[kds, :]
+                        cyI = s_pyw[kds, :]
+                        radI = s_aux1[kds, :]
+                        cmI = s_aux2[kds, :]
+                        rkI = s_pmin[kds, :]
+                        ddx = cxI[:, None, :] - vx_[None, :, :]
+                        ddy = cyI[:, None, :] - vy_[None, :, :]
+                        d2 = ddx * ddx + ddy * ddy
+                        rm = jnp.maximum(radI[:, None, :],
+                                         radv[None, :, :])
+                        can = cmI[:, None, :] > vmf[None, :, :]
+                        elig = ((cmI > 0)[:, None, :] & valive[None, :, :]
+                                & can & (rm * rm >= d2))
+                        return jnp.where(elig, rkI[:, None, :] * Nv + viota,
+                                         _BIG_I)                # (VCH,Nv,E)
+
+                    def pass1(ci, best):
+                        pkey = chunk_elig(ci)
+                        rmin = jnp.min(pkey, axis=1)            # (VCH, E)
+                        cmin = jnp.min(rmin, axis=0, keepdims=True)
+                        pc = ci // per_p
+                        return jnp.where(piotav == pc,
+                                         jnp.minimum(best, cmin), best)
+
+                    best = jax.lax.fori_loop(
+                        0, PC // VCH, pass1,
+                        jnp.full((P, E), _BIG_I, jnp.int32))
+
+                    def pass2(ci, wvs_c):
+                        pkey = chunk_elig(ci)
+                        pc = ci // per_p
+                        bestp = jnp.sum(jnp.where(piotav == pc, best, 0),
+                                        axis=0, keepdims=True)  # (1, E)
+                        wpi = _bint((pkey < _BIG_I)
+                                    & (pkey == bestp[:, None, :]))
+                        s_pmin[pl.ds(PC + ci * VCH, VCH), :] = jnp.max(
+                            wpi, axis=1)                        # wc rows
+                        wvch = jnp.max(wpi, axis=0)             # (Nv, E)
+                        if P == 1:
+                            return jnp.maximum(wvs_c, wvch)
+                        rowp = (jax.lax.broadcasted_iota(
+                            jnp.int32, (P * Nv, 1), 0) // Nv)
+                        tiled = jnp.concatenate([wvch] * P, axis=0)
+                        return jnp.where(rowp == pc,
+                                         jnp.maximum(wvs_c, tiled), wvs_c)
+
+                    wvs = jax.lax.fori_loop(
+                        0, PC // VCH, pass2,
+                        jnp.zeros((P * Nv if P > 1 else Nv, E), jnp.int32))
+                    wc = s_pmin[PC:2 * PC, :]
+                    return _bint(best < _BIG_I), wvs, wc
+
                 def velig_full():
                     ddx = cx[:, None, :] - vx_[None, :, :]    # (PC, Nv, E)
                     ddy = cy[:, None, :] - vy_[None, :, :]
@@ -1065,6 +1141,8 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
                     wc = _bint(calive & pexpand(hit))         # (PC, E)
                     return _bint(hit), wvs, wc
 
+                if VCH and 2 * PC <= np_pad_scratch:
+                    velig_full = velig_full_chunked
                 hit_i, wvs, wc_i = jax.lax.cond(multi_blk, velig_full,
                                                 velig_single)
                 hit = hit_i > 0
@@ -1701,6 +1779,7 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
             # --- recombine (SPEC M7), per player ------------------------------
             if phases >= 6 and loo != 10:
                 ncm, ncl = [], []
+                RCH = 4 if Cc % 4 == 0 else (2 if Cc % 2 == 0 else Cc)
                 for p in range(P):
                     cidp = pslice(cid, p)
                     crp = pslice(crecomb, p)
@@ -1708,31 +1787,78 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
                     cyp = pslice(cy, p)
                     elp = elapsed[p:p + 1]
 
+                    # the (Cc, Cc, E) matching tables ride RCH-row fori
+                    # chunks through scratch (same footprint rule as the
+                    # relax/placement passes; this pass is untaken until a
+                    # player has two recombinable cells). Exact: rk sums
+                    # the full j axis per chunk, bst is a running min, and
+                    # pass C recomputes the winner mask with the final bst.
                     def rec_body(_, carry, cidp=cidp, crp=crp, cxp=cxp,
                                  cyp=cyp, elp=elp):
                         cm_, al_ = carry
                         alive2 = al_ > 0
                         key = jnp.where(alive2, cidp, _BIG_I)
-                        rk = jnp.sum(_bint(key[None, :, :] < key[:, None, :]),
-                                     axis=1)
                         can2 = alive2 & (elp >= crp)
                         radm = _radius(cm_)
-                        dx = cxp[None, :, :] - cxp[:, None, :]
-                        dy = cyp[None, :, :] - cyp[:, None, :]
-                        d2 = dx * dx + dy * dy
-                        rs = radm[:, None, :] + radm[None, :, :]
-                        lw = rk[:, None, :] < rk[None, :, :]
-                        elig = (can2[:, None, :] & can2[None, :, :] & lw
-                                & (rs * rs >= d2))
-                        keyr = jnp.where(elig,
-                                         rk[:, None, :] * Cc + rk[None, :, :],
-                                         _BIG_I)
-                        bst = jnp.min(jnp.min(keyr, axis=1), axis=0,
-                                      keepdims=True)
+                        s_pmin[0:Cc, :] = key
+                        s_pmin[Cc:2 * Cc, :] = _bint(can2)
+                        s_pxw[0:Cc, :] = cxp
+                        s_pxw[Cc:2 * Cc, :] = cyp
+                        s_pyw[0:Cc, :] = radm
+
+                        def passA(ci, c):
+                            kI = s_pmin[pl.ds(ci * RCH, RCH), :]
+                            rkc = jnp.sum(_bint(key[None, :, :]
+                                                < kI[:, None, :]), axis=1)
+                            s_pmin[pl.ds(2 * Cc + ci * RCH, RCH), :] = rkc
+                            return c
+
+                        jax.lax.fori_loop(0, Cc // RCH, passA, jnp.int32(0))
+                        rk = s_pmin[2 * Cc:3 * Cc, :]          # (Cc, E)
+
+                        def chunk_elig(ci):
+                            kds = pl.ds(ci * RCH, RCH)
+                            rkI = s_pmin[pl.ds(2 * Cc + ci * RCH, RCH), :]
+                            canI = s_pmin[pl.ds(Cc + ci * RCH, RCH), :] > 0
+                            cxI = s_pxw[kds, :]
+                            cyI = s_pxw[pl.ds(Cc + ci * RCH, RCH), :]
+                            radI = s_pyw[kds, :]
+                            dx = cxp[None, :, :] - cxI[:, None, :]
+                            dy = cyp[None, :, :] - cyI[:, None, :]
+                            d2 = dx * dx + dy * dy
+                            rs = radI[:, None, :] + radm[None, :, :]
+                            lw = rkI[:, None, :] < rk[None, :, :]
+                            elig = (canI[:, None, :] & can2[None, :, :] & lw
+                                    & (rs * rs >= d2))
+                            keyr = jnp.where(
+                                elig, rkI[:, None, :] * Cc + rk[None, :, :],
+                                _BIG_I)
+                            return keyr
+
+                        def passB(ci, bst):
+                            keyr = chunk_elig(ci)
+                            return jnp.minimum(
+                                bst, jnp.min(jnp.min(keyr, axis=1), axis=0,
+                                             keepdims=True))
+
+                        bst = jax.lax.fori_loop(
+                            0, Cc // RCH, passB,
+                            jnp.full((1, E), _BIG_I, jnp.int32))
+
+                        def passC(ci, wj):
+                            keyr = chunk_elig(ci)
+                            wpair = keyr == bst[None]
+                            s_pmin[pl.ds(3 * Cc + ci * RCH, RCH), :] = \
+                                jnp.max(_bint(wpair), axis=1)
+                            return jnp.maximum(wj,
+                                               jnp.max(_bint(wpair), axis=0))
+
+                        wj_i = jax.lax.fori_loop(
+                            0, Cc // RCH, passC,
+                            jnp.zeros((Cc, E), jnp.int32))
+                        wi = s_pmin[3 * Cc:4 * Cc, :] > 0
+                        wj = wj_i > 0
                         has = bst < _BIG_I
-                        wpair = elig & (keyr == bst[None])
-                        wi = jnp.max(_bint(wpair), axis=1) > 0
-                        wj = jnp.max(_bint(wpair), axis=0) > 0
                         gain = jnp.sum(jnp.where(wj, cm_, 0), axis=0,
                                        keepdims=True)
                         cm_ = jnp.where(wi & has, cm_ + gain, cm_)

@@ -122,6 +122,48 @@ def test_fused_multi_tick_regen_after_in_call_eats():
     assert int(np.asarray(s_ref.pellet_alive).sum()) == N * cfg.num_pellets
 
 
+def test_fused_recombine_merge():
+    """Two recombinable cells (timer expired, overlapping) must merge
+    identically in the fused and XLA ticks — exercises the chunked
+    recombine matching pass, including multi-pair states."""
+    cfg = EnvConfig(num_agents=1, ticks_per_step=4, arena_size=80,
+                    num_pellets=10, num_viruses=0, num_bots=0, mode=4)
+    N = 4
+    reset_b = jax.vmap(functools.partial(env_reset, cfg))
+    tick_b = jax.jit(jax.vmap(functools.partial(engine_tick, cfg)))
+    s = reset_b(jnp.arange(N, dtype=jnp.uint32) + 5)
+    # four live cells per env: two overlapping recombinable pairs, one
+    # pair still on cooldown
+    base = np.asarray(s.cell_pos[:, 0, 0])                  # (N, 2)
+    cp = s.cell_pos
+    cm = s.cell_mass
+    ca = s.cell_alive
+    cr = s.cell_recombine_at
+    cid = s.cell_id
+    for k, (dx, dy) in enumerate(((0.0, 0.0), (1.0, 0.5), (12.0, 0.0),
+                                  (12.5, 0.5))):
+        cp = cp.at[:, 0, k, 0].set(base[:, 0] + dx)
+        cp = cp.at[:, 0, k, 1].set(base[:, 1] + dy)
+        cm = cm.at[:, 0, k].set(60 + 5 * k)
+        ca = ca.at[:, 0, k].set(True)
+        cid = cid.at[:, 0, k].set(10 + k)
+    cr = cr.at[:, 0, 0].set(0).at[:, 0, 1].set(0)           # expired
+    cr = cr.at[:, 0, 2].set(0).at[:, 0, 3].set(10 ** 6)     # one blocked
+    s = s.replace(cell_pos=cp, cell_mass=cm, cell_alive=ca,
+                  cell_recombine_at=cr, cell_id=cid,
+                  elapsed_ticks=jnp.full((N, 1), 500, jnp.int32),
+                  next_cell_id=jnp.full((N,), 50, jnp.int32))
+    s_ref = s
+    s_out = s
+    for t in range(3):
+        s_ref = tick_b(s_ref)
+        s_out = fused_engine_tick(cfg, s_out, 4, True)
+        compare(s_ref, s_out, t)
+    # the expired overlapping pair merged; the blocked pair did not
+    n_alive = np.asarray(s_ref.cell_alive).sum(axis=(1, 2))
+    assert (n_alive < 4).all() and (n_alive >= 2).all()
+
+
 def test_fused_supports_gate():
     assert supports(CFG)
     assert supports(EnvConfig(num_agents=2))
