@@ -34,6 +34,40 @@ class RamObsConfig:
     num_viruses: int = 8    # K_v nearest viruses
 
 
+# --- packed nearest-k selection key -----------------------------------------
+#
+# The k-nearest selection orders entities by a single sortable int32 key:
+# the f32 squared distance bit-cast to int32 (monotonic for non-negative
+# floats) with its low B mantissa bits replaced by the entity's table index
+# (B = ceil(log2(capacity))). This quantizes the distance comparison to
+# ~2^(B-23) relative precision and resolves ties (and near-ties) by lowest
+# index — a total order with *unique* keys, which lets the Pallas kernel
+# extract each neighbor with one min-reduce and one compare instead of the
+# 2-min-reduce + masked-index tiebreak (ops/fused_obs.py). Dead entries get
+# DEAD_KEY (INT32_MAX). Both this XLA path and the fused kernels use the
+# same key, so they stay bit-identical. The ram obs is our own contract —
+# the reference declares but never implements it
+# (/root/reference/gym_agario/AgarioEnv.py:52,211).
+
+DEAD_KEY = 0x7FFFFFFF  # plain int: inlines as a literal inside Pallas kernels
+
+
+def key_index_bits(capacity: int) -> int:
+    return max(1, (max(capacity, 2) - 1).bit_length())
+
+
+def pack_nearest_key(d2, idx, alive, capacity: int):
+    """Sortable int32 selection key from f32 squared distance + index.
+
+    d2 must be non-negative and finite; idx int32 in [0, capacity);
+    alive truthy for live entries.
+    """
+    b = key_index_bits(capacity)
+    bits = jax.lax.bitcast_convert_type(d2.astype(jnp.float32), jnp.int32)
+    key = (bits & jnp.int32(-1 << b)) | idx
+    return jnp.where(alive, key, DEAD_KEY)
+
+
 def ram_size(cfg: EnvConfig, ocfg: RamObsConfig) -> int:
     kp = min(ocfg.num_pellets, cfg.pellet_capacity)
     kv = min(ocfg.num_viruses, cfg.virus_capacity)
@@ -62,14 +96,14 @@ def ram_frame(cfg: EnvConfig, ocfg: RamObsConfig,
     feats.append(cells.reshape(A, -1))
 
     def nearest(pos, alive, k, extra=None):
+        n = pos.shape[0]
         rel = pos[None, :, :] - me[:, None, :]   # (A, N, 2)
         d2 = jnp.sum(rel * rel, axis=-1)
-        d2 = jnp.where(alive[None, :], d2, jnp.inf)
-        _, idx = jax.lax.top_k(-d2, k)           # k nearest
+        iota = jnp.arange(n, dtype=jnp.int32)[None, :]
+        key = pack_nearest_key(d2, iota, alive[None, :], n)
+        sel_key, idx = jax.lax.top_k(-key, k)    # k smallest keys
         sel_rel = jnp.take_along_axis(rel, idx[..., None], axis=1)
-        sel_alive = jnp.take_along_axis(
-            jnp.broadcast_to(alive[None, :], d2.shape), idx, axis=1)
-        af = sel_alive[..., None].astype(jnp.float32)
+        af = (-sel_key != DEAD_KEY)[..., None].astype(jnp.float32)
         cols = [sel_rel * af]
         if extra is not None:
             sel_extra = jnp.take_along_axis(

@@ -6,10 +6,11 @@ size-2 axes pad to 128 lanes, and `lax.top_k` + gathers over the pellet
 table dominate the step (measured ~10.8 ms at 8192 envs — more than the
 four engine ticks combined). This kernel computes the identical feature
 vector with the env axis in lanes: every tensor is (feature, E), the
-k-nearest-pellet selection is an iterative min-extraction (two min-reduces
-per neighbor: distance, then lowest-index tiebreak — the same stable order
-`top_k(-d2)` produces), and the whole frame is built in VMEM per 128-env
-block.
+k-nearest-pellet selection is an iterative min-extraction over the packed
+int32 key of obs/ram.py::pack_nearest_key (distance bits with the index in
+the low bits — unique keys, so one min-reduce + one compare per neighbor
+yields the same stable order `top_k(-key)` produces), and the whole frame
+is built in VMEM per 128-env block.
 
 Feature layout matches obs/ram.py `ram_frame` exactly for any roster the
 fused tick supports (multi-player included; one frame per agent):
@@ -31,11 +32,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from agarcl_tpu.config import EnvConfig
-from agarcl_tpu.obs.ram import RamObsConfig, ram_size
+from agarcl_tpu.obs.ram import (DEAD_KEY, RamObsConfig, pack_nearest_key,
+                                ram_size)
 from agarcl_tpu.state import GameState
-
-_INF = 1e30       # stand-in for +inf in masked distances
-_ALIVE_THRESH = 1e29
 
 
 def _block_size(n: int, want: int) -> int:
@@ -48,28 +47,31 @@ def _block_size(n: int, want: int) -> int:
     return b
 
 
-def _nearest_rows(d2_masked, idx, k, cols):
-    """Iteratively extract the k nearest entries (stable lowest-index
-    tiebreak, matching top_k(-d2)); returns k * (len(cols)+1) rows of
-    (1, E): per neighbor, each col masked by alive, then the alive flag.
+def _nearest_rows(key, k, cols):
+    """Iteratively extract the k nearest entries by the packed selection
+    key (obs/ram.py::pack_nearest_key — d2 bits with the low index bits
+    substituted, so keys are unique and the min IS the stable
+    lowest-index-tiebreak pick that top_k(-key) produces); returns
+    k * (len(cols)+1) rows of (1, E): per neighbor, each col masked by
+    alive, then the alive flag.
 
-    d2_masked: (M, E) f32 with dead entries at _INF; idx: (M, E) i32 row
-    index; cols: list of (M, E) f32 feature planes to select from.
+    key: (M, E) i32 packed keys with dead entries at DEAD_KEY;
+    cols: list of (M, E) f32 feature planes to select from.
+    Per pick this is one min-reduce, one compare, one masked-sum per col,
+    and one invalidation pass — ~5 (M, E) passes vs the previous 8 of the
+    2-min-reduce formulation (the obs extraction was the largest single
+    block of the fused step at 8192 envs).
     """
     rows = []
-    big_i = jnp.int32(d2_masked.shape[0])
     for _ in range(k):
-        cur = jnp.min(d2_masked, axis=0, keepdims=True)          # (1, E)
-        ismin = d2_masked == cur
-        isel = jnp.min(jnp.where(ismin, idx, big_i), axis=0,
-                       keepdims=True)
-        first = ismin & (idx == isel)                            # one entry
-        alivef = jnp.where(cur < _ALIVE_THRESH, 1.0, 0.0)
+        cur = jnp.min(key, axis=0, keepdims=True)                # (1, E)
+        first = key == cur                  # unique unless all dead
+        alivef = jnp.where(cur < DEAD_KEY, 1.0, 0.0)
         for c in cols:
             rows.append(jnp.sum(jnp.where(first, c, 0.0), axis=0,
                                 keepdims=True) * alivef)
         rows.append(alivef)
-        d2_masked = jnp.where(first, _INF, d2_masked)
+        key = jnp.where(first, DEAD_KEY, key)
     return rows
 
 
@@ -128,17 +130,17 @@ def obs_rows(cfg: EnvConfig, ocfg: RamObsConfig, inv_w, inv_h,
         prx = ppx - cx
         pry = ppy - cy
         d2 = prx * prx + pry * pry
-        d2 = jnp.where(palive > 0, d2, _INF)
         pidx = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0)
-        rows += _nearest_rows(d2, pidx, kp, [prx, pry])
+        pkey = pack_nearest_key(d2, pidx, palive > 0, d2.shape[0])
+        rows += _nearest_rows(pkey, kp, [prx, pry])
 
         # Kv nearest viruses: rel_x, rel_y, mass, alive
         vrx = vpx - cx
         vry = vpy - cy
         vd2 = vrx * vrx + vry * vry
-        vd2 = jnp.where(valive > 0, vd2, _INF)
         vidx = jax.lax.broadcasted_iota(jnp.int32, vd2.shape, 0)
-        rows += _nearest_rows(vd2, vidx, kv,
+        vkey = pack_nearest_key(vd2, vidx, valive > 0, vd2.shape[0])
+        rows += _nearest_rows(vkey, kv,
                               [vrx, vry, vmass.astype(jnp.float32)])
 
         # per-player block: rel_x, rel_y, total_mass, alive; self slot
