@@ -138,8 +138,9 @@ class Client:
         for t in range(steps):
             s = self.state
             c = np.asarray(s.player_centroid()[0])
-            pel = np.asarray(s.pellet_pos)
-            alive = np.asarray(s.pellet_alive)
+            ppos, palv = s.pellet_xy_alive(self.cfg)
+            pel = np.asarray(ppos)
+            alive = np.asarray(palv)
             d = np.linalg.norm(pel - c, axis=1)
             d[~alive] = 1e9
             v = pel[d.argmin()] - c

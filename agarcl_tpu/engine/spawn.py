@@ -28,6 +28,34 @@ def _random_location(arena_w, arena_h, radius, seed, stream, tick, slot):
     return jnp.stack([x, y], axis=-1)
 
 
+def pellet_qparams(cfg: EnvConfig):
+    """(q_lo_x, nq_x, q_lo_y, nq_y) host ints for the quantized pellet
+    spawn draw (SPEC pellet quantization): eligible cells keep the
+    reference's radius margin (random_location draws in [r, W-r)); the
+    margin is computed from the f32 radius in f64 so Python and the C++
+    oracle agree exactly."""
+    rad = np.float32(np.sqrt(C.PELLET_MASS / np.pi))
+
+    def p(arena):
+        q_lo = int(np.ceil(float(rad) * 32768.0 / float(arena)))
+        return q_lo, 32768 - 2 * q_lo
+
+    qx, nx = p(cfg.arena_width)
+    qy, ny = p(cfg.arena_height)
+    return qx, nx, qy, ny
+
+
+def pellet_spawn_keys(cfg: EnvConfig, seed, tick, slot):
+    """(slot,)-shaped i32 pellet keys drawn on the quantized grid with
+    pure integer arithmetic (prng.uniform_q) — bit-exact across XLA
+    programs, the Pallas kernel, and the oracle. Consumes the same RNG
+    counters (STREAM_PELLET, tick, slot, axis 0/1) the float draw did."""
+    qlx, nqx, qly, nqy = pellet_qparams(cfg)
+    qx = prng.uniform_q(nqx, seed, prng.STREAM_PELLET, tick, slot, 0) + qlx
+    qy = prng.uniform_q(nqy, seed, prng.STREAM_PELLET, tick, slot, 1) + qly
+    return (qx << 15) | qy
+
+
 def squared_pellet_layout(cfg: EnvConfig) -> np.ndarray:
     """create_squared_pellets (Engine.hpp:426-475): pellet ring on a centered
     square of side min(W,H)/2, spacing 1, laid out top, right, bottom, left.
@@ -50,7 +78,8 @@ def squared_pellet_layout(cfg: EnvConfig) -> np.ndarray:
 
 
 def initial_pellets(cfg: EnvConfig, seed):
-    """(pos (Np,2), alive (Np,)) for a fresh game."""
+    """(Np,) i32 quantized pellet keys for a fresh game (state.py SPEC)."""
+    from agarcl_tpu.state import encode_pellet_key
     Np = cfg.pellet_capacity
     if cfg.mode_spec.squared_pellets:
         layout = squared_pellet_layout(cfg)
@@ -59,13 +88,10 @@ def initial_pellets(cfg: EnvConfig, seed):
         pos[:n] = layout
         alive = np.zeros((Np,), bool)
         alive[:n] = True
-        return jnp.asarray(pos), jnp.asarray(alive)
+        return encode_pellet_key(cfg, jnp.asarray(pos), jnp.asarray(alive))
     slot = jnp.arange(Np, dtype=jnp.int32)
-    rad = float(np.sqrt(C.PELLET_MASS / np.pi))
-    pos = _random_location(cfg.arena_width, cfg.arena_height, rad, seed,
-                           prng.STREAM_PELLET, _INIT_TICK, slot)
-    alive = slot < cfg.num_pellets
-    return pos, alive
+    key = pellet_spawn_keys(cfg, seed, _INIT_TICK, slot)
+    return jnp.where(slot < cfg.num_pellets, key, jnp.int32(-1))
 
 
 def initial_viruses(cfg: EnvConfig, seed):
@@ -95,33 +121,26 @@ def respawn_location(cfg: EnvConfig, pellet_pos, seed, tick, player_slot):
                             prng.STREAM_RESPAWN, tick, player_slot)
 
 
-def regen(cfg: EnvConfig, pellet_pos, pellet_alive, virus_pos, virus_vel,
+def regen(cfg: EnvConfig, pellet_key, virus_pos, virus_vel,
           virus_mass, virus_hits, virus_alive, seed, tick):
     """Engine.hpp:230-237: every REGEN_PERIOD ticks (and only when the mode
     regenerates), refill pellets and viruses to their targets. Dead slots are
     refilled lowest-slot-first; placement draws key on (tick, slot)."""
     due = (tick % C.REGEN_PERIOD) == 0
 
-    def refill(pos, alive, target, stream, rad):
-        n_alive = jnp.sum(alive)
-        deficit = jnp.maximum(target - n_alive, 0)
-        dead_order = jnp.cumsum(~alive) - 1  # order among dead slots
-        fill = due & ~alive & (dead_order < deficit)
-        slot = jnp.arange(alive.shape[0], dtype=jnp.int32)
-        new_pos = _random_location(cfg.arena_width, cfg.arena_height, rad,
-                                   seed, stream, tick, slot)
-        pos = jnp.where(fill[:, None], new_pos, pos)
-        return pos, alive | fill
-
-    rad_p = float(np.sqrt(C.PELLET_MASS / np.pi))
     rad_v = float(np.sqrt(C.VIRUS_INITIAL_MASS / np.pi))
-    pellet_pos, pellet_alive = refill(pellet_pos, pellet_alive,
-                                      cfg.num_pellets, prng.STREAM_PELLET,
-                                      rad_p)
+    p_alive = pellet_key >= 0
+    n_alive = jnp.sum(p_alive)
+    deficit = jnp.maximum(cfg.num_pellets - n_alive, 0)
+    dead_order = jnp.cumsum(~p_alive) - 1  # order among dead slots
+    fill = due & ~p_alive & (dead_order < deficit)
+    slot = jnp.arange(pellet_key.shape[0], dtype=jnp.int32)
+    new_key = pellet_spawn_keys(cfg, seed, tick, slot)
+    pellet_key = jnp.where(fill, new_key, pellet_key)
     nv_alive = jnp.sum(virus_alive)
     deficit_v = jnp.maximum(cfg.num_viruses - nv_alive, 0)
-    dead_order = jnp.cumsum(~virus_alive) - 1
-    fill_v = due & ~virus_alive & (dead_order < deficit_v)
+    dead_order_v = jnp.cumsum(~virus_alive) - 1
+    fill_v = due & ~virus_alive & (dead_order_v < deficit_v)
     slot = jnp.arange(virus_alive.shape[0], dtype=jnp.int32)
     new_vpos = _random_location(cfg.arena_width, cfg.arena_height, rad_v,
                                 seed, prng.STREAM_VIRUS, tick, slot)
@@ -130,5 +149,5 @@ def regen(cfg: EnvConfig, pellet_pos, pellet_alive, virus_pos, virus_vel,
     virus_mass = jnp.where(fill_v, jnp.int32(C.VIRUS_INITIAL_MASS), virus_mass)
     virus_hits = jnp.where(fill_v, 0, virus_hits)
     virus_alive = virus_alive | fill_v
-    return (pellet_pos, pellet_alive, virus_pos, virus_vel, virus_mass,
+    return (pellet_key, virus_pos, virus_vel, virus_mass,
             virus_hits, virus_alive)

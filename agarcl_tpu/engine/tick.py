@@ -44,6 +44,7 @@ def engine_tick(cfg: EnvConfig, state: GameState) -> GameState:
     W, H = cfg.arena_width, cfg.arena_height
     dt = jnp.float32(cfg.dt)
     palive = state.player_alive()
+    pellet_pos, pellet_alive = state.pellet_xy_alive(cfg)
 
     # --- 1. bots -----------------------------------------------------------
     target, action = state.target, state.action
@@ -53,7 +54,7 @@ def engine_tick(cfg: EnvConfig, state: GameState) -> GameState:
         btgt, bact, bupd = B.bot_decide(
             bt, state.player_centroid(), state.player_mass(), palive,
             state.cell_pos, state.cell_mass, state.cell_alive,
-            state.pellet_pos, state.pellet_alive, W, H, state.seed,
+            pellet_pos, pellet_alive, W, H, state.seed,
             state.ticks)
         do = ((state.ticks % C.BOT_ACTION_PERIOD) == 0) & bupd
         target = jnp.where(do[:, None], btgt, target)
@@ -104,8 +105,9 @@ def engine_tick(cfg: EnvConfig, state: GameState) -> GameState:
     # --- 5. pellets --------------------------------------------------------
     eaten_pc, pellet_alive = E.eat_pellets(cells["pos"], cells["mass"],
                                            cells["alive"], rank,
-                                           state.pellet_pos,
-                                           state.pellet_alive)
+                                           pellet_pos, pellet_alive)
+    pellet_key = jnp.where(pellet_alive, state.pellet_key,
+                           jnp.int32(-1))
     cells["mass"] = cells["mass"] + eaten_pc * C.PELLET_MASS
     food_eaten = state.food_eaten + jnp.sum(eaten_pc, axis=1)
     pmass_now = jnp.sum(jnp.where(cells["alive"], cells["mass"], 0), axis=1)
@@ -174,12 +176,10 @@ def engine_tick(cfg: EnvConfig, state: GameState) -> GameState:
     # --- 14. regeneration --------------------------------------------------
     if cfg.mode_spec.pellet_regen:
         from agarcl_tpu.engine import spawn as S
-        (pellet_pos, pellet_alive, virus_pos, virus_vel, virus_mass,
+        (pellet_key, virus_pos, virus_vel, virus_mass,
          virus_hits, virus_alive) = S.regen(
-            cfg, state.pellet_pos, pellet_alive, virus_pos, virus_vel,
+            cfg, pellet_key, virus_pos, virus_vel,
             virus_mass, virus_hits, virus_alive, state.seed, state.ticks)
-    else:
-        pellet_pos = state.pellet_pos
 
     # --- 15. assemble ------------------------------------------------------
     keepc = cells["alive"]
@@ -196,7 +196,7 @@ def engine_tick(cfg: EnvConfig, state: GameState) -> GameState:
         cell_mass=jnp.where(keepc, cells["mass"], 0),
         cell_alive=keepc, cell_id=cells["id"],
         cell_recombine_at=cells["recombine_at"], next_cell_id=next_id,
-        pellet_pos=pellet_pos, pellet_alive=pellet_alive,
+        pellet_key=pellet_key,
         virus_pos=virus_pos, virus_vel=virus_vel, virus_mass=virus_mass,
         virus_hits=virus_hits, virus_alive=virus_alive,
         food_pos=food_pos, food_vel=food_vel, food_alive=food_alive,

@@ -28,14 +28,15 @@ def env_reset(cfg: EnvConfig, seed) -> GameState:
     seed = jnp.asarray(seed, jnp.uint32)
     state = state.replace(seed=seed)
 
-    pellet_pos, pellet_alive = S.initial_pellets(cfg, seed)
+    pellet_key = S.initial_pellets(cfg, seed)
     virus_pos, virus_alive = S.initial_viruses(cfg, seed)
-    state = state.replace(pellet_pos=pellet_pos, pellet_alive=pellet_alive,
+    state = state.replace(pellet_key=pellet_key,
                           virus_pos=virus_pos, virus_alive=virus_alive)
 
     P = cfg.num_players
     pid = jnp.arange(P, dtype=jnp.int32)
-    loc = S.respawn_location(cfg, pellet_pos, seed, jnp.int32(-1), pid)
+    loc = S.respawn_location(cfg, state.pellet_xy_alive(cfg)[0], seed,
+                             jnp.int32(-1), pid)
     mass0 = max(C.CELL_MIN_SIZE, cfg.mode_spec.agent_mass)
 
     cell_pos = state.cell_pos.at[:, 0, :].set(loc)
@@ -73,8 +74,8 @@ def respawn_players(cfg: EnvConfig, state: GameState, mask) -> GameState:
     squared-layout) location."""
     P = cfg.num_players
     pid = jnp.arange(P, dtype=jnp.int32)
-    loc = S.respawn_location(cfg, state.pellet_pos, state.seed, state.ticks,
-                             pid)
+    loc = S.respawn_location(cfg, state.pellet_xy_alive(cfg)[0], state.seed,
+                             state.ticks, pid)
     mass0 = max(C.CELL_MIN_SIZE, cfg.mode_spec.agent_mass)
 
     m = mask

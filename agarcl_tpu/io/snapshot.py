@@ -18,7 +18,7 @@ import numpy as np
 
 from agarcl_tpu import constants as C
 from agarcl_tpu.config import EnvConfig
-from agarcl_tpu.state import GameState, zero_state
+from agarcl_tpu.state import GameState, encode_pellet_key, zero_state
 
 _BOT_NAMES = {0: None, 1: "HungryBot", 2: "HungryShyBot", 3: "AggressiveBot",
               4: "AggressiveShyBot"}
@@ -27,6 +27,8 @@ _NAME_TO_TYPE = {v: k for k, v in _BOT_NAMES.items() if v}
 
 def save_env_state(cfg: EnvConfig, state: GameState, filename: str) -> None:
     s = _to_numpy(state)
+    pp, pa = state.pellet_xy_alive(cfg)
+    pellet_pos, pellet_alive = np.asarray(pp), np.asarray(pa)
     bot_types = cfg.bot_types()
     players = []
     agent_idx = 0
@@ -82,12 +84,14 @@ def save_env_state(cfg: EnvConfig, state: GameState, filename: str) -> None:
         "c_death": cfg.c_death,
         "mode_number": cfg.mode,
         "pellet_regen": cfg.pellet_regen,
-        "pellet_count": int(s.pellet_alive.sum()),
+        "pellet_count": int(pellet_alive.sum()),
         "players": players,
-        "pellets": [{"x": float(s.pellet_pos[i, 0]),
-                     "y": float(s.pellet_pos[i, 1])}
-                    for i in range(s.pellet_alive.shape[0])
-                    if s.pellet_alive[i]],
+        # explicit decoded coordinates (the reference schema; loading
+        # re-quantizes to the key grid — lossless for our own snapshots)
+        "pellets": [{"x": float(pellet_pos[i, 0]),
+                     "y": float(pellet_pos[i, 1])}
+                    for i in range(pellet_alive.shape[0])
+                    if pellet_alive[i]],
         "viruses": [{"x": float(s.virus_pos[i, 0]),
                      "y": float(s.virus_pos[i, 1]),
                      "velocity_x": float(s.virus_vel[i, 0]),
@@ -238,7 +242,8 @@ def load_env_state(cfg: EnvConfig, filename: str) -> GameState:
         cell_mass=jnp.asarray(cmass), cell_alive=jnp.asarray(calive),
         cell_id=jnp.asarray(cid),
         next_cell_id=jnp.int32(max_id + 1),
-        pellet_pos=jnp.asarray(ppos), pellet_alive=jnp.asarray(palive),
+        pellet_key=encode_pellet_key(cfg, jnp.asarray(ppos),
+                                     jnp.asarray(palive)),
         virus_pos=jnp.asarray(vpos), virus_vel=jnp.asarray(vvel),
         virus_mass=jnp.asarray(vmass), virus_alive=jnp.asarray(valive),
         food_pos=jnp.asarray(fpos), food_vel=jnp.asarray(fvel),

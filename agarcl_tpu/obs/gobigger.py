@@ -61,10 +61,11 @@ def gobigger_frame(cfg: EnvConfig, ocfg: GoBiggerObsConfig,
     rel = lambda pos: pos[None, :, :] - centroid[:, None, :]
 
     # foods = pellets
-    p_ok = in_window(state.pellet_pos, state.pellet_alive)
+    pellet_pos, pellet_alive = state.pellet_xy_alive(cfg)
+    p_ok = in_window(pellet_pos, pellet_alive)
     rad_p = G.radius(jnp.float32(1.0))
     foods = jnp.concatenate([
-        rel(state.pellet_pos) * p_ok[..., None],
+        rel(pellet_pos) * p_ok[..., None],
         jnp.broadcast_to(rad_p, p_ok.shape)[..., None] * p_ok[..., None],
         jnp.ones_like(p_ok, jnp.float32)[..., None] * p_ok[..., None],
     ], axis=-1)

@@ -149,8 +149,9 @@ def grid_frame(cfg: EnvConfig, ocfg: GridObsConfig,
     chans.append(jnp.where(in_bounds, 0, -1).astype(jnp.int32))
 
     if ocfg.observe_pellets:
-        ones = jnp.ones_like(state.pellet_alive, jnp.int32)
-        counts = scat(state.pellet_pos, state.pellet_alive, ones, "add")
+        pellet_pos, pellet_alive = state.pellet_xy_alive(cfg)
+        ones = jnp.ones_like(pellet_alive, jnp.int32)
+        counts = scat(pellet_pos, pellet_alive, ones, "add")
         # presence (scatter-max of ones) == count clipped to 1
         chans.append(jnp.minimum(counts, 1))
         chans.append(counts)

@@ -113,7 +113,8 @@ def ram_frame(cfg: EnvConfig, ocfg: RamObsConfig,
         cols.append(af)
         return jnp.concatenate(cols, axis=-1).reshape(A, -1)
 
-    feats.append(nearest(state.pellet_pos, state.pellet_alive,
+    pellet_pos, pellet_alive = state.pellet_xy_alive(cfg)
+    feats.append(nearest(pellet_pos, pellet_alive,
                          min(ocfg.num_pellets, cfg.pellet_capacity)))
     feats.append(nearest(state.virus_pos, state.virus_alive,
                          min(ocfg.num_viruses, cfg.virus_capacity),

@@ -266,8 +266,9 @@ def _class_map(cfg: EnvConfig, state: GameState, S: int,
     grid = _grid_cover(wx, wy, ph, cfg.arena_width, cfg.arena_height)
     cls = jnp.where(grid, 1, cls)
 
-    pel = _strip_cover(wx, wy, centroid, half, state.pellet_pos, _RAD_PELLET,
-                       state.pellet_alive, _strip_K(_RAD_PELLET, S),
+    pellet_pos, pellet_alive = state.pellet_xy_alive(cfg)
+    pel = _strip_cover(wx, wy, centroid, half, pellet_pos, _RAD_PELLET,
+                       pellet_alive, _strip_K(_RAD_PELLET, S),
                        n_sides=n_pel)
     cls = jnp.where(pel, 2, cls)
 

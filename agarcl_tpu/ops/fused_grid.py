@@ -400,9 +400,9 @@ def _build_grid_table(cfg: EnvConfig, G: int, states, sections: bool = False):
 
     f32 = jnp.float32
     # dead pellets park at an out-of-grid bin via a huge coordinate
-    palive = states.pellet_alive
-    px = jnp.where(palive, states.pellet_pos[:, :, 0], f32(1e9))
-    py = jnp.where(palive, states.pellet_pos[:, :, 1], f32(1e9))
+    pellet_pos, palive = states.pellet_xy_alive(cfg)
+    px = jnp.where(palive, pellet_pos[:, :, 0], f32(1e9))
+    py = jnp.where(palive, pellet_pos[:, :, 1], f32(1e9))
     # dead viruses park at an out-of-grid bin so the in-kernel bin counts
     # see live entities only
     vx = jnp.where(states.virus_alive, states.virus_pos[:, :, 0], f32(1e9))

@@ -28,6 +28,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -47,29 +48,40 @@ def _block_size(n: int, want: int) -> int:
     return b
 
 
-def _nearest_rows(key, k, cols):
+def _nearest_rows(key, k, cols, post=None):
     """Iteratively extract the k nearest entries by the packed selection
     key (obs/ram.py::pack_nearest_key — d2 bits with the low index bits
     substituted, so keys are unique and the min IS the stable
     lowest-index-tiebreak pick that top_k(-key) produces); returns
-    k * (len(cols)+1) rows of (1, E): per neighbor, each col masked by
+    k * (n_cols+1) rows of (1, E): per neighbor, each col masked by
     alive, then the alive flag.
 
     key: (M, E) i32 packed keys with dead entries at DEAD_KEY;
-    cols: list of (M, E) f32 feature planes to select from.
+    cols: list of (M, E) feature planes to select from (f32 summed as
+    floats, int dtypes summed exactly as ints).
+    post: optional fn(selected_cols (list of (1,E)), alivef) -> list of
+    output rows — lets the caller decode a packed column into several
+    rows (the pellet position key) instead of extracting each coordinate
+    separately.
     Per pick this is one min-reduce, one compare, one masked-sum per col,
-    and one invalidation pass — ~5 (M, E) passes vs the previous 8 of the
-    2-min-reduce formulation (the obs extraction was the largest single
-    block of the fused step at 8192 envs).
+    and one invalidation pass — ~4-5 (M, E) passes vs the previous 8 of
+    the 2-min-reduce formulation (the obs extraction was the largest
+    single block of the fused step at 8192 envs).
     """
     rows = []
     for _ in range(k):
         cur = jnp.min(key, axis=0, keepdims=True)                # (1, E)
         first = key == cur                  # unique unless all dead
         alivef = jnp.where(cur < DEAD_KEY, 1.0, 0.0)
+        sel = []
         for c in cols:
-            rows.append(jnp.sum(jnp.where(first, c, 0.0), axis=0,
-                                keepdims=True) * alivef)
+            zero = jnp.zeros((), c.dtype)
+            sel.append(jnp.sum(jnp.where(first, c, zero), axis=0,
+                               keepdims=True))
+        if post is None:
+            rows += [s * alivef for s in sel]
+        else:
+            rows += post(sel, alivef)
         rows.append(alivef)
         key = jnp.where(first, DEAD_KEY, key)
     return rows
@@ -77,7 +89,7 @@ def _nearest_rows(key, k, cols):
 
 def obs_rows(cfg: EnvConfig, ocfg: RamObsConfig, inv_w, inv_h,
              cpx, cpy, cvx, cvy, cmass, calive,
-             ppx, ppy, palive, vpx, vpy, vmass, valive):
+             ppx, ppy, palive, vpx, vpy, vmass, valive, pkey=None):
     """The RAM frame as an (A*ram_size, E) f32 VALUE from env-in-lanes
     state tensors ((rows, E); alive masks as >0-truthy ints). Shared by
     the standalone obs kernel below and the merged tick+obs kernel
@@ -131,8 +143,25 @@ def obs_rows(cfg: EnvConfig, ocfg: RamObsConfig, inv_w, inv_h,
         pry = ppy - cy
         d2 = prx * prx + pry * pry
         pidx = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 0)
-        pkey = pack_nearest_key(d2, pidx, palive > 0, d2.shape[0])
-        rows += _nearest_rows(pkey, kp, [prx, pry])
+        selkey = pack_nearest_key(d2, pidx, palive > 0, d2.shape[0])
+        if pkey is None:
+            rows += _nearest_rows(selkey, kp, [prx, pry])
+        else:
+            # one int extraction pass per pick instead of two f32 passes:
+            # the position key decodes to the exact ppx/ppy values
+            # (state.py decode), so (decode(ksel) - cx) == extracted prx
+            # bit-for-bit
+            from agarcl_tpu.state import pellet_scales
+            _, _, invx, invy = pellet_scales(cfg)
+            qm = np.int32((1 << 15) - 1)
+
+            def post(sel, alivef):
+                ks = sel[0]
+                x = (((ks >> 15) & qm).astype(jnp.float32) + 0.5) * invx
+                y = ((ks & qm).astype(jnp.float32) + 0.5) * invy
+                return [(x - cx) * alivef, (y - cy) * alivef]
+
+            rows += _nearest_rows(selkey, kp, [pkey], post=post)
 
         # Kv nearest viruses: rel_x, rel_y, mass, alive
         vrx = vpx - cx
@@ -184,6 +213,7 @@ def fused_ram_obs(cfg: EnvConfig, ocfg: RamObsConfig, states: GameState,
     R = ram_size(cfg, ocfg)
 
     b2i = lambda b: jnp.where(b, 1, 0).astype(jnp.int32)
+    pellet_pos, pellet_alive = states.pellet_xy_alive(cfg)
     ins = [
         jnp.transpose(states.cell_pos[..., 0].reshape(N, -1)),   # (PC, N)
         jnp.transpose(states.cell_pos[..., 1].reshape(N, -1)),
@@ -191,9 +221,9 @@ def fused_ram_obs(cfg: EnvConfig, ocfg: RamObsConfig, states: GameState,
         jnp.transpose(states.cell_vel[..., 1].reshape(N, -1)),
         jnp.transpose(states.cell_mass.reshape(N, -1)),
         jnp.transpose(b2i(states.cell_alive).reshape(N, -1)),
-        jnp.transpose(states.pellet_pos[:, :, 0]),       # (Np, N)
-        jnp.transpose(states.pellet_pos[:, :, 1]),
-        jnp.transpose(b2i(states.pellet_alive)),
+        jnp.transpose(pellet_pos[:, :, 0]),              # (Np, N)
+        jnp.transpose(pellet_pos[:, :, 1]),
+        jnp.transpose(b2i(pellet_alive)),
         jnp.transpose(states.virus_pos[:, :, 0]),        # (Nv, N)
         jnp.transpose(states.virus_pos[:, :, 1]),
         jnp.transpose(states.virus_mass),

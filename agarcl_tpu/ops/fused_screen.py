@@ -379,7 +379,8 @@ def _build_table(cfg: EnvConfig, S: int, states, _ablate=None):
 
     rp = jnp.float32(_RAD_PELLET)
     rf = jnp.float32(_RAD_FOOD)
-    px, py, pr2 = cols(states.pellet_pos, states.pellet_alive, rp)
+    pellet_pos, pellet_alive = states.pellet_xy_alive(cfg)
+    px, py, pr2 = cols(pellet_pos, pellet_alive, rp)
     fx, fy, fr2 = cols(states.food_pos, states.food_alive, rf)
     crad = jnp.sqrt(states.cell_mass.astype(jnp.float32) / jnp.pi)
     mx, my, mr2 = cols(states.cell_pos[:, 0], states.cell_alive[:, 0],

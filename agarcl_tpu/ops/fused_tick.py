@@ -43,6 +43,7 @@ from jax.experimental.pallas import tpu as pltpu
 from agarcl_tpu import constants as C
 from agarcl_tpu.config import EnvConfig
 from agarcl_tpu.state import GameState
+from agarcl_tpu.state import pellet_scales as _pellet_scales
 
 _BIG = np.float32(3.4e38)
 _BIG_I = np.int32(2**30)
@@ -87,6 +88,16 @@ def _uniform(lo, hi, seed, stream, tick, slot, axis):
     # Mosaic lacks uint32->float32; bits fit in int32 after the shift
     u = bits.astype(jnp.int32).astype(jnp.float32) * np.float32(1.0 / (1 << 24))
     return lo + (hi - lo) * u
+
+
+def _uniform_q(nq, seed, stream, tick, slot, axis):
+    """int32 in [0, nq) — the exact-integer draw (prng.uniform_q) for the
+    quantized pellet spawn; must stay op-for-op identical to prng.py."""
+    u24 = (_hash_u32(seed, stream, tick, slot, axis)
+           >> jnp.uint32(8)).astype(jnp.int32)
+    hi = u24 >> 12
+    lo = u24 & 0xFFF
+    return (hi * np.int32(nq) + ((lo * np.int32(nq)) >> 12)) >> 12
 
 
 def _radius(mass):
@@ -177,6 +188,20 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
     dt = np.float32(cfg.dt)
     ms = cfg.mode_spec
     bt_list = cfg.bot_types()
+    # pellet key quantization constants (state.py::pellet_scales) + the
+    # integer spawn-draw grid parameters (spawn.py::pellet_qparams)
+    _P_SCX, _P_SCY, _P_INVX, _P_INVY = _pellet_scales(cfg)
+    from agarcl_tpu.engine.spawn import pellet_qparams as _pqp
+    _P_QLX, _P_NQX, _P_QLY, _P_NQY = _pqp(cfg)
+
+    def _pellet_encode(xw, yw):
+        """Parked working coords -> i32 keys (dead/_DEAD rows -> -1).
+        The float clip before the int cast keeps the 1e9 park out of
+        f32->i32 overflow territory."""
+        qmaxf = np.float32((1 << 15) - 1)
+        qx = jnp.clip(jnp.floor(xw * _P_SCX), 0.0, qmaxf).astype(jnp.int32)
+        qy = jnp.clip(jnp.floor(yw * _P_SCY), 0.0, qmaxf).astype(jnp.int32)
+        return jnp.where(xw < _DEAD_MIN, (qx << 15) | qy, np.int32(-1))
 
     def clampb(x, y, rad):
         cx_ = jnp.maximum(0.0, jnp.maximum(jnp.minimum(x, W - rad), rad))
@@ -270,7 +295,7 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
                cells_eaten_ref,
                cx_ref, cy_ref, cvx_ref, cvy_ref, svx_ref, svy_ref,
                cmass_ref, calive_ref, cid_ref, crecomb_ref, next_id_ref,
-               px_ref, py_ref, palive_ref,
+               pkey_ref,
                vx_ref, vy_ref, vvx_ref, vvy_ref, vmass_ref, vhits_ref,
                valive_ref,
                fx_ref, fy_ref, fvx_ref, fvy_ref, falive_ref, fnext_ref,
@@ -280,7 +305,7 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
                o_food_eaten, o_highest, o_viruses_eaten, o_cells_eaten,
                o_cx, o_cy, o_cvx, o_cvy, o_svx, o_svy,
                o_cmass, o_calive, o_cid, o_crecomb, o_next_id,
-               o_px, o_py, o_palive,
+               o_pkey,
                o_vx, o_vy, o_vvx, o_vvy, o_vmass, o_vhits, o_valive,
                o_fx, o_fy, o_fvx, o_fvy, o_falive, o_fnext,
                o_ticks, o_seed, *o_extra):
@@ -322,9 +347,7 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
         crecomb = crecomb_ref[...]
         next_id = next_id_ref[...]           # (1, E)
 
-        px = px_ref[...]                     # (Np, E)
-        py = py_ref[...]
-        palive = palive_ref[...]
+        pkey = pkey_ref[...]                 # (Np, E) i32 quantized keys
         vx_ = vx_ref[...]                    # (Nv, E)
         vy_ = vy_ref[...]
         vvx = vvx_ref[...]
@@ -339,14 +362,23 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
         falive = falive_ref[...]
         fnext = fnext_ref[...]
 
-        # pellet WORKING coords, dead slots parked at _DEAD: the eat passes
-        # drop their per-chunk alive-mask ops (a parked pellet can never
-        # pass d2 <= r2), the obs sections reuse the parked arrays as-is,
-        # and o_palive derives from the park at writeback. px/py keep the
-        # raw stale-pos values for the writeback contract (only regen
-        # writes them).
-        pxw = jnp.where(palive, px, _DEAD)
-        pyw = jnp.where(palive, py, _DEAD)
+        # pellet WORKING coords decoded from the quantized key
+        # (state.py pellet quantization: x = (qx + 0.5) * W/32768, the same
+        # f32 ops as decode_pellet_xy so the values are bit-identical to the
+        # XLA tick's), dead slots parked at _DEAD: the eat passes drop their
+        # per-chunk alive-mask ops (a parked pellet can never pass d2 <= r2),
+        # the obs sections reuse the parked arrays as-is, and o_pkey
+        # re-encodes at writeback (encode(decode(q)) == q exactly).
+        palive = pkey >= 0
+        qmaskp = np.int32((1 << 15) - 1)
+        pxw = jnp.where(
+            palive,
+            (((pkey >> 15) & qmaskp).astype(jnp.float32) + 0.5) * _P_INVX,
+            _DEAD)
+        pyw = jnp.where(
+            palive,
+            ((pkey & qmaskp).astype(jnp.float32) + 0.5) * _P_INVY,
+            _DEAD)
         if ms.pellet_regen and phases >= 9:
             # regen is a no-op unless something is dead when it fires (the
             # fill masks are all-false at zero deficit); track a
@@ -2059,7 +2091,7 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
                 RCH = 128
                 np_pad_k = -(-Np // RCH) * RCH
 
-                def regen_run(px=px, py=py, pxw=pxw, pyw=pyw, vx_=vx_,
+                def regen_run(pxw=pxw, pyw=pyw, vx_=vx_,
                               vy_=vy_, vvx=vvx, vvy=vvy, vmass=vmass,
                               vhits=vhits, valive=valive):
                     # pellet fill rides fori_loop chunks over the scratch
@@ -2073,16 +2105,9 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
                         zf = jnp.full((np_pad_k - Np, E), _DEAD)
                         s_pxw[...] = jnp.concatenate([pxw, zf], axis=0)
                         s_pyw[...] = jnp.concatenate([pyw, zf], axis=0)
-                        zg = jnp.zeros((np_pad_k - Np, E), jnp.float32)
-                        s_aux1[...] = jnp.concatenate([px, zg], axis=0)
-                        s_aux2[...] = jnp.concatenate([py, zg], axis=0)
                     else:
                         s_pxw[...] = pxw
                         s_pyw[...] = pyw
-                        s_aux1[...] = px
-                        s_aux2[...] = py
-                    rp = _radius(np.float32(C.PELLET_MASS))
-
                     def rbody(k, base):
                         cpxw = s_pxw[pl.ds(k * RCH, RCH), :]
                         dead_c = _bint(~(cpxw < _DEAD_MIN))   # (RCH, E)
@@ -2090,28 +2115,29 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
                         fill = due_r & (dead_c > 0) & (order_c < deficit)
                         piota = (jax.lax.broadcasted_iota(
                             jnp.int32, (RCH, 1), 0) + k * RCH)
-                        nx_ = _uniform(0.0, W - 2 * rp, seed, 1, ticks,
-                                       piota, 0) + rp
-                        ny_ = _uniform(0.0, H - 2 * rp, seed, 1, ticks,
-                                       piota, 1) + rp
+                        # exact-integer quantized spawn draw (the same
+                        # counters + ops as spawn.py::pellet_spawn_keys);
+                        # the working coords are the DECODED cell centers
+                        # so the obs/section emissions below match the
+                        # XLA tick bit-for-bit
+                        qx_ = (_uniform_q(_P_NQX, seed, 1, ticks, piota, 0)
+                               + np.int32(_P_QLX))
+                        qy_ = (_uniform_q(_P_NQY, seed, 1, ticks, piota, 1)
+                               + np.int32(_P_QLY))
+                        nx_ = (qx_.astype(jnp.float32) + 0.5) * _P_INVX
+                        ny_ = (qy_.astype(jnp.float32) + 0.5) * _P_INVY
                         s_pxw[pl.ds(k * RCH, RCH), :] = jnp.where(
                             fill, nx_, cpxw)
                         s_pyw[pl.ds(k * RCH, RCH), :] = jnp.where(
                             fill, ny_, s_pyw[pl.ds(k * RCH, RCH), :])
-                        s_aux1[pl.ds(k * RCH, RCH), :] = jnp.where(
-                            fill, nx_, s_aux1[pl.ds(k * RCH, RCH), :])
-                        s_aux2[pl.ds(k * RCH, RCH), :] = jnp.where(
-                            fill, ny_, s_aux2[pl.ds(k * RCH, RCH), :])
                         return base + jnp.sum(dead_c, axis=0, keepdims=True)
 
                     jax.lax.fori_loop(0, np_pad_k // RCH, rbody,
                                       jnp.zeros((1, E), jnp.int32))
                     pxw = s_pxw[0:Np, :]
                     pyw = s_pyw[0:Np, :]
-                    px = s_aux1[0:Np, :]
-                    py = s_aux2[0:Np, :]
                     if Nv == 0:
-                        return px, py, pxw, pyw
+                        return pxw, pyw
                     nv_alive = jnp.sum(_bint(valive), axis=0, keepdims=True)
                     vdef = jnp.maximum(cfg.num_viruses - nv_alive, 0)
                     vdead_order = _cumsum0(_bint(~valive)) - 1
@@ -2129,22 +2155,22 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
                     vmass = jnp.where(vfill, C.VIRUS_INITIAL_MASS, vmass)
                     vhits = jnp.where(vfill, 0, vhits)
                     valive = valive | vfill
-                    return (px, py, pxw, pyw, vx_, vy_, vvx, vvy,
+                    return (pxw, pyw, vx_, vy_, vvx, vvy,
                             vmass, vhits, _bint(valive))
 
                 def regen_skip():
                     if Nv == 0:
-                        return px, py, pxw, pyw
-                    return (px, py, pxw, pyw, vx_, vy_, vvx, vvy,
+                        return pxw, pyw
+                    return (pxw, pyw, vx_, vy_, vvx, vvy,
                             vmass, vhits, _bint(valive))
 
                 outs_r = jax.lax.cond(
                     (jnp.max(_bint(due_r)) > 0) & (maybe_deficit > 0),
                     regen_run, regen_skip)
                 if Nv == 0:
-                    px, py, pxw, pyw = outs_r
+                    pxw, pyw = outs_r
                 else:
-                    (px, py, pxw, pyw, vx_, vy_, vvx, vvy, vmass, vhits,
+                    (pxw, pyw, vx_, vy_, vvx, vvy, vmass, vhits,
                      valive_i) = outs_r
                     valive = valive_i > 0
 
@@ -2186,9 +2212,8 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
         o_cid[...] = cid
         o_crecomb[...] = crecomb
         o_next_id[...] = next_id
-        o_px[...] = px
-        o_py[...] = py
-        o_palive[...] = pxw < _DEAD_MIN
+        pkey_out = _pellet_encode(pxw, pyw)
+        o_pkey[...] = pkey_out
         o_vx[...] = vx_
         o_vy[...] = vy_
         o_vvx[...] = vvx
@@ -2217,8 +2242,8 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
             o_extra[0][...] = obs_rows(
                 cfg, ram_obs, 1.0 / cfg.arena_width, 1.0 / cfg.arena_height,
                 cx, cy, cvx, cvy, cmass, b2i(calive),
-                px, py, jnp.where(pxw < _DEAD_MIN, 1, 0),
-                vx_, vy_, vmass, b2i(valive))
+                pxw, pyw, jnp.where(pxw < _DEAD_MIN, 1, 0),
+                vx_, vy_, vmass, b2i(valive), pkey=pkey_out)
 
         if grid_tab or screen_tab:
             # Obs-kernel input sections emitted from the final in-VMEM
@@ -2341,7 +2366,7 @@ _SPLIT_PLAN = [
     ("cell_pos", "v2c"), ("cell_vel", "v2c"), ("cell_split_vel", "v2c"),
     ("cell_mass", "pc"), ("cell_alive", "pc"), ("cell_id", "pc"),
     ("cell_recombine_at", "pc"), ("next_cell_id", "s"),
-    ("pellet_pos", "v2"), ("pellet_alive", "2d"),
+    ("pellet_key", "2d"),
     ("virus_pos", "v2"), ("virus_vel", "v2"), ("virus_mass", "2d"),
     ("virus_hits", "2d"), ("virus_alive", "2d"),
     ("food_pos", "v2"), ("food_vel", "v2"), ("food_alive", "2d"),

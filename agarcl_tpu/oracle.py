@@ -135,7 +135,7 @@ class OracleEnv:
             cell_id=np.zeros((P, Cc), np.int32),
             cell_recombine_at=np.zeros((P, Cc), np.int32),
             pellet_pos=np.zeros((Np, 2), np.float32),
-            pellet_alive=np.zeros((Np,), np.uint8),
+            _pellet_alive=np.zeros((Np,), np.uint8),
             virus_pos=np.zeros((Nv, 2), np.float32),
             virus_vel=np.zeros((Nv, 2), np.float32),
             virus_mass=np.zeros((Nv,), np.int32),
@@ -159,11 +159,24 @@ class OracleEnv:
             _ptr(out["cell_split_vel"], f32), _ptr(out["cell_mass"], i32),
             _ptr(out["cell_alive"], u8), _ptr(out["cell_id"], i32),
             _ptr(out["cell_recombine_at"], i32),
-            _ptr(out["pellet_pos"], f32), _ptr(out["pellet_alive"], u8),
+            _ptr(out["pellet_pos"], f32), _ptr(out["_pellet_alive"], u8),
             _ptr(out["virus_pos"], f32), _ptr(out["virus_vel"], f32),
             _ptr(out["virus_mass"], i32), _ptr(out["virus_hits"], i32),
             _ptr(out["virus_alive"], u8),
             _ptr(out["food_pos"], f32), _ptr(out["food_vel"], f32),
             _ptr(out["food_alive"], u8),
             out["ticks"].ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+        # pellet state is keyed in GameState (state.py quantization); the
+        # oracle stores pre-quantized coords, so encode() is exact and the
+        # exported dict mirrors GameState field-for-field.
+        alive = out.pop("_pellet_alive").astype(bool)
+        out["pellet_alive"] = alive
+        sx = np.float32(32768.0 / self.cfg.arena_width)
+        sy = np.float32(32768.0 / self.cfg.arena_height)
+        qx = np.clip(np.floor(out["pellet_pos"][:, 0] * sx), 0,
+                     32767).astype(np.int32)
+        qy = np.clip(np.floor(out["pellet_pos"][:, 1] * sy), 0,
+                     32767).astype(np.int32)
+        out["pellet_key"] = np.where(alive, (qx << 15) | qy,
+                                     np.int32(-1))
         return out

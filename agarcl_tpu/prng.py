@@ -55,6 +55,23 @@ def uniform_range(lo, hi, seed, stream, tick, slot, axis=0):
     return lo + (hi - lo) * uniform(seed, stream, tick, slot, axis)
 
 
+def uniform_q(nq, seed, stream, tick, slot, axis=0):
+    """int32 in [0, nq) from the top 24 hash bits via exact integer
+    multiply-shift: (u24 * nq) >> 24, computed in two 12-bit halves
+    (floor(floor(x/2^12)/2^12) == floor(x/2^24)) so nothing overflows
+    int32 for nq <= 2^15. Unlike `floor(uniform_range(...) * scale)`,
+    this is bit-exact across XLA programs / Mosaic / C++ — float
+    mul+add chains can be FMA-contracted differently per program, and a
+    1-ulp difference amplifies to a full cell through floor. Used for
+    the quantized pellet-key spawn coordinates (state.py)."""
+    u24 = (hash_u32(seed, stream, tick, slot, axis)
+           >> jnp.uint32(8)).astype(jnp.int32)
+    nq = jnp.asarray(nq).astype(jnp.int32)
+    hi = u24 >> 12
+    lo = u24 & 0xFFF
+    return (hi * nq + ((lo * nq) >> 12)) >> 12
+
+
 def randint_mod(n, seed, stream, tick, slot, axis=0):
     """int32 in [0, n) via modulo (mirrors reference's `rand() % n`)."""
     bits = hash_u32(seed, stream, tick, slot, axis)

@@ -15,10 +15,59 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from agarcl_tpu import constants as C
 from agarcl_tpu.config import EnvConfig
+
+# --- pellet position quantization (SPEC) ------------------------------------
+# Pellet coordinates are pinned to a 32768 x 32768 arena-normalized grid and
+# stored as one int32 key per slot: [qx:15][qy:15] >= 0; dead slots are -1.
+# decode x = (qx + 0.5) * (W / 32768); encode qx = clip(floor(x * 32768 / W)).
+# encode(decode(q)) == q exactly in f32 (q + 0.5 <= 32767.5 < 2^24 and the
+# two scale factors cancel to within < 2^-22 relative, verified for all q),
+# so keys pass through ticks unchanged unless the pellet is eaten/respawned.
+# Max quantization error is W/65536 (~0.005 world units at arena 350) — far
+# below the pellet radius (~0.56). All three implementations (XLA tick,
+# Pallas kernel, C++ oracle) quantize at spawn with the same f32 ops.
+
+PELLET_QBITS = 15
+PELLET_Q = 1 << PELLET_QBITS           # 32768
+DEAD_PELLET_KEY = -1
+
+
+def pellet_scales(cfg: EnvConfig):
+    """(scale_x, scale_y, inv_x, inv_y) f32 constants for encode/decode."""
+    return (np.float32(PELLET_Q / cfg.arena_width),
+            np.float32(PELLET_Q / cfg.arena_height),
+            np.float32(cfg.arena_width / PELLET_Q),
+            np.float32(cfg.arena_height / PELLET_Q))
+
+
+def encode_pellet_key(cfg: EnvConfig, pos, alive):
+    """(..., 2) f32 positions + (...,) alive -> (...,) i32 keys."""
+    sx, sy, _, _ = pellet_scales(cfg)
+    qmax = jnp.int32(PELLET_Q - 1)
+    qx = jnp.clip(jnp.floor(pos[..., 0] * sx).astype(jnp.int32), 0, qmax)
+    qy = jnp.clip(jnp.floor(pos[..., 1] * sy).astype(jnp.int32), 0, qmax)
+    key = (qx << PELLET_QBITS) | qy
+    return jnp.where(alive, key, jnp.int32(DEAD_PELLET_KEY))
+
+
+def decode_pellet_xy(cfg: EnvConfig, key):
+    """(...,) i32 keys -> ((..., 2) f32 positions, (...,) bool alive).
+
+    Dead slots decode to the (in-arena) position of key 0 — callers must
+    mask by the returned alive flag (exactly as they masked pellet_alive
+    before)."""
+    _, _, ix, iy = pellet_scales(cfg)
+    qmask = jnp.int32(PELLET_Q - 1)
+    qx = (key >> PELLET_QBITS) & qmask
+    qy = key & qmask
+    x = (qx.astype(jnp.float32) + 0.5) * ix
+    y = (qy.astype(jnp.float32) + 0.5) * iy
+    return jnp.stack([x, y], axis=-1), key >= 0
 
 
 @struct.dataclass
@@ -49,8 +98,14 @@ class GameState:
     next_cell_id: jax.Array    # () i32 — per-env id counter
 
     # --- pellets (Np,) ---
-    pellet_pos: jax.Array      # (Np, 2) f32
-    pellet_alive: jax.Array    # (Np,) bool
+    # One int32 key per slot replaces (pos f32x2, alive bool): pellets never
+    # move, so the whole pellet state is [qx:15][qy:15] arena-normalized
+    # quantized coordinates (SPEC "Pellet position quantization"), dead = -1.
+    # This cuts the fused step's per-call pellet HBM round trip from ~81 MB
+    # to 16 MB at 8192 envs x 500 pellets and lets the obs kernel extract a
+    # neighbor's full position in one masked int sum. Decode with
+    # pellet_xy_alive(cfg) / decode_pellet_xy; encode with encode_pellet_key.
+    pellet_key: jax.Array      # (Np,) i32
 
     # --- viruses (Nv,) ---
     virus_pos: jax.Array       # (Nv, 2) f32
@@ -113,6 +168,15 @@ class GameState:
         lower = key[..., :, None] > key[..., None, :]
         return jnp.sum(lower, axis=-1).astype(jnp.int32)
 
+    def pellet_xy_alive(self, cfg: EnvConfig):
+        """Decoded ((..., Np, 2) f32, (..., Np) bool) pellet view."""
+        return decode_pellet_xy(cfg, self.pellet_key)
+
+    @property
+    def pellet_alive(self) -> jax.Array:
+        """(..., Np) bool — alive mask derived from the key sign."""
+        return self.pellet_key >= 0
+
 
 def zero_state(cfg: EnvConfig) -> GameState:
     """All-empty state with the correct static shapes."""
@@ -145,8 +209,7 @@ def zero_state(cfg: EnvConfig) -> GameState:
         cell_id=jnp.zeros((P, Cc), i32),
         cell_recombine_at=jnp.zeros((P, Cc), i32),
         next_cell_id=jnp.zeros((), i32),
-        pellet_pos=jnp.zeros((Np, 2), f32),
-        pellet_alive=jnp.zeros((Np,), bool),
+        pellet_key=jnp.full((Np,), DEAD_PELLET_KEY, i32),
         virus_pos=jnp.zeros((Nv, 2), f32),
         virus_vel=jnp.zeros((Nv, 2), f32),
         virus_mass=jnp.full((Nv,), C.VIRUS_INITIAL_MASS, i32),

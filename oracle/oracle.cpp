@@ -80,6 +80,52 @@ inline float uniform_range(float lo, float hi, uint32_t seed, uint32_t stream,
   return lo + (hi - lo) * uniformf(seed, stream, tick, slot, axis);
 }
 
+// Pellet position quantization (SPEC / agarcl_tpu/state.py): pellet
+// coordinates are pinned to a 32768 x 32768 arena-normalized grid at spawn.
+// scale/inv are computed in f64 then rounded to f32 exactly as
+// np.float32(32768.0 / W) does; decode is (q + 0.5f) * inv in f32.
+inline float pellet_quant(float x, float arena) {
+  const float scale = float(32768.0 / double(arena));
+  const float inv = float(double(arena) / 32768.0);
+  int q = int(std::floor(x * scale));
+  q = std::min(std::max(q, 0), 32767);
+  return (float(q) + 0.5f) * inv;
+}
+
+// Exact-integer quantized spawn draw (agarcl_tpu/prng.py::uniform_q +
+// engine/spawn.py::pellet_spawn_keys): (u24 * nq) >> 24 in two 12-bit
+// halves. Float draw + floor is NOT used for pellet spawns — FMA
+// contraction differences across XLA programs perturb the float by an
+// ulp, which floor amplifies across a grid cell; integer math is
+// bit-exact everywhere.
+inline int uniform_q(int nq, uint32_t seed, uint32_t stream, uint32_t tick,
+                     uint32_t slot, uint32_t axis) {
+  int u24 = int(hash_u32(seed, stream, tick, slot, axis) >> 8);
+  int hi = u24 >> 12, lo = u24 & 0xFFF;
+  return (hi * nq + ((lo * nq) >> 12)) >> 12;
+}
+
+struct PelletQGrid { int qlx, nqx, qly, nqy; float invx, invy; };
+inline PelletQGrid pellet_qgrid(float arena_w, float arena_h) {
+  // margin from the f32 pellet radius, computed in f64 exactly like
+  // spawn.py::pellet_qparams (rad = f32(sqrt(mass/pi)) via f64 sqrt)
+  float rad = float(std::sqrt(double(PELLET_MASS) / M_PI));
+  int qlx = int(std::ceil(double(rad) * 32768.0 / double(arena_w)));
+  int qly = int(std::ceil(double(rad) * 32768.0 / double(arena_h)));
+  return {qlx, 32768 - 2 * qlx, qly, 32768 - 2 * qly,
+          float(double(arena_w) / 32768.0), float(double(arena_h) / 32768.0)};
+}
+inline float pellet_spawn_x(const PelletQGrid &g, uint32_t seed,
+                            uint32_t tick, int slot) {
+  int qx = g.qlx + uniform_q(g.nqx, seed, STREAM_PELLET, tick, slot, 0);
+  return (float(qx) + 0.5f) * g.invx;
+}
+inline float pellet_spawn_y(const PelletQGrid &g, uint32_t seed,
+                            uint32_t tick, int slot) {
+  int qy = g.qly + uniform_q(g.nqy, seed, STREAM_PELLET, tick, slot, 1);
+  return (float(qy) + 0.5f) * g.invy;
+}
+
 // --------------------------------------------------------------- geometry
 inline float radiusf(float mass) { return std::sqrt(mass / float(M_PI)); }
 inline float max_speed(float mass) {
@@ -902,15 +948,13 @@ void engine_tick(Oracle &o) {
     int n_alive = 0;
     for (int n = 0; n < o.cfg.pellet_cap; n++) n_alive += o.st.palive[n];
     int deficit = std::max(o.cfg.num_pellets - n_alive, 0);
-    float rp = radiusf(float(PELLET_MASS));
     int filled = 0;
     for (int n = 0; n < o.cfg.pellet_cap && filled < deficit; n++) {
       if (o.st.palive[n]) continue;
+      PelletQGrid pg = pellet_qgrid(o.cfg.arena_w, o.cfg.arena_h);
       o.st.ppos[n] = {
-        uniform_range(0, o.cfg.arena_w - 2 * rp, o.st.seed, STREAM_PELLET,
-                      uint32_t(o.st.ticks), n, 0) + rp,
-        uniform_range(0, o.cfg.arena_h - 2 * rp, o.st.seed, STREAM_PELLET,
-                      uint32_t(o.st.ticks), n, 1) + rp};
+        pellet_spawn_x(pg, o.st.seed, uint32_t(o.st.ticks), n),
+        pellet_spawn_y(pg, o.st.seed, uint32_t(o.st.ticks), n)};
       o.st.palive[n] = true;
       filled++;
     }
@@ -1001,7 +1045,6 @@ void oracle_reset_impl(Oracle &o, uint32_t seed) {
   s.dones.assign(c.num_agents, 0);
 
   // pellets
-  float rp = radiusf(float(PELLET_MASS));
   if (c.squared_pellets) {
     float size = std::min(c.arena_w, c.arena_h) / 2;
     int n = int(size / 1.0f);
@@ -1010,7 +1053,8 @@ void oracle_reset_impl(Oracle &o, uint32_t seed) {
     auto put = [&](float x, float y) {
       if (x >= 0 && x <= c.arena_w && y >= 0 && y <= c.arena_h
           && idx < c.pellet_cap) {
-        s.ppos[idx] = {x, y}; s.palive[idx] = true; idx++;
+        s.ppos[idx] = {pellet_quant(x, c.arena_w), pellet_quant(y, c.arena_h)};
+        s.palive[idx] = true; idx++;
       }
     };
     for (int i = 0; i < n; i++) put(cx - half + i, cy - half);
@@ -1019,11 +1063,10 @@ void oracle_reset_impl(Oracle &o, uint32_t seed) {
     for (int i = 0; i < n; i++) put(cx - half, cy + half - i);
   } else {
     for (int n = 0; n < c.num_pellets && n < c.pellet_cap; n++) {
+      PelletQGrid pg = pellet_qgrid(c.arena_w, c.arena_h);
       s.ppos[n] = {
-        uniform_range(0, c.arena_w - 2 * rp, seed, STREAM_PELLET,
-                      uint32_t(-1), n, 0) + rp,
-        uniform_range(0, c.arena_h - 2 * rp, seed, STREAM_PELLET,
-                      uint32_t(-1), n, 1) + rp};
+        pellet_spawn_x(pg, seed, uint32_t(-1), n),
+        pellet_spawn_y(pg, seed, uint32_t(-1), n)};
       s.palive[n] = true;
     }
   }

@@ -24,10 +24,18 @@ from tests.helpers import BASE, reset, step_fn, tick_fn
 def kill_entities(s, pellets=True, viruses=True):
     """Clear world entities so tests control exactly what's present."""
     if pellets:
-        s = s.replace(pellet_alive=jnp.zeros_like(s.pellet_alive))
+        s = s.replace(pellet_key=jnp.full_like(s.pellet_key, -1))
     if viruses:
         s = s.replace(virus_alive=jnp.zeros_like(s.virus_alive))
     return s
+
+
+def place_pellets(cfg, s, ppos):
+    """First len(ppos) pellet slots at ppos (quantized), the rest dead."""
+    from agarcl_tpu.state import encode_pellet_key
+    k = jnp.full_like(s.pellet_key, -1)
+    newk = encode_pellet_key(cfg, jnp.asarray(ppos, jnp.float32), True)
+    return s.replace(pellet_key=k.at[:len(ppos)].set(newk))
 
 
 def no_regen_tick(s):
@@ -42,16 +50,17 @@ def test_reset_shapes_and_masses():
     assert bool(s.player_alive()[0])
     assert int(jnp.sum(s.pellet_alive)) == 50
     assert int(jnp.sum(s.virus_alive)) == 3
-    assert float(jnp.max(s.pellet_pos)) <= 100.0
-    assert float(jnp.min(s.pellet_pos)) >= 0.0
+    ppos, _ = s.pellet_xy_alive(BASE)
+    assert float(jnp.max(ppos)) <= 100.0
+    assert float(jnp.min(ppos)) >= 0.0
 
 
 def test_reset_deterministic():
     s1 = reset(BASE, 7)
     s2 = reset(BASE, 7)
-    assert jnp.array_equal(s1.pellet_pos, s2.pellet_pos)
+    assert jnp.array_equal(s1.pellet_key, s2.pellet_key)
     s3 = reset(BASE, 8)
-    assert not jnp.array_equal(s1.pellet_pos, s3.pellet_pos)
+    assert not jnp.array_equal(s1.pellet_key, s3.pellet_key)
 
 
 def test_player_moves_toward_target():
@@ -73,10 +82,9 @@ def test_pellet_eating_increments_mass():
     s = no_regen_tick(s)
     pos = jnp.array([50.0, 50.0])
     ppos = jnp.stack([pos + 0.1, pos - 0.1, pos + 0.2, pos - 0.2])
-    s = s.replace(cell_pos=s.cell_pos.at[0, 0].set(pos),
-                  target=s.target.at[0].set(pos),
-                  pellet_pos=s.pellet_pos.at[:4].set(ppos),
-                  pellet_alive=s.pellet_alive.at[:4].set(True))
+    s = place_pellets(BASE, s, ppos).replace(
+        cell_pos=s.cell_pos.at[0, 0].set(pos),
+        target=s.target.at[0].set(pos))
     s2 = tick_fn(BASE)(s)
     assert int(s2.player_mass()[0]) == 25 + 4
     assert int(jnp.sum(s2.pellet_alive)) == 0
@@ -226,9 +234,8 @@ def test_rewards_delta_mass():
     s = no_regen_tick(kill_entities(reset(BASE, 0)))
     pos = jnp.array([50.0, 50.0])
     ppos = jnp.stack([pos + 0.1, pos - 0.1, pos + 0.2, pos - 0.2])
-    s = s.replace(cell_pos=s.cell_pos.at[0, 0].set(pos),
-                  pellet_pos=s.pellet_pos.at[:4].set(ppos),
-                  pellet_alive=s.pellet_alive.at[:4].set(True))
+    s = place_pellets(BASE, s, ppos).replace(
+        cell_pos=s.cell_pos.at[0, 0].set(pos))
     s, r, d = step_fn(BASE)(s, jnp.array([[0.0, 0.0, 0.0]]))
     assert float(r[0]) == 4.0
     assert not bool(d[0])

@@ -18,12 +18,12 @@ CFG = EnvConfig(num_agents=1, ticks_per_step=4, arena_size=100,
                 num_pellets=40, num_viruses=3, num_bots=0, mode=4)
 
 INT_FIELDS = ("cell_mass", "cell_alive", "cell_id", "cell_recombine_at",
-              "pellet_alive", "virus_alive", "virus_mass", "virus_hits",
+              "pellet_key", "virus_alive", "virus_mass", "virus_hits",
               "food_alive", "food_eaten", "highest_mass", "viruses_eaten",
               "elapsed_ticks", "last_decay_tick", "split_cooldown",
               "feed_cooldown", "ticks", "next_cell_id", "food_next",
               "virus_eaten_ptr")
-F32_FIELDS = ("cell_pos", "cell_vel", "cell_split_vel", "pellet_pos",
+F32_FIELDS = ("cell_pos", "cell_vel", "cell_split_vel",
               "virus_pos", "food_pos", "food_vel", "anti_team_decay")
 
 
@@ -82,9 +82,9 @@ def test_fused_matches_through_regen_boundary():
     tick_b = jax.jit(jax.vmap(functools.partial(engine_tick, cfg)))
     s_ref = reset_b(jnp.arange(N, dtype=jnp.uint32))
     # jump near the regen boundary and kill some pellets
-    kill = s_ref.pellet_alive.at[:, :7].set(False)
+    kill = s_ref.pellet_key.at[:, :7].set(-1)
     s_ref = s_ref.replace(ticks=jnp.full((N,), 118, jnp.int32),
-                          pellet_alive=kill)
+                          pellet_key=kill)
     s_out = s_ref
     for t in range(5):
         s_ref = tick_b(s_ref)
@@ -107,7 +107,7 @@ def test_fused_multi_tick_regen_after_in_call_eats():
     s = reset_b(jnp.arange(N, dtype=jnp.uint32) + 11)
     # park the agent ON a live pellet just before the boundary so ticks
     # 117-119 eat (raising the flag in-call) and tick 120 regenerates
-    ppos = np.asarray(s.pellet_pos)
+    ppos = np.asarray(s.pellet_xy_alive(cfg)[0])
     tgt = jnp.asarray(ppos[:, 3], jnp.float32)
     cp = s.cell_pos.at[:, 0, 0, :].set(tgt)
     s = s.replace(ticks=jnp.full((N,), 117, jnp.int32), cell_pos=cp,

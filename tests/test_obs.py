@@ -52,10 +52,13 @@ def test_grid_pellet_channels():
     s = reset(BASE, 0)
     pos = jnp.array([50.0, 50.0])
     # all pellets on one spot 10 units right of the player
+    from agarcl_tpu.state import encode_pellet_key
     s = s.replace(
         cell_pos=s.cell_pos.at[0, 0].set(pos),
-        pellet_pos=jnp.broadcast_to(pos + jnp.array([10.0, 0.0]),
-                                    s.pellet_pos.shape),
+        pellet_key=encode_pellet_key(
+            BASE, jnp.broadcast_to(pos + jnp.array([10.0, 0.0]),
+                                   s.pellet_key.shape + (2,)),
+            s.pellet_alive),
         virus_alive=jnp.zeros_like(s.virus_alive))
     ocfg = GridObsConfig(grid_size=16, observe_others=False,
                          observe_viruses=False, observe_cells=False)
@@ -116,7 +119,7 @@ def test_gobigger_structured_obs():
     assert abs(clone.position[0]) < 1e-3   # own cell at own centroid
     assert clone.score == 25.0
     # pellets within the 100-unit view window appear as foods
-    ppos = np.asarray(s.pellet_pos)
+    ppos = np.asarray(s.pellet_xy_alive(BASE)[0])
     in_view = (np.abs(ppos - np.asarray(pos)) < 50.0).all(axis=1)
     assert len(ps.food_infos) >= max(0, in_view.sum() - 2)
     assert gs.team_num == 1
@@ -182,7 +185,8 @@ def test_grid_rasterizer_matches_numpy_scatter():
                     out.append((gx, gy, i))
             return out
 
-        ppos = np.asarray(s.pellet_pos); palive = np.asarray(s.pellet_alive)
+        ppos_j, palive_j = s.pellet_xy_alive(cfg)
+        ppos = np.asarray(ppos_j); palive = np.asarray(palive_j)
         add = np.zeros((G, G), np.int64)
         for gx, gy, _ in bins(ppos, palive):
             add[gx, gy] += 1

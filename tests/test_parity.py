@@ -74,8 +74,8 @@ def test_parity_reset():
     oe = OracleEnv(PCFG)
     oe.reset(123)
     os_ = oe.get_state()
-    np.testing.assert_allclose(np.asarray(js.pellet_pos), os_["pellet_pos"],
-                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(js.pellet_key),
+                                  os_["pellet_key"])
     np.testing.assert_allclose(np.asarray(js.cell_pos), os_["cell_pos"],
                                atol=1e-5)
     np.testing.assert_array_equal(np.asarray(js.cell_mass), os_["cell_mass"])

@@ -95,18 +95,19 @@ def test_polygon_class_map_vs_fan_oracle():
     state = env_reset(cfg, 3)
     center = jnp.array([100.0, 100.0])
     # one fat main cell, pellets / foods / a virus spread around it
-    ppos = state.pellet_pos
+    from agarcl_tpu.state import encode_pellet_key
+    ppos = state.pellet_xy_alive(cfg)[0]
     for i, d in enumerate(((14.0, 3.0), (-17.0, 6.0), (5.0, -19.0),
                            (-9.0, -13.0))):
         ppos = ppos.at[i].set(center + jnp.array(d))
-    palive = jnp.zeros_like(state.pellet_alive).at[:4].set(True)
+    palive = jnp.zeros(ppos.shape[:1], bool).at[:4].set(True)
     fpos = state.food_pos.at[0].set(center + jnp.array([24.0, -7.0]))
     fpos = fpos.at[1].set(center + jnp.array([-26.0, -2.0]))
     falive = jnp.zeros_like(state.food_alive).at[:2].set(True)
     state = state.replace(
         cell_pos=state.cell_pos.at[0, 0].set(center),
         cell_mass=state.cell_mass.at[0, 0].set(400),
-        pellet_pos=ppos, pellet_alive=palive,
+        pellet_key=encode_pellet_key(cfg, ppos, palive),
         food_pos=fpos, food_alive=falive,
         virus_pos=state.virus_pos.at[0].set(center + jnp.array([0.0, 27.0])),
         virus_alive=jnp.zeros_like(state.virus_alive).at[0].set(True))
@@ -118,7 +119,8 @@ def test_polygon_class_map_vs_fan_oracle():
     def rad(m):
         return float(np.asarray(G.radius(jnp.float32(m))))
 
-    pel = [(np.asarray(state.pellet_pos)[i], rad(1.0)) for i in range(4)]
+    pel = [(np.asarray(state.pellet_xy_alive(cfg)[0])[i], rad(1.0))
+           for i in range(4)]
     foo = [(np.asarray(state.food_pos)[i], rad(10.0)) for i in range(2)]
     own = [(np.asarray(center), rad(400.0))]
     vir = [(np.asarray(state.virus_pos)[0],
@@ -136,11 +138,14 @@ def test_polygon_pellet_smaller_than_circle():
                     num_pellets=1, num_viruses=0, mode=4)
     state = env_reset(cfg, 1)
     center = jnp.array([100.0, 100.0])
+    from agarcl_tpu.state import encode_pellet_key
+    ppos1 = state.pellet_xy_alive(cfg)[0].at[0].set(
+        center + jnp.array([20.0, 0.0]))
+    palive1 = jnp.zeros(ppos1.shape[:1], bool).at[0].set(True)
     state = state.replace(
         cell_pos=state.cell_pos.at[0, 0].set(center),
         cell_mass=state.cell_mass.at[0, 0].set(900),
-        pellet_pos=state.pellet_pos.at[0].set(center + jnp.array([20.0, 0.0])),
-        pellet_alive=jnp.zeros_like(state.pellet_alive).at[0].set(True))
+        pellet_key=encode_pellet_key(cfg, ppos1, palive1))
     S = 512
     circ = np.asarray(_class_map(cfg, state, S, polygon_edges=False))[0]
     poly = np.asarray(_class_map(cfg, state, S, polygon_edges=True))[0]

@@ -29,10 +29,11 @@ TAN_HALF = F(math.tan(math.radians(22.5)))
 def numpy_class_map(cfg, state, S):
     """(A, S, S) int32 class map: 0 bg, 1 grid, 2 pellet, 3 food, 4 main,
     5 other, 6 virus; topmost in draw order wins."""
+    ppos, palv = state.pellet_xy_alive(cfg)
     s = {k: np.asarray(v) for k, v in
          dict(cell_pos=state.cell_pos, cell_mass=state.cell_mass,
-              cell_alive=state.cell_alive, pellet_pos=state.pellet_pos,
-              pellet_alive=state.pellet_alive, virus_pos=state.virus_pos,
+              cell_alive=state.cell_alive, pellet_pos=ppos,
+              pellet_alive=palv, virus_pos=state.virus_pos,
               virus_mass=state.virus_mass, virus_alive=state.virus_alive,
               food_pos=state.food_pos, food_alive=state.food_alive).items()}
     A = cfg.num_agents
@@ -165,13 +166,14 @@ def test_class_map_boundary_pixels():
     state = env_reset(cfg, 2)
     # put the agent dead-center; pellets in a tight cross around it
     center = jnp.array([50.0, 50.0])
-    ppos = state.pellet_pos
+    from agarcl_tpu.state import encode_pellet_key
+    ppos = state.pellet_xy_alive(cfg)[0]
     for i, d in enumerate(((0.9, 0.0), (-0.49, 0.0), (0.0, 3.0), (20.0, 20.0))):
         ppos = ppos.at[i].set(center + jnp.array(d))
-    palive = jnp.zeros_like(state.pellet_alive).at[:4].set(True)
+    palive = jnp.zeros(ppos.shape[:1], bool).at[:4].set(True)
     state = state.replace(
         cell_pos=state.cell_pos.at[0, 0].set(center),
-        pellet_pos=ppos, pellet_alive=palive,
+        pellet_key=encode_pellet_key(cfg, ppos, palive),
         virus_pos=state.virus_pos.at[0].set(center + jnp.array([10.0, -4.0])),
         virus_alive=jnp.zeros_like(state.virus_alive).at[0].set(True))
     for S in (41, 84):   # odd size puts a pixel center exactly on the player
