@@ -196,6 +196,71 @@ def fused_env_step(cfg: EnvConfig, states: GameState, actions,
                         respawn_main_during_obs, auto_reset)
 
 
+def supports_multi(cfg: EnvConfig, obs_type: str, auto_reset: bool,
+                   respawn_main_during_obs: bool) -> bool:
+    """Whether VecEnv.multi_step can run as ONE in-kernel multi-step call
+    (fused_tick.fused_multi_step_call). Requires: fused-tick-able config,
+    ram/none obs (emitted in-kernel per step), and no between-step XLA work
+    the kernel can't do — mode-0 respawn_all, screen-env main respawn, or
+    auto_reset all need per-step state surgery outside the kernel."""
+    return (supports(cfg) and obs_type in ("ram", "none")
+            and not auto_reset and not respawn_main_during_obs
+            and not cfg.mode_spec.respawn_all)
+
+
+def fused_env_multi_step(cfg: EnvConfig, states: GameState, actions,
+                         k: int, obs_fn=None, block_envs: int = 128,
+                         interpret: bool = False):
+    """k whole env steps in ONE tick-kernel call — the in-kernel multi-step
+    (fused_tick._make_kernel n_steps docstring). Applies the same actions at
+    the start of every step (the VecEnv.multi_step contract), runs
+    ticks_per_step ticks per step, and emits the per-step RAM frame plus
+    per-step (mass, alive) rows; this rim reconstructs the per-step
+    rewards/dones exactly as _finish_step does (BaseEnvironment.hpp:89-122
+    semantics). Gate with supports_multi().
+
+    Returns (states, obs (k, N, 1, A, R) | None, rewards (k, N, A),
+    dones (k, N, A)) — the same stacking VecEnv's unrolled path produces.
+    """
+    from agarcl_tpu.obs.ram import ram_frame
+    from agarcl_tpu.ops.fused_tick import fused_multi_step_call
+    A = cfg.num_agents
+    ms = cfg.mode_spec
+    N = states.ticks.shape[0]
+    ram_ocfg = (obs_fn.args[1]
+                if (obs_fn is not None
+                    and isinstance(obs_fn, functools.partial)
+                    and obs_fn.func is ram_frame) else None)
+
+    before0 = states.player_mass()[:, :A].astype(jnp.float32)    # (N, A)
+    states = states.replace(main_respawned=jnp.zeros((N,), bool))
+    states, obs, step_mass, step_alive = fused_multi_step_call(
+        cfg, states, actions, k, ram_ocfg, block_envs, interpret)
+
+    mass_a = step_mass[:, :, :A]                                 # (N, k, A)
+    dones = jnp.broadcast_to(states.dones[:, None], (N, k, A))
+    if ms.done_on_death:
+        any_dead = jnp.any(~step_alive, axis=2)                  # (N, k)
+        dones = dones.at[:, :, 0].set(any_dead)
+    if ms.done_on_max_mass:
+        # per-step accumulation through the state's dones carry
+        # (_finish_step ORs into dones[:, 0] each step)
+        hit = jnp.any(mass_a >= C.MODE3_MAX_MASS, axis=2)        # (N, k)
+        cum = jnp.cumsum(hit.astype(jnp.int32), axis=1) > 0
+        dones = dones.at[:, :, 0].set(dones[:, :, 0] | cum)
+
+    rewards = mass_a
+    if cfg.reward_type:
+        prev = jnp.concatenate([before0[:, None], mass_a[:, :-1]], axis=1)
+        rewards = mass_a - prev
+
+    states = states.replace(dones=dones[:, -1])
+    obs_out = (None if obs is None
+               else jnp.swapaxes(obs, 0, 1)[:, :, None])         # (k,N,1,A,R)
+    return (states, obs_out, jnp.swapaxes(rewards, 0, 1),
+            jnp.swapaxes(dones, 0, 1))
+
+
 def _finish_step(cfg, states, obs, before, N, A, ms,
                  respawn_main_during_obs, auto_reset):
     """Post-obs step tail shared by the merged-ram and generic paths:

@@ -161,7 +161,17 @@ def _bint(b):
 def _make_kernel(cfg: EnvConfig, phases: int = 99,
                  n_ticks: int = 1, sub: int = 99, ram_obs=None,
                  grid_tab: bool = False, screen_tab: bool = False,
-                 loo: int = 0):
+                 loo: int = 0, n_steps: int = 0):
+    # n_steps >= 1 turns the kernel into a MULTI-ENV-STEP kernel: per step
+    # it applies the (shared) agent actions (env.py::apply_actions
+    # semantics), runs n_ticks engine ticks, emits that step's RAM frame
+    # into its slice of the obs output, and records per-step per-player
+    # (mass, alive) rows into a trailing step-info output — the XLA rim
+    # (ops/fused_step.py::fused_env_multi_step) reconstructs rewards and
+    # dones from those. This amortizes the per-CALL state HBM round trip
+    # (~0.76 ms at 8192 envs, bench/tick_ablate.py phases=0) across
+    # n_steps env steps — the dominant term once the obs extraction was
+    # keyed (bench/step_attrib.py: kernel 1.76 ms, obs +0.06, tail ~0).
     # loo ("leave one out") skips ONE block for hardware attribution
     # (bench/tick_ablate.py --loo; timing-only, semantics break):
     #   1 relax, 2 virus events, 4 food-eat, 5 feed, 6 split-sord,
@@ -300,6 +310,7 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
                valive_ref,
                fx_ref, fy_ref, fvx_ref, fvy_ref, falive_ref, fnext_ref,
                ticks_ref, seed_ref,
+               ax_ref, ay_ref, aact_ref,
                o_tx, o_ty, o_action, o_split_cd, o_feed_cd, o_elapsed,
                o_last_decay, o_anti_team, o_vticks, o_vptr,
                o_food_eaten, o_highest, o_viruses_eaten, o_cells_eaten,
@@ -390,7 +401,40 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
         else:
             maybe_deficit = np.int32(1)
 
-        for _t in range(n_ticks):
+        if n_steps:
+            ax = ax_ref[...]                 # (A, E) action dx
+            ay = ay_ref[...]
+            aact = aact_ref[...]             # (A, E) i32 act enum
+            A_n = cfg.num_agents
+            if A_n < P:
+                zpad = jnp.zeros((P - A_n, E), jnp.float32)
+                axp = jnp.concatenate([ax, zpad], axis=0)
+                ayp = jnp.concatenate([ay, zpad], axis=0)
+                aactp = jnp.concatenate(
+                    [aact, jnp.zeros((P - A_n, E), jnp.int32)], axis=0)
+            else:
+                axp, ayp, aactp = ax, ay, aact
+            agent_row = (jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+                         < A_n)
+
+        for _t in range(max(n_steps, 1) * n_ticks):
+            if n_steps and _t % n_ticks == 0:
+                # apply the (shared) step actions exactly like
+                # env.py::apply_actions: live agents get
+                # target = centroid + 10*(dx, dy), action = act
+                w0a = jnp.where(calive, cmass, 0).astype(jnp.float32)
+                pma = preduce(w0a, jnp.sum)
+                dena = jnp.maximum(pma, 1.0)
+                cenxa = preduce(w0a * cx, jnp.sum) / dena
+                cenya = preduce(w0a * cy, jnp.sum) / dena
+                pala = preduce(_bint(calive), jnp.max) > 0
+                seta = agent_row & pala
+                tx = jnp.where(seta, cenxa + C.TARGET_ACTION_SCALE * axp,
+                               tx)
+                ty = jnp.where(seta, cenya + C.TARGET_ACTION_SCALE * ayp,
+                               ty)
+                action = jnp.where(seta, aactp, action)
+
             # the *_in aliases carry this iteration's starting state
             split_cd_in = split_cd
             feed_cd_in = feed_cd
@@ -2183,6 +2227,29 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
                 cmass = jnp.where(calive, cmass, 0)
             ticks = ticks + 1
 
+            if n_steps and _t % n_ticks == n_ticks - 1:
+                # end of env step sidx: emit this step's RAM frame into its
+                # obs slice + the per-step (mass, alive) info rows the XLA
+                # rim turns into rewards/dones
+                sidx = _t // n_ticks
+                if ram_obs is not None:
+                    from agarcl_tpu.ops.fused_obs import obs_rows
+                    _b2i = lambda b: jnp.where(b, 1, 0)
+                    pkey_s = _pellet_encode(pxw, pyw)
+                    AR_s = o_extra[0].shape[0] // n_steps
+                    o_extra[0][pl.ds(sidx * AR_s, AR_s), :] = obs_rows(
+                        cfg, ram_obs, 1.0 / cfg.arena_width,
+                        1.0 / cfg.arena_height,
+                        cx, cy, cvx, cvy, cmass, _b2i(calive),
+                        pxw, pyw, jnp.where(pxw < _DEAD_MIN, 1, 0),
+                        vx_, vy_, vmass, _b2i(valive), pkey=pkey_s)
+                o_si = o_extra[1 if ram_obs is not None else 0]
+                pm_s = preduce(jnp.where(calive, cmass, 0),
+                               jnp.sum).astype(jnp.float32)
+                pal_s = preduce(_bint(calive), jnp.max).astype(jnp.float32)
+                o_si[pl.ds(sidx * 2 * P, P), :] = pm_s
+                o_si[pl.ds(sidx * 2 * P + P, P), :] = pal_s
+
         # --- writeback ----------------------------------------------------
         o_tx[...] = tx
         o_ty[...] = ty
@@ -2230,13 +2297,14 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
         o_ticks[...] = ticks
         o_seed[...] = seed
 
-        if ram_obs is not None:
+        if ram_obs is not None and not n_steps:
             # RAM frame emitted from the final in-VMEM state: saves the
             # standalone obs kernel's separate state read+dispatch (~1 ms
             # per call at 8192 envs). Bit-identical to fused_ram_obs on
             # the written-back state (same tensors, same layout, same ops;
             # the stale dead-cell positions are masked by the alive flags
-            # exactly as obs/ram.py does).
+            # exactly as obs/ram.py does). (n_steps kernels emit per step
+            # inside the loop instead.)
             from agarcl_tpu.ops.fused_obs import obs_rows
             b2i = lambda b: jnp.where(b, 1, 0)
             o_extra[0][...] = obs_rows(
@@ -2347,7 +2415,16 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
             for i, (name, _w, pw, fill) in enumerate(_smeta(cfg)):
                 emit(next_idx - k0 + i, svals[name], fill, pw)
 
-    return kernel
+    if n_steps:
+        return kernel
+
+    def kernel_nosteps(*refs):
+        # no action-plane inputs in the single-step layout: splice Nones
+        # into the ax/ay/aact slots after the last state input (seed)
+        return kernel(*refs[:_N_STATE_PLANES], None, None, None,
+                      *refs[_N_STATE_PLANES:])
+
+    return kernel_nosteps
 
 
 # ------------------------------------------------------------- wrapper
@@ -2372,6 +2449,11 @@ _SPLIT_PLAN = [
     ("food_pos", "v2"), ("food_vel", "v2"), ("food_alive", "2d"),
     ("food_next", "s"), ("ticks", "s"), ("seed", "s"),
 ]
+
+# number of (feature, N) planes _to_kernel_arrays produces — the kernel's
+# positional input count before any action planes
+_N_STATE_PLANES = sum(2 if k in ("v2", "v2p", "v2c") else 1
+                      for _, k in _SPLIT_PLAN)
 
 
 def _to_kernel_arrays(states: GameState):
@@ -2547,3 +2629,83 @@ def fused_engine_tick(cfg: EnvConfig, states: GameState,
             k += 1
         ret.append(secs)
     return ret[0] if len(ret) == 1 else tuple(ret)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6))
+def fused_multi_step_call(cfg: EnvConfig, states: GameState, actions,
+                          n_steps: int, ram_obs=None,
+                          block_envs: int = 128, interpret: bool = False):
+    """n_steps whole ENV STEPS (apply actions + ticks_per_step ticks +
+    per-step RAM frame) in ONE kernel call — amortizes the per-call state
+    HBM round trip across steps (_make_kernel n_steps docstring).
+
+    actions: (N, A, 3) f32, applied at the start of EVERY step (the
+    VecEnv.multi_step contract). Returns (states, obs (N, S, A, R) | None,
+    step_mass (N, S, P) f32, step_alive (N, S, P) bool) where mass/alive
+    are the post-step per-player values the XLA rim turns into
+    rewards/dones (ops/fused_step.py::fused_env_multi_step).
+    """
+    assert supports(cfg), "fused tick requires num_players <= 5"
+    N = states.ticks.shape[0]
+    E = _block_size(N, block_envs)
+    P = cfg.num_players
+    A = cfg.num_agents
+
+    ins = _to_kernel_arrays(states)
+    n_state = len(ins)
+    acts = jnp.asarray(actions, jnp.float32).reshape(N, A, 3)
+    ins.append(jnp.transpose(acts[:, :, 0]))                 # (A, N)
+    ins.append(jnp.transpose(acts[:, :, 1]))
+    ins.append(jnp.transpose(acts[:, :, 2].astype(jnp.int32)))
+
+    def spec_for(x):
+        blk = x.shape[:-1] + (E,)
+        nd = x.ndim
+        return pl.BlockSpec(blk, lambda i, nd=nd: (0,) * (nd - 1) + (i,))
+
+    in_specs = [spec_for(x) for x in ins]
+    out_specs = [spec_for(x) for x in ins[:n_state]]
+    out_shapes = [jax.ShapeDtypeStruct(x.shape, x.dtype)
+                  for x in ins[:n_state]]
+    if ram_obs is not None:
+        from agarcl_tpu.obs.ram import ram_size
+        AR = n_steps * A * ram_size(cfg, ram_obs)
+        out_specs.append(pl.BlockSpec((AR, E), lambda i: (0, i)))
+        out_shapes.append(jax.ShapeDtypeStruct((AR, N), jnp.float32))
+    out_specs.append(pl.BlockSpec((n_steps * 2 * P, E), lambda i: (0, i)))
+    out_shapes.append(jax.ShapeDtypeStruct((n_steps * 2 * P, N),
+                                           jnp.float32))
+
+    kernel = _make_kernel(cfg, 99, cfg.ticks_per_step, 99, ram_obs,
+                          False, False, 0, n_steps)
+    PCHUNK = 128
+    np_pad = -(-cfg.pellet_capacity // PCHUNK) * PCHUNK
+    scratch = [pltpu.VMEM((np_pad, E), jnp.float32),
+               pltpu.VMEM((np_pad, E), jnp.float32),
+               pltpu.VMEM((np_pad, E), jnp.float32),
+               pltpu.VMEM((np_pad, E), jnp.float32),
+               pltpu.VMEM((np_pad, E), jnp.int32)]
+    outs = pl.pallas_call(
+        kernel,
+        grid=(N // E,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        input_output_aliases={i: i for i in range(n_state)},
+        scratch_shapes=scratch,
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(*ins)
+
+    new_states = _from_kernel_arrays(states, outs[:n_state])
+    k = n_state
+    obs = None
+    if ram_obs is not None:
+        R = outs[k].shape[0] // (n_steps * A)
+        obs = jnp.transpose(outs[k]).reshape(N, n_steps, A, R)
+        k += 1
+    si = jnp.transpose(outs[k]).reshape(N, n_steps, 2, P)
+    step_mass = si[:, :, 0, :]
+    step_alive = si[:, :, 1, :] > 0.0
+    return new_states, obs, step_mass, step_alive

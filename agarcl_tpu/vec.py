@@ -122,6 +122,17 @@ class VecEnv:
             # per step — keeping it in the output forces it to be computed
             # every step (discarding it would let XLA dead-code the whole
             # observation path and overstate throughput).
+            if backend == "fused":
+                from agarcl_tpu.ops.fused_step import (fused_env_multi_step,
+                                                       supports_multi)
+                if (supports_multi(cfg, obs_type, auto_reset,
+                                   respawn_main_during_obs)
+                        and k <= 16):
+                    # ONE kernel call for all k steps: the per-call state
+                    # HBM round trip (~0.76 ms at 8192 envs) amortizes /k
+                    return fused_env_multi_step(cfg, states, actions, k,
+                                                obs_fn=frame_fn,
+                                                block_envs=block_envs)
             if backend == "fused" and k <= 16:
                 # python unroll: XLA fuses each step's obs store directly
                 # into its stack slot — measured 0.3 ms/step CHEAPER than

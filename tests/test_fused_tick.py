@@ -837,3 +837,86 @@ def test_tick_emitted_obs_sections():
                 cfg, socfg, ssecs, block_envs=4, interpret=True)),
             np.asarray(fused_screen.fused_screen_frame(
                 cfg, socfg, new_states, block_envs=4, interpret=True)))
+
+
+@pytest.mark.parametrize("mode,bots", [(4, 0), (7, 1)])
+def test_fused_multi_step_kernel_matches_stepwise(mode, bots):
+    """The in-kernel multi-step (fused_env_multi_step: k env steps in ONE
+    pallas call, actions applied in-kernel, per-step ram obs + step-info
+    emission) must reproduce k sequential fused_env_step calls: obs,
+    rewards, dones, and final state."""
+    import agarcl_tpu.ops.fused_step as FS
+    from agarcl_tpu.obs.ram import RamObsConfig, ram_frame
+
+    cfg = EnvConfig(num_agents=1, ticks_per_step=2, arena_size=100,
+                    num_pellets=40, num_viruses=2, num_bots=bots,
+                    reward_type=True, mode=mode)
+    assert FS.supports_multi(cfg, "ram", False, False)
+    ocfg = RamObsConfig()
+    frame_fn = functools.partial(ram_frame, cfg, ocfg)
+    N, K = 4, 3
+    states = jax.vmap(functools.partial(env_reset, cfg))(
+        jnp.arange(N, dtype=jnp.uint32) + 11)
+    acts = jnp.asarray(np.random.default_rng(1).uniform(-1, 1, (N, 1, 3)),
+                       jnp.float32)
+    acts = acts.at[..., 2].set(0.0)
+
+    s_m, obs_m, r_m, d_m = FS.fused_env_multi_step(
+        cfg, states, acts, K, obs_fn=frame_fn, block_envs=4, interpret=True)
+
+    s_ref = states
+    obs_l, r_l, d_l = [], [], []
+    for _ in range(K):
+        s_ref, o, r, d = FS.fused_env_step(cfg, s_ref, acts,
+                                           obs_fn=frame_fn, num_frames=1,
+                                           block_envs=4, interpret=True)
+        obs_l.append(o)
+        r_l.append(r)
+        d_l.append(d)
+    np.testing.assert_allclose(np.asarray(obs_m),
+                               np.asarray(jnp.stack(obs_l)),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(r_m), np.asarray(jnp.stack(r_l)),
+                               atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(d_m),
+                                  np.asarray(jnp.stack(d_l)))
+    np.testing.assert_array_equal(np.asarray(s_m.cell_mass),
+                                  np.asarray(s_ref.cell_mass))
+    np.testing.assert_array_equal(np.asarray(s_m.dones),
+                                  np.asarray(s_ref.dones))
+    compare(s_m, s_ref, "multi-step-kernel")
+
+
+def test_fused_multi_step_kernel_mode3_done_accumulates():
+    """done_on_max_mass (mode 3) must latch across the in-kernel steps the
+    way the per-step dones carry does."""
+    import agarcl_tpu.ops.fused_step as FS
+    cfg = EnvConfig(num_agents=1, ticks_per_step=2, arena_size=80,
+                    num_pellets=20, num_viruses=0, num_bots=0, mode=3)
+    assert FS.supports_multi(cfg, "none", False, False)
+    N = 4
+    states = jax.vmap(functools.partial(env_reset, cfg))(
+        jnp.arange(N, dtype=jnp.uint32))
+    states = states.replace(
+        cell_mass=states.cell_mass.at[0, 0, 0].set(23500))
+    acts = jnp.zeros((N, 1, 3), jnp.float32)
+    s_m, obs_m, r_m, d_m = FS.fused_env_multi_step(
+        cfg, states, acts, 3, obs_fn=None, block_envs=4, interpret=True)
+    assert obs_m is None
+    d = np.asarray(d_m)                      # (k, N, A)
+    assert d[:, 0, 0].all()                  # latched every step
+    assert not d[:, 1:, :].any()
+    assert np.asarray(s_m.dones)[0, 0]
+
+
+def test_vecenv_multi_step_uses_kernel_path():
+    """VecEnv.multi_step on the fused backend routes eligible configs to
+    fused_env_multi_step (gate check only — parity covered above)."""
+    import agarcl_tpu.ops.fused_step as FS
+    cfg = EnvConfig(num_agents=1, ticks_per_step=2, arena_size=80,
+                    num_pellets=20, num_viruses=0, num_bots=0, mode=4)
+    assert FS.supports_multi(cfg, "ram", False, False)
+    assert not FS.supports_multi(cfg, "ram", True, False)   # auto_reset
+    assert not FS.supports_multi(cfg, "grid", False, False)
+    assert not FS.supports_multi(
+        EnvConfig(num_agents=1, num_bots=4, mode=0), "ram", False, False)
