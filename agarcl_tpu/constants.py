@@ -16,6 +16,14 @@ FOOD_SPEED = 100.0          # ejected-mass launch speed
 FOOD_DECEL = 80.0           # ejected-mass deceleration
 
 RECOMBINE_TICKS = 300       # pinned: RECOMBINE_TIMER_SEC(10) * 30 ticks/s (SPEC D3)
+# Merge-touch slack (SPEC M7 amendment): the reference's in-place sequential
+# relax leaves expired pairs exactly tangent, so its `touches()` (>=) merge
+# fires at first timer expiry (Engine.hpp:1160-1179 + avoid_static_overlap);
+# our Jacobi relax leaves a strictly positive ~1e-4..1e-2 gap (drift harness,
+# drift/recombine_probe.py), which would park side-by-side pairs unmerged
+# forever. Merging within 0.01 world units of tangency restores the
+# reference's observable behavior (merge ~= first expiry tick when adjacent).
+RECOMBINE_TOUCH_EPS = 0.01
 
 CELL_EAT_MARGIN = 1.1       # must be 1.1x larger to eat (settings.hpp:18)
 

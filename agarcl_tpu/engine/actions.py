@@ -313,7 +313,8 @@ def recombine(cells, elapsed):
         diff = cells["pos"][:, None, :, :] - cells["pos"][:, :, None, :]
         dist2 = jnp.sum(diff * diff, axis=-1)
         rsum = rad[:, :, None] + rad[:, None, :]
-        touch = rsum * rsum >= dist2
+        rsum_e = rsum + C.RECOMBINE_TOUCH_EPS
+        touch = rsum_e * rsum_e >= dist2
         lower = rank[:, :, None] < rank[:, None, :]
         elig = can[:, :, None] & can[:, None, :] & touch & lower
         key = jnp.where(elig, rank[:, :, None] * Cc + rank[:, None, :], _BIG_I)

@@ -1902,7 +1902,8 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
                             dx = cxp[None, :, :] - cxI[:, None, :]
                             dy = cyp[None, :, :] - cyI[:, None, :]
                             d2 = dx * dx + dy * dy
-                            rs = radI[:, None, :] + radm[None, :, :]
+                            rs = (radI[:, None, :] + radm[None, :, :]
+                                  + np.float32(C.RECOMBINE_TOUCH_EPS))
                             lw = rkI[:, None, :] < rk[None, :, :]
                             elig = (canI[:, None, :] & can2[None, :, :] & lw
                                     & (rs * rs >= d2))

@@ -30,6 +30,9 @@ constexpr float SPLIT_DECELERATION = 80.0f;
 constexpr float FOOD_SPEED = 100.0f;
 constexpr float FOOD_DECEL = 80.0f;
 constexpr int   RECOMBINE_TICKS = 300;
+// SPEC M7 amendment: merge fires within 0.01 world units of tangency (the
+// Jacobi relax never leaves expired pairs exactly tangent; see constants.py)
+constexpr float RECOMBINE_TOUCH_EPS = 0.01f;
 constexpr float CELL_EAT_MARGIN = 1.1f;
 constexpr float CELL_POP_REDUCTION = 2.0f;
 constexpr int   CELL_POP_SIZE = 25;
@@ -802,7 +805,8 @@ void engine_tick(Oracle &o) {
           float rj = radiusf(float(o.st.cmass[p][j]));
           float dx = o.st.cpos[p][j].x - o.st.cpos[p][i].x;
           float dy = o.st.cpos[p][j].y - o.st.cpos[p][i].y;
-          if ((ri + rj) * (ri + rj) >= dx * dx + dy * dy) {
+          float rse = (ri + rj) + RECOMBINE_TOUCH_EPS;
+          if (rse * rse >= dx * dx + dy * dy) {
             int64_t key = int64_t(rank[p][i]) * Cc + rank[p][j];
             if (key < best) { best = key; bi = i; bj = j; }
           }

@@ -131,11 +131,14 @@ def test_recombine_unequal_overlap():
     assert int(s.player_mass()[0]) == 210
 
 
-def test_equal_split_pair_never_recombines_at_rest():
-    """Bug-compatible with the reference: an equal 50/50 split holding still
-    oscillates via elastic collisions and never touches at the recombine
-    phase (verified against the reference engine — 0 merges even 700 ticks
-    after the timer expires)."""
+def test_equal_split_pair_recombines_after_timer():
+    """An equal 50/50 split holding still recombines shortly after the
+    300-tick timer expires. Measured against the REAL reference engine run
+    at real-time pacing (drift/recombine_probe.py: merge at 298 ticks =
+    10.0 wall-seconds; the wall-clock recombine timer means a fast headless
+    reference run never merges — an artifact, not the intended behavior).
+    The M7 touch slack (constants.RECOMBINE_TOUCH_EPS) lets the merge fire
+    from the tangency-parked state our Jacobi relax produces."""
     s = no_regen_tick(kill_entities(reset(BASE, 0)))
     s = s.replace(cell_mass=s.cell_mass.at[0, 0].set(100),
                   cell_pos=s.cell_pos.at[0, 0].set(jnp.array([50.0, 50.0])))
@@ -143,9 +146,14 @@ def test_equal_split_pair_never_recombines_at_rest():
     s, _, _ = step(s, jnp.array([[1.0, 0.0, 2.0]]))
     assert int(jnp.sum(s.cell_alive[0])) == 2
     still = jnp.array([[0.0, 0.0, 0.0]])
-    for _ in range(C.RECOMBINE_TICKS // BASE.ticks_per_step + 5):
+    merged_at = None
+    for i in range((C.RECOMBINE_TICKS + 200) // BASE.ticks_per_step):
         s, _, _ = step(s, still)
-    assert int(jnp.sum(s.cell_alive[0])) == 2
+        if int(jnp.sum(s.cell_alive[0])) == 1:
+            merged_at = (i + 1) * BASE.ticks_per_step
+            break
+    assert merged_at is not None, "split pair never recombined"
+    assert merged_at >= C.RECOMBINE_TICKS - BASE.ticks_per_step
     assert int(s.player_mass()[0]) >= 100  # regen pellets may add mass
 
 
