@@ -72,9 +72,10 @@ class RefEnv:
             getattr(lib, f).restype = ret
             getattr(lib, f).argtypes = [ctypes.c_void_p]
         lib.ref_respawn_if_dead.argtypes = [ctypes.c_void_p]
-        lib.ref_nearest_pellet_dir.argtypes = [
-            ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
-            ctypes.POINTER(ctypes.c_float)]
+        for f in ("ref_nearest_pellet_dir", "ref_nearest_virus_dir"):
+            getattr(lib, f).argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_float)]
         self._lib = lib
         self._h = lib.ref_create(arena, num_pellets, num_viruses, mode,
                                  num_agents, num_bots, seed)
@@ -97,6 +98,13 @@ class RefEnv:
         dy = ctypes.c_float()
         self._lib.ref_nearest_pellet_dir(self._h, ctypes.byref(dx),
                                          ctypes.byref(dy))
+        return dx.value, dy.value
+
+    def nearest_virus_dir(self):
+        dx = ctypes.c_float()
+        dy = ctypes.c_float()
+        self._lib.ref_nearest_virus_dir(self._h, ctypes.byref(dx),
+                                        ctypes.byref(dy))
         return dx.value, dy.value
 
     def close(self):
@@ -124,21 +132,52 @@ def scripted_actions(seed: int, steps: int):
 
 
 def run_reference(seeds, steps, policy="script", **cfg):
-    """Per-seed metric trajectories from the actual reference engine."""
+    """Per-seed metric trajectories from the actual reference engine.
+
+    Policies (mirrored exactly by run_ours):
+      script    — per-seed random directions + periodic split/feed
+      chase     — unit direction toward the nearest pellet
+      virusfeed — grow on pellets until mass >= 60, then aim at the
+                  nearest virus and feed (exercises the food->virus
+                  7-hit reset/spawn path, Engine.hpp:661-687)
+      selffeed  — feed every step while flipping direction (exercises
+                  ejected-food edibility timing, Engine.hpp:1011-1025)
+    """
     out = []
     for s in seeds:
         env = RefEnv(seed=int(s), **cfg)
         dirs, acts = scripted_actions(int(s), steps)
         masses = np.zeros(steps)
+        viruses = np.zeros(steps)
+        foods = np.zeros(steps)
         for t in range(steps):
             if policy == "chase":
                 dx, dy = env.nearest_pellet_dir()
                 env.step(dx, dy, acts[t])
+            elif policy == "virusfeed":
+                if env.metrics()["mass"] >= 60:
+                    dx, dy = env.nearest_virus_dir()
+                    env.step(dx, dy, 1)
+                else:
+                    dx, dy = env.nearest_pellet_dir()
+                    env.step(dx, dy, 0)
+            elif policy == "selffeed":
+                if env.metrics()["mass"] < 80:
+                    dx, dy = env.nearest_pellet_dir()
+                    env.step(dx, dy, 0)
+                else:
+                    flip = 1.0 if (t % 2 == 0) else -1.0
+                    env.step(flip * dirs[t, 0], flip * dirs[t, 1], 1)
             else:
                 env.step(dirs[t, 0], dirs[t, 1], acts[t])
-            masses[t] = env.metrics()["mass"]
+            m = env.metrics()
+            masses[t] = m["mass"]
+            viruses[t] = m["viruses"]
+            foods[t] = m["foods"]
         m = env.metrics()
         m["masses"] = masses
+        m["virus_traj"] = viruses
+        m["food_traj"] = foods
         env.close()
         out.append(m)
     return out
@@ -164,22 +203,45 @@ def run_ours(seeds, steps, policy="script", arena=100, num_pellets=200,
     dirs = np.stack([scripted_actions(int(s), steps)[0] for s in seeds])
     acts = np.stack([scripted_actions(int(s), steps)[1] for s in seeds])
     masses = np.zeros((n, steps))
+    virus_traj = np.zeros((n, steps))
+    food_traj = np.zeros((n, steps))
     from agarcl_tpu.env import respawn_players
+
+    def _nearest_dir(pos, alive, cen):
+        """Unit direction (n, 2) toward each env's nearest alive entity."""
+        rel = pos - cen[:, None, :]
+        d2 = (rel * rel).sum(-1)
+        d2 = np.where(alive & (d2 > 1e-4), d2, 1e30)
+        sel = rel[np.arange(n), d2.argmin(1)]
+        nn = np.maximum(np.linalg.norm(sel, axis=1, keepdims=True), 1e-6)
+        return ((sel / nn).astype(np.float32),
+                (d2.min(1) < 1e29)[:, None])
+
     for t in range(steps):
-        if policy == "chase":
-            pp, pa = states.pellet_xy_alive(cfg)
-            pp, pa = np.asarray(pp), np.asarray(pa)        # (n, Np, 2)
+        if policy in ("chase", "virusfeed", "selffeed"):
             cen = np.asarray(states.player_centroid()[:, 0])
-            rel = pp - cen[:, None, :]
-            d2 = (rel * rel).sum(-1)
-            d2 = np.where(pa & (d2 > 1e-4), d2, 1e30)
-            sel = rel[np.arange(n), d2.argmin(1)]
-            nn = np.maximum(np.linalg.norm(sel, axis=1, keepdims=True),
-                            1e-6)
-            dchase = (sel / nn).astype(np.float32)
-            has = (d2.min(1) < 1e29)[:, None]
-            a = np.concatenate([np.where(has, dchase, 0.0),
-                                acts[:, t, None]],
+            pp, pa = states.pellet_xy_alive(cfg)
+            dchase, has = _nearest_dir(np.asarray(pp), np.asarray(pa), cen)
+            pdir = np.where(has, dchase, 0.0)
+            mass = np.asarray(states.player_mass()[:, 0])
+        if policy == "chase":
+            a = np.concatenate([pdir, acts[:, t, None]],
+                               axis=1)[:, None, :].astype(np.float32)
+        elif policy == "virusfeed":
+            vdir, vhas = _nearest_dir(np.asarray(states.virus_pos),
+                                      np.asarray(states.virus_alive), cen)
+            vdir = np.where(vhas, vdir, 0.0)
+            hungry = (mass < 60)[:, None]
+            d = np.where(hungry, pdir, vdir)
+            act = np.where(hungry[:, 0], 0, 1).astype(np.float32)
+            a = np.concatenate([d, act[:, None]],
+                               axis=1)[:, None, :].astype(np.float32)
+        elif policy == "selffeed":
+            flip = 1.0 if (t % 2 == 0) else -1.0
+            hungry = (mass < 80)[:, None]
+            d = np.where(hungry, pdir, flip * dirs[:, t])
+            act = np.where(hungry[:, 0], 0, 1).astype(np.float32)
+            a = np.concatenate([d, act[:, None]],
                                axis=1)[:, None, :].astype(np.float32)
         else:
             a = np.concatenate([dirs[:, t], acts[:, t, None]],
@@ -192,6 +254,8 @@ def run_ours(seeds, steps, policy="script", arena=100, num_pellets=200,
                 states, jnp.asarray(dead[:, None]
                                     & np.ones((n, cfg.num_players), bool)))
         masses[:, t] = np.asarray(states.player_mass()[:, 0])
+        virus_traj[:, t] = np.asarray(states.virus_alive).sum(1)
+        food_traj[:, t] = np.asarray(states.food_alive).sum(1)
     pp, pa = states.pellet_xy_alive(cfg)
     out = []
     for i in range(n):
@@ -202,7 +266,9 @@ def run_ours(seeds, steps, policy="script", arena=100, num_pellets=200,
             viruses=int(np.asarray(states.virus_alive[i]).sum()),
             foods=int(np.asarray(states.food_alive[i]).sum()),
             food_eaten=int(np.asarray(states.food_eaten[i, 0])),
-            masses=masses[i]))
+            masses=masses[i],
+            virus_traj=virus_traj[i],
+            food_traj=food_traj[i]))
     return out
 
 
@@ -228,6 +294,11 @@ def compare(ref, ours, steps):
     for k in ("food_eaten", "pellets", "foods", "cells"):
         rows[f"mean_{k}"] = (float(np.mean([r[k] for r in ref])),
                              float(np.mean([o[k] for o in ours])))
+    for k in ("virus_traj", "food_traj"):
+        rv = np.stack([r[k] for r in ref])
+        ov = np.stack([o[k] for o in ours])
+        rows[f"mean_{k}"] = (float(rv.mean()), float(ov.mean()))
+        rows[f"max_{k}"] = (float(rv.max()), float(ov.max()))
     return rows
 
 
@@ -241,7 +312,7 @@ def main():
     ap.add_argument("--viruses", type=int, default=2)
     ap.add_argument("--arena", type=int, default=100)
     ap.add_argument("--policy", default="script",
-                    choices=["script", "chase"])
+                    choices=["script", "chase", "virusfeed", "selffeed"])
     args = ap.parse_args()
     seeds = list(range(1, args.seeds + 1))
     kw = dict(arena=args.arena, num_pellets=args.pellets,

@@ -115,6 +115,25 @@ void ref_nearest_pellet_dir(void *h, float *dx, float *dy) {
   if (n > 1e-6f) { *dx /= n; *dy /= n; }
 }
 
+// unit direction toward the nearest virus (for the virus-feed drift
+// policy that exercises the food->virus 7-hit reset/spawn path,
+// Engine.hpp:661-687)
+void ref_nearest_virus_dir(void *h, float *dx, float *dy) {
+  auto *r = static_cast<RefEnv *>(h);
+  auto &p = r->eng->player(r->pids[0]);
+  *dx = 0; *dy = 0;
+  if (p.dead()) return;
+  float px = p.x(), py = p.y();
+  float best = 1e30f;
+  for (auto &v : r->eng->viruses()) {
+    float ddx = v.x - px, ddy = v.y - py;
+    float d2 = ddx * ddx + ddy * ddy;
+    if (d2 < best) { best = d2; *dx = ddx; *dy = ddy; }
+  }
+  float n = std::sqrt((*dx) * (*dx) + (*dy) * (*dy));
+  if (n > 1e-6f) { *dx /= n; *dy /= n; }
+}
+
 void ref_respawn_if_dead(void *h) {
   auto *r = static_cast<RefEnv *>(h);
   auto &p = r->eng->player(r->pids[0]);
