@@ -56,10 +56,20 @@ def _block_size(n: int, want: int) -> int:
 
 
 def supports(cfg: EnvConfig, ocfg) -> bool:
-    """The fused grid kernel covers single-agent configs (any bot count)
-    with grid sizes dividing 128 (the packed-output layout)."""
-    return (isinstance(ocfg, GridObsConfig) and cfg.num_agents == 1
-            and ocfg.num_frames == 1 and 128 % ocfg.grid_size == 0)
+    """The fused grid kernel covers any agent count (each agent's frame is
+    a virtual env row through the same kernel) and any frame count (the
+    step scan calls the rasterizer once per obs tick, fused_step.py) with
+    grid sizes dividing 128 (the packed-output layout)."""
+    return (isinstance(ocfg, GridObsConfig)
+            and 128 % ocfg.grid_size == 0)
+
+
+def supports_emit(cfg: EnvConfig, ocfg) -> bool:
+    """Whether the TICK kernel can emit this config's grid sections
+    itself (fused_engine_tick(grid_tab=True) writes single-agent
+    sections from its post-tick VMEM state); multi-agent configs build
+    per-agent tables in XLA instead (_build_grid_table(agents=A))."""
+    return supports(cfg, ocfg) and cfg.num_agents == 1
 
 
 def section_meta(cfg: EnvConfig):
@@ -383,47 +393,83 @@ def _make_kernel(cfg: EnvConfig, G: int, BE: int, n_other: int, offs,
     return kernel
 
 
-def _build_grid_table(cfg: EnvConfig, G: int, states, sections: bool = False):
+def _build_grid_table(cfg: EnvConfig, G: int, states, sections: bool = False,
+                      agents: int = 1):
     """Entity input tables + offsets + n_other for the grid kernel.
     sections=True returns the padded sections as a dict (the separate-
-    inputs layout) instead of concatenating into one table."""
+    inputs layout) instead of concatenating into one table.
+    agents>1 builds one virtual env row per (env, agent) pair — row
+    n*agents + a carries agent a's camera params, its cells as the "own"
+    section and every other player's cells as "others" (obs/grid.py
+    owner-mask semantics) — so the same single-agent kernel rasterizes
+    multi-agent frames; the caller reshapes (N*A, ...) -> (N, A, ...)."""
     N = states.ticks.shape[0]
     P, Cc = states.cell_mass.shape[1:]
+    A = agents
 
-    centroid = states.player_centroid()[:, 0, :]              # (N, 2)
-    pmass = states.player_mass()[:, 0].astype(jnp.float32)
-    view = jnp.clip(2.0 * pmass, 100.0, 300.0)
-    params = jnp.zeros((N, 8), jnp.float32)
-    params = params.at[:, 0].set(centroid[:, 0])
-    params = params.at[:, 1].set(centroid[:, 1])
-    params = params.at[:, 2].set(view)
+    centroid = states.player_centroid()[:, :A, :]             # (N, A, 2)
+    pmass = states.player_mass()[:, :A].astype(jnp.float32)
+    view = jnp.clip(2.0 * pmass, 100.0, 300.0)                # (N, A)
+    NA = N * A
+    params = jnp.zeros((NA, 8), jnp.float32)
+    params = params.at[:, 0].set(centroid[..., 0].reshape(NA))
+    params = params.at[:, 1].set(centroid[..., 1].reshape(NA))
+    params = params.at[:, 2].set(view.reshape(NA))
 
     f32 = jnp.float32
+
+    def rep(x):
+        """(N, Ne) -> (N*A, Ne): shared entity tables repeated per agent
+        (free for A == 1)."""
+        if A == 1:
+            return x
+        return jnp.broadcast_to(x[:, None], (N, A) + x.shape[1:]).reshape(
+            (NA,) + x.shape[1:])
+
     # dead pellets park at an out-of-grid bin via a huge coordinate
     pellet_pos, palive = states.pellet_xy_alive(cfg)
-    px = jnp.where(palive, pellet_pos[:, :, 0], f32(1e9))
-    py = jnp.where(palive, pellet_pos[:, :, 1], f32(1e9))
+    px = rep(jnp.where(palive, pellet_pos[:, :, 0], f32(1e9)))
+    py = rep(jnp.where(palive, pellet_pos[:, :, 1], f32(1e9)))
     # dead viruses park at an out-of-grid bin so the in-kernel bin counts
     # see live entities only
-    vx = jnp.where(states.virus_alive, states.virus_pos[:, :, 0], f32(1e9))
-    vy = jnp.where(states.virus_alive, states.virus_pos[:, :, 1], f32(1e9))
-    vm = jnp.where(states.virus_alive,
-                   states.virus_mass.astype(f32), 0.0)        # max+add weight
-    mx = states.cell_pos[:, 0, :, 0]
-    my = states.cell_pos[:, 0, :, 1]
-    mm = jnp.where(states.cell_alive[:, 0],
-                   states.cell_mass[:, 0].astype(f32), 0.0)
-    n_other = (P - 1) * Cc
-    if n_other:
-        opos = states.cell_pos[:, 1:].reshape(N, n_other, 2)
-        oalive = states.cell_alive[:, 1:].reshape(N, n_other)
-        omass = states.cell_mass[:, 1:].reshape(N, n_other).astype(f32)
-        ox = jnp.where(oalive, opos[:, :, 0], f32(1e9))
-        oy = jnp.where(oalive, opos[:, :, 1], f32(1e9))
-        om = jnp.where(oalive, omass, 0.0)                    # max weight
-        ok_ = jnp.where(oalive, omass, f32(_INF_F))           # min weight
+    vx = rep(jnp.where(states.virus_alive, states.virus_pos[:, :, 0],
+                       f32(1e9)))
+    vy = rep(jnp.where(states.virus_alive, states.virus_pos[:, :, 1],
+                       f32(1e9)))
+    vm = rep(jnp.where(states.virus_alive,
+                       states.virus_mass.astype(f32), 0.0))   # max+add weight
+
+    def own_other(a):
+        """Own/other sections for agent a (owner == a vs owner != a)."""
+        mx_ = states.cell_pos[:, a, :, 0]
+        my_ = states.cell_pos[:, a, :, 1]
+        mm_ = jnp.where(states.cell_alive[:, a],
+                        states.cell_mass[:, a].astype(f32), 0.0)
+        oth = [p for p in range(P) if p != a]
+        if oth:
+            opos = states.cell_pos[:, oth].reshape(N, len(oth) * Cc, 2)
+            oalive = states.cell_alive[:, oth].reshape(N, len(oth) * Cc)
+            omass = states.cell_mass[:, oth].reshape(
+                N, len(oth) * Cc).astype(f32)
+            ox_ = jnp.where(oalive, opos[:, :, 0], f32(1e9))
+            oy_ = jnp.where(oalive, opos[:, :, 1], f32(1e9))
+            om_ = jnp.where(oalive, omass, 0.0)               # max weight
+            okk = jnp.where(oalive, omass, f32(_INF_F))       # min weight
+        else:
+            ox_ = oy_ = om_ = okk = jnp.zeros((N, 8), f32)
+        return mx_, my_, mm_, ox_, oy_, om_, okk
+
+    if A == 1:
+        mx, my, mm, ox, oy, om, ok_ = own_other(0)
     else:
-        ox = oy = om = ok_ = jnp.zeros((N, 8), f32)
+        cols = [own_other(a) for a in range(A)]
+        mx, my, mm, ox, oy, om, ok_ = (
+            jnp.stack([c[i] for c in cols], axis=1).reshape(
+                (NA,) + cols[0][i].shape[1:])
+            for i in range(7))
+    n_other = (P - 1) * Cc
+    if not n_other:
+        ox = oy = om = ok_ = jnp.zeros((NA, 8), f32)
 
     # consolidate: pad every section to a 128-lane multiple (tile-aligned
     # in-kernel slices) and concatenate — one input DMA per grid step.
@@ -451,24 +497,27 @@ def _build_grid_table(cfg: EnvConfig, G: int, states, sections: bool = False):
     return tab, offs, n_other
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 3, 4, 5, 6, 7, 8))
+@functools.partial(jax.jit, static_argnums=(0, 1, 3, 4, 5, 6, 7, 8, 9))
 def fused_grid_channels(cfg: EnvConfig, G: int, states,
                         block_envs: int = 8, interpret: bool = False,
                         _only: str | None = None,
                         out_dtype: str = "int32",
                         layout: str = "sections",
-                        _vmax: str = "block"):
-    """(N, 8, G, G) int32 (or saturating int16 when out_dtype="int16") —
-    all grid channels for a batched GameState, bin-exact vs jax.vmap of
-    obs/grid.py grid_frame (single-agent).
+                        _vmax: str = "block",
+                        agents: int = 1):
+    """(N*agents, 8, G, G) int32 (or saturating int16 when
+    out_dtype="int16") — all grid channels for a batched GameState,
+    bin-exact vs jax.vmap of obs/grid.py grid_frame; with agents > 1 the
+    rows interleave per-agent frames ((N, A) row-major, see
+    _build_grid_table).
     _only / layout / _vmax: see _make_kernel (benchmark ablations; the
     separate-inputs 'sections' layout is the production default — same
     finding as fused_screen, the concat copies cost more than the extra
     per-grid-step DMA setups)."""
-    N = states.ticks.shape[0]
+    N = states.ticks.shape[0] * agents
     BE = _block_size(N, block_envs)
     secs_or_tab, offs, n_other = _build_grid_table(
-        cfg, G, states, sections=(layout == "sections"))
+        cfg, G, states, sections=(layout == "sections"), agents=agents)
     odt = dict(int32=jnp.int32, int16=jnp.int16, int8=jnp.int8)[out_dtype]
     ROWS = G * G // 128
     if layout == "sections":
@@ -502,8 +551,9 @@ _CH_ORDER = dict(oob=0, pel_presence=1, pel_count=2, vir_max=3, vir_add=4,
                  own=5, oth_min=6, oth_max=7)
 
 
-def _select_channels(ocfg: GridObsConfig, all_ch):
-    """(N, 8, G, G) -> (N, 1, C, G, G) with the ocfg's channel selection."""
+def _select_channels(ocfg: GridObsConfig, all_ch, agents: int = 1):
+    """(N*A, 8, G, G) -> (N, A, C, G, G) with the ocfg's channel
+    selection."""
     idx = [0]
     if ocfg.observe_pellets:
         idx += [1, 2]
@@ -517,18 +567,22 @@ def _select_channels(ocfg: GridObsConfig, all_ch):
         sel = all_ch
     else:
         sel = jnp.stack([all_ch[:, i] for i in idx], axis=1)
-    return sel[:, None]                                       # (N, 1, C, G, G)
+    na = sel.shape[0]
+    return sel.reshape((na // agents, agents) + sel.shape[1:])
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 3, 4))
 def fused_grid_frame(cfg: EnvConfig, ocfg: GridObsConfig, states,
                      block_envs: int = 8, interpret: bool = False):
-    """(N, 1, C, G, G) int32 — batched grid frames with the ocfg's channel
-    selection, matching jax.vmap(grid_frame) exactly."""
+    """(N, A, C, G, G) int32 — batched grid frames with the ocfg's channel
+    selection, matching jax.vmap(grid_frame) exactly (one frame per
+    agent; multi-agent configs rasterize as virtual env rows)."""
     assert supports(cfg, ocfg)
+    A = cfg.num_agents
     all_ch = fused_grid_channels(cfg, ocfg.grid_size, states, block_envs,
-                                 interpret, None, ocfg.out_dtype)
-    return _select_channels(ocfg, all_ch)
+                                 interpret, None, ocfg.out_dtype,
+                                 "sections", "block", A)
+    return _select_channels(ocfg, all_ch, A)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 3, 4))
@@ -541,7 +595,7 @@ def fused_grid_frame_from_secs(cfg: EnvConfig, ocfg: GridObsConfig, secs,
     8192 envs) never runs — the tick kernel wrote the sections from its
     post-tick VMEM state. Bin-exact vs fused_grid_frame on the same
     post-tick state (tests/test_fused_tick.py)."""
-    assert supports(cfg, ocfg)
+    assert supports_emit(cfg, ocfg)
     G = ocfg.grid_size
     meta = section_meta(cfg)
     offs = _meta_offs(meta)

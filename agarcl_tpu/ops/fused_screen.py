@@ -55,7 +55,16 @@ def _block_size(n: int, want: int) -> int:
 
 
 def supports(cfg: EnvConfig) -> bool:
-    """The fused screen kernel covers single-agent configs (any bot count)."""
+    """The fused screen kernel covers any agent count: each agent's frame
+    rasterizes as a virtual env row through the same single-camera kernel
+    (_build_table(agents=A))."""
+    return True
+
+
+def supports_emit(cfg: EnvConfig) -> bool:
+    """Whether the TICK kernel can emit this config's screen sections
+    itself (fused_engine_tick(screen_tab=True) writes single-agent
+    sections from its post-tick VMEM state)."""
     return cfg.num_agents == 1
 
 
@@ -347,19 +356,35 @@ def _make_kernel(cfg: EnvConfig, S: int, BE: int, Kp: int, Kf: int, Kv: int,
     return kernel
 
 
-def _build_table(cfg: EnvConfig, S: int, states, _ablate=None):
+def _build_table(cfg: EnvConfig, S: int, states, _ablate=None,
+                 agents: int = 1):
     """Entity input tables + section offsets + n_other (see _rasterize).
     _ablate='sections' (the production layout) returns the padded sections
     as a dict for _rasterize_sections instead of concatenating them;
     _ablate='nocompact' skips the alive-first cell sort (timing only —
-    the count ladder then draws wrong lanes)."""
+    the count ladder then draws wrong lanes).
+    agents>1 builds one virtual env row per (env, agent) pair — row
+    n*agents + a carries agent a's camera, its cells as "main" and every
+    other player's cells as "others" (obs/screen.py _class_map owner-mask
+    semantics) — so the same single-agent kernel rasterizes multi-agent
+    frames; the caller reshapes (N*A, ...) -> (N, A, ...)."""
     N = states.ticks.shape[0]
     P, Cc = states.cell_mass.shape[1:]
+    A = agents
+    NA = N * A
 
-    centroid = states.player_centroid()[:, 0, :]              # (N, 2)
-    pmass = states.player_mass()[:, 0].astype(jnp.float32)
+    centroid = states.player_centroid()[:, :A, :].reshape(NA, 2)
+    pmass = states.player_mass()[:, :A].astype(jnp.float32).reshape(NA)
     z = jnp.clip(100.0 + pmass / 10.0, 100.0, 900.0)
     half = z * jnp.float32(_TAN_HALF_FOV)
+
+    def rep(x):
+        """(N, Ne) -> (N*A, Ne): shared entity tables repeated per agent
+        (free for A == 1)."""
+        if A == 1:
+            return x
+        return jnp.broadcast_to(x[:, None], (N, A) + x.shape[1:]).reshape(
+            (NA,) + x.shape[1:])
 
     def cols(pos, alive, r):
         """(N, Ne) x/y plus alive-masked squared radius (dead -> -1)."""
@@ -380,26 +405,43 @@ def _build_table(cfg: EnvConfig, S: int, states, _ablate=None):
     rp = jnp.float32(_RAD_PELLET)
     rf = jnp.float32(_RAD_FOOD)
     pellet_pos, pellet_alive = states.pellet_xy_alive(cfg)
-    px, py, pr2 = cols(pellet_pos, pellet_alive, rp)
-    fx, fy, fr2 = cols(states.food_pos, states.food_alive, rf)
+    px, py, pr2 = (rep(c) for c in cols(pellet_pos, pellet_alive, rp))
+    fx, fy, fr2 = (rep(c) for c in cols(states.food_pos, states.food_alive,
+                                        rf))
     crad = jnp.sqrt(states.cell_mass.astype(jnp.float32) / jnp.pi)
-    mx, my, mr2 = cols(states.cell_pos[:, 0], states.cell_alive[:, 0],
-                       crad[:, 0])
-    mx, my, mr2, mcnt = compact(mx, my, mr2, states.cell_alive[:, 0])
     n_other = (P - 1) * Cc
-    if n_other:
-        opos = states.cell_pos[:, 1:].reshape(N, n_other, 2)
-        oalive = states.cell_alive[:, 1:].reshape(N, n_other)
-        orad = crad[:, 1:].reshape(N, n_other)
-        ox, oy, or2 = cols(opos, oalive, orad)
-        ox, oy, or2, ocnt = compact(ox, oy, or2, oalive)
-    else:
-        ox = oy = or2 = jnp.zeros((N, 1), jnp.float32)
-        ocnt = jnp.zeros((N,), jnp.float32)
-    vrad = jnp.sqrt(states.virus_mass.astype(jnp.float32) / jnp.pi)
-    vx, vy, vr2 = cols(states.virus_pos, states.virus_alive, vrad)
 
-    params = jnp.zeros((N, 8), jnp.float32)
+    def main_other(a):
+        mx_, my_, mr2_ = cols(states.cell_pos[:, a],
+                              states.cell_alive[:, a], crad[:, a])
+        mx_, my_, mr2_, mcnt_ = compact(mx_, my_, mr2_,
+                                        states.cell_alive[:, a])
+        oth = [p for p in range(P) if p != a]
+        if oth:
+            opos = states.cell_pos[:, oth].reshape(N, n_other, 2)
+            oalive = states.cell_alive[:, oth].reshape(N, n_other)
+            orad = crad[:, oth].reshape(N, n_other)
+            ox_, oy_, or2_ = cols(opos, oalive, orad)
+            ox_, oy_, or2_, ocnt_ = compact(ox_, oy_, or2_, oalive)
+        else:
+            ox_ = oy_ = or2_ = jnp.zeros((N, 1), jnp.float32)
+            ocnt_ = jnp.zeros((N,), jnp.float32)
+        return mx_, my_, mr2_, mcnt_, ox_, oy_, or2_, ocnt_
+
+    if A == 1:
+        mx, my, mr2, mcnt, ox, oy, or2, ocnt = main_other(0)
+    else:
+        colsA = [main_other(a) for a in range(A)]
+        mx, my, mr2, mcnt, ox, oy, or2, ocnt = (
+            jnp.stack([c[i] for c in colsA], axis=1).reshape(
+                (NA,) + colsA[0][i].shape[1:])
+            for i in range(8))
+    vrad = jnp.sqrt(states.virus_mass.astype(jnp.float32) / jnp.pi)
+    vx, vy, vr2 = (rep(c)
+                   for c in cols(states.virus_pos, states.virus_alive,
+                                 vrad))
+
+    params = jnp.zeros((NA, 8), jnp.float32)
     params = params.at[:, 0].set(centroid[:, 0])
     params = params.at[:, 1].set(centroid[:, 1])
     params = params.at[:, 2].set(half)
@@ -497,16 +539,19 @@ def _rasterize_table(cfg: EnvConfig, S: int, tab, offs, n_other, Ks,
 
 
 def _rasterize(cfg: EnvConfig, S: int, states, block_envs: int,
-               interpret: bool, packed_table=None, _only=None):
-    """(N, S, S) int32: class ids, or final packed pixels when packed_table
-    is given (see _packed_palette). Entity sections ride as SEPARATE kernel
-    inputs (128-lane-padded each): the chained e2e probe measured this
-    0.39 ms/frame cheaper than the consolidated-table layout at 2048 envs
-    (the concat copies cost more than the extra per-grid-step DMAs — the
-    round-1 'one table beats 16 inputs' reading was dispatch-polluted)."""
+               interpret: bool, packed_table=None, _only=None,
+               agents: int = 1):
+    """(N*agents, S, S) int32: class ids, or final packed pixels when
+    packed_table is given (see _packed_palette). Entity sections ride as
+    SEPARATE kernel inputs (128-lane-padded each): the chained e2e probe
+    measured this 0.39 ms/frame cheaper than the consolidated-table layout
+    at 2048 envs (the concat copies cost more than the extra per-grid-step
+    DMAs — the round-1 'one table beats 16 inputs' reading was
+    dispatch-polluted). agents>1: one row per (env, agent), row-major."""
     assert supports(cfg)
     secs, offs, n_other, Ks = _build_table(cfg, S, states,
-                                           _ablate='sections')
+                                           _ablate='sections',
+                                           agents=agents)
     return _rasterize_sections(cfg, S, secs, offs, n_other, Ks, block_envs,
                                interpret, packed_table, _only)
 
@@ -514,9 +559,11 @@ def _rasterize(cfg: EnvConfig, S: int, states, block_envs: int,
 @functools.partial(jax.jit, static_argnums=(0, 1, 3, 4))
 def fused_screen_class_map(cfg: EnvConfig, S: int, states,
                            block_envs: int = 8, interpret: bool = False):
-    """(N, 1, S, S) int32 class map for a batched GameState — pixel-exact vs
-    jax.vmap of obs/screen.py `_class_map` (single-agent configs)."""
-    return _rasterize(cfg, S, states, block_envs, interpret)[:, None]
+    """(N, A, S, S) int32 class map for a batched GameState — pixel-exact
+    vs jax.vmap of obs/screen.py `_class_map` (one map per agent)."""
+    A = cfg.num_agents
+    out = _rasterize(cfg, S, states, block_envs, interpret, agents=A)
+    return out.reshape((out.shape[0] // A, A) + out.shape[1:])
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 3, 4))
@@ -548,12 +595,14 @@ def fused_screen_frame_from_secs(cfg: EnvConfig, ocfg: ScreenObsConfig,
 @functools.partial(jax.jit, static_argnums=(0, 1, 3, 4))
 def fused_screen_frame(cfg: EnvConfig, ocfg: ScreenObsConfig, states,
                        block_envs: int = 8, interpret: bool = False):
-    """(N, 1, S, S, 3|4) uint8 — batched screen frames. The kernel emits
+    """(N, A, S, S, 3|4) uint8 — batched screen frames (one per agent;
+    multi-agent configs rasterize as virtual env rows). The kernel emits
     final packed pixels (one int32 per pixel, byte c = channel c); a bitcast
     unpacks them, so no palette gather ever touches HBM."""
+    A = cfg.num_agents
     packed = _rasterize(cfg, ocfg.screen_len, states, block_envs, interpret,
-                        _packed_palette(ocfg.agent_view))
-    out = jax.lax.bitcast_convert_type(packed, jnp.uint8)     # (N, S, S, 4)
+                        _packed_palette(ocfg.agent_view), agents=A)
+    out = jax.lax.bitcast_convert_type(packed, jnp.uint8)    # (N*A, S, S, 4)
     if not ocfg.agent_view:
         out = out[..., :3]
-    return out[:, None]                                       # (N,1,S,S,3|4)
+    return out.reshape((out.shape[0] // A, A) + out.shape[1:])

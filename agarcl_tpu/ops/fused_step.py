@@ -92,9 +92,9 @@ def fused_env_step(cfg: EnvConfig, states: GameState, actions,
     if obs_fn is not None and isinstance(obs_fn, functools.partial):
         from agarcl_tpu.ops import fused_grid, fused_screen
         if (obs_fn.func is _gframe
-                and fused_grid.supports(cfg, obs_fn.args[1])):
+                and fused_grid.supports_emit(cfg, obs_fn.args[1])):
             tab_kind = "grid"
-        elif (obs_fn.func is _sframe and fused_screen.supports(cfg)
+        elif (obs_fn.func is _sframe and fused_screen.supports_emit(cfg)
                 and not obs_fn.args[1].polygon_edges):
             tab_kind = "screen"
     if tab_kind is not None and F >= 1:

@@ -920,3 +920,109 @@ def test_vecenv_multi_step_uses_kernel_path():
     assert not FS.supports_multi(cfg, "grid", False, False)
     assert not FS.supports_multi(
         EnvConfig(num_agents=1, num_bots=4, mode=0), "ram", False, False)
+
+
+def test_fused_screen_multi_agent_parity():
+    """Multi-agent screen frames (virtual env rows through the
+    single-camera kernel, fused_screen._build_table(agents=A)) ==
+    vmapped screen_frame per agent: each agent gets its own camera and
+    main/other class split (obs/screen.py _class_map owner masks)."""
+    from agarcl_tpu.obs.screen import ScreenObsConfig, screen_frame
+    from agarcl_tpu.ops.fused_screen import fused_screen_frame
+    from agarcl_tpu.vec import VecEnv
+    cfg = EnvConfig(num_agents=2, ticks_per_step=4, arena_size=120,
+                    num_pellets=60, num_viruses=4, num_bots=1, mode=7)
+    ocfg = ScreenObsConfig(screen_len=32, agent_view=True)
+    env = VecEnv(cfg, 4, obs_type="none", backend="xla", donate=False)
+    states, _ = env.reset(21)
+    acts = jnp.tile(jnp.asarray([[0.6, -0.4, 0.0], [-0.5, 0.3, 0.0]],
+                                jnp.float32), (4, 1, 1))
+    for _ in range(3):
+        states, obs, r, d = env.step(states, acts)
+    ref = jax.jit(jax.vmap(functools.partial(screen_frame, cfg, ocfg)))(
+        states)
+    got = fused_screen_frame(cfg, ocfg, states, block_envs=4,
+                             interpret=True)
+    assert got.shape == (4, 2) + ref.shape[2:]
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    # the two agents' frames genuinely differ (different cameras)
+    assert (np.asarray(got[:, 0]) != np.asarray(got[:, 1])).any()
+
+
+def test_fused_grid_multi_agent_parity():
+    """Multi-agent grid frames (virtual env rows,
+    fused_grid._build_grid_table(agents=A)) == vmapped grid_frame: each
+    agent gets its own view window, own-cells channel, and others
+    min/max channels (obs/grid.py owner masks)."""
+    from agarcl_tpu.obs.grid import GridObsConfig, grid_frame
+    from agarcl_tpu.ops.fused_grid import fused_grid_frame
+    from agarcl_tpu.vec import VecEnv
+    cfg = EnvConfig(num_agents=2, ticks_per_step=4, arena_size=120,
+                    num_pellets=60, num_viruses=4, num_bots=1, mode=7)
+    ocfg = GridObsConfig(grid_size=32)
+    env = VecEnv(cfg, 4, obs_type="none", backend="xla", donate=False)
+    states, _ = env.reset(23)
+    acts = jnp.tile(jnp.asarray([[0.6, -0.4, 0.0], [-0.5, 0.3, 0.0]],
+                                jnp.float32), (4, 1, 1))
+    for _ in range(3):
+        states, obs, r, d = env.step(states, acts)
+    ref = jax.jit(jax.vmap(functools.partial(grid_frame, cfg, ocfg)))(
+        states)
+    got = fused_grid_frame(cfg, ocfg, states, block_envs=4, interpret=True)
+    assert got.shape == (4, 2) + ref.shape[2:]
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    assert (np.asarray(got[:, 0]) != np.asarray(got[:, 1])).any()
+
+
+def test_fused_env_step_multi_agent_screen():
+    """The full fused step with 2 agents + screen obs (per-agent tables
+    through the Pallas rasterizer) == the vmapped XLA env_step."""
+    from agarcl_tpu.env import env_step
+    from agarcl_tpu.obs.screen import ScreenObsConfig
+    from agarcl_tpu.ops.fused_step import fused_env_step
+    from agarcl_tpu.vec import make_obs_fn
+
+    cfg = EnvConfig(num_agents=2, ticks_per_step=2, arena_size=100,
+                    num_pellets=40, num_viruses=2, num_bots=0, mode=4)
+    fn, nf = make_obs_fn(cfg, "screen",
+                         ScreenObsConfig(screen_len=32, agent_view=True))
+    states = jax.vmap(functools.partial(env_reset, cfg))(
+        jnp.arange(4, dtype=jnp.uint32) + 31)
+    acts = jnp.tile(jnp.asarray([[0.7, -0.2, 0.0], [-0.6, 0.5, 0.0]],
+                                jnp.float32), (4, 1, 1))
+    s_f, obs_f, r_f, d_f = fused_env_step(cfg, states, acts, obs_fn=fn,
+                                          num_frames=nf, block_envs=4,
+                                          interpret=True)
+    step_x = jax.jit(jax.vmap(functools.partial(
+        env_step, cfg, obs_fn=fn, num_frames=nf)))
+    s_x, obs_x, r_x, d_x = step_x(states, acts)
+    np.testing.assert_array_equal(np.asarray(obs_f), np.asarray(obs_x))
+    np.testing.assert_allclose(np.asarray(r_f), np.asarray(r_x), atol=1e-4)
+
+
+def test_fused_grid_frame_stacking():
+    """num_frames=2 grid obs through the fused step == the XLA env_step
+    (the num_frames gate on fused_grid was lifted; the step scan calls
+    the rasterizer once per obs tick)."""
+    from agarcl_tpu.env import env_step
+    from agarcl_tpu.obs.grid import GridObsConfig
+    from agarcl_tpu.ops.fused_step import fused_env_step
+    from agarcl_tpu.vec import make_obs_fn
+
+    cfg = EnvConfig(num_agents=1, ticks_per_step=4, arena_size=100,
+                    num_pellets=40, num_viruses=2, num_bots=0, mode=4)
+    fn, nf = make_obs_fn(cfg, "grid",
+                         GridObsConfig(grid_size=32, num_frames=2))
+    assert nf == 2
+    states = jax.vmap(functools.partial(env_reset, cfg))(
+        jnp.arange(4, dtype=jnp.uint32) + 9)
+    acts = jnp.tile(jnp.asarray([[0.7, -0.2, 0.0]], jnp.float32), (4, 1, 1))
+    s_f, obs_f, r_f, d_f = fused_env_step(cfg, states, acts, obs_fn=fn,
+                                          num_frames=nf, block_envs=4,
+                                          interpret=True)
+    step_x = jax.jit(jax.vmap(functools.partial(
+        env_step, cfg, obs_fn=fn, num_frames=nf)))
+    s_x, obs_x, r_x, d_x = step_x(states, acts)
+    assert obs_f.shape[1] == 2                     # (N, F, A, C, G, G)
+    np.testing.assert_array_equal(np.asarray(obs_f), np.asarray(obs_x))
+    assert (np.asarray(obs_f[:, 0]) != np.asarray(obs_f[:, 1])).any()
