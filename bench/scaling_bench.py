@@ -51,22 +51,51 @@ def measure(n_dev: int) -> float:
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="",
+                    help="write the per-device-count rows + efficiency "
+                         "summary as one JSON artifact (committed runs: "
+                         "bench/scaling_results_*.json)")
+    args = ap.parse_args()
     n = len(jax.devices())
     counts = sorted({1, 2, n // 2, n} - {0})
     results = {}
+    rows = []
     for c in counts:
         if c > n:
             continue
         sps = measure(c)
         results[c] = sps
-        print(json.dumps({"devices": c, "env_steps_per_sec": round(sps, 1),
-                          "envs": ENVS_PER_DEVICE * c}), flush=True)
+        row = {"devices": c, "env_steps_per_sec": round(sps, 1),
+               "envs": ENVS_PER_DEVICE * c}
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+    summary = None
     if len(results) > 1 and 1 in results:
         top = max(results)
         eff = results[top] / (results[1] * top)
-        print(json.dumps({"metric": "scaling_efficiency_1_to_N",
-                          "N": top, "value": round(eff, 4),
-                          "target": 0.85}), flush=True)
+        summary = {"metric": "scaling_efficiency_1_to_N",
+                   "N": top, "value": round(eff, 4), "target": 0.85,
+                   "efficiency_per_count": {
+                       str(c): round(results[c] / (results[1] * c), 4)
+                       for c in sorted(results) if c > 1}}
+        print(json.dumps(summary), flush=True)
+    if args.out:
+        import platform
+        art = {"platform": jax.default_backend(),
+               "host_cpus": os.cpu_count(),
+               "machine": platform.machine(),
+               "envs_per_device": ENVS_PER_DEVICE,
+               "rows": rows, "summary": summary,
+               "note": ("virtual CPU devices share the host's physical "
+                        "cores: counts beyond the core count are "
+                        "core-bound, not a sharding property — real "
+                        "multi-chip runs use this same program over a "
+                        "hardware mesh")}
+        with open(args.out, "w") as f:
+            json.dump(art, f, indent=1)
+        print(f"wrote {args.out}", flush=True)
 
 
 if __name__ == "__main__":

@@ -42,7 +42,9 @@ def main():
     cfg = EnvConfig(num_agents=1, ticks_per_step=2, arena_size=80,
                     num_pellets=20, num_viruses=2, num_bots=0, mode=4)
     mesh = make_env_mesh()
-    env = ShardedVecEnv(cfg, 16, mesh, obs_type="ram")
+    backend = os.environ.get("DW_BACKEND", "xla")
+    env = ShardedVecEnv(cfg, 16, mesh, obs_type="ram", backend=backend,
+                        interpret=(backend == "fused"))
     states = env.reset(3)
     acts = np.tile(np.asarray([[0.6, -0.4, 0.0]], np.float32), (16, 1, 1))
     for _ in range(3):

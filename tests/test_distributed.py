@@ -28,9 +28,13 @@ def _free_port():
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("nproc", [2, 4])
-def test_multi_process_shardedvecenv(tmp_path, nproc):
-    """2 and 4 coordinated OS processes (the BASELINE 1->N host shape)."""
+@pytest.mark.parametrize("nproc,backend", [(2, "xla"), (4, "xla"),
+                                           (2, "fused")])
+def test_multi_process_shardedvecenv(tmp_path, nproc, backend):
+    """2 and 4 coordinated OS processes (the BASELINE 1->N host shape);
+    the fused-backend variant runs each shard through the Pallas step
+    under shard_map (interpret mode on the CPU workers — the kernel
+    program itself is identical to the hardware one)."""
     port = _free_port()
     procs, outs = [], []
     for pid in range(nproc):
@@ -44,7 +48,7 @@ def test_multi_process_shardedvecenv(tmp_path, nproc):
         env.pop("PALLAS_AXON_POOL_IPS", None)
         env["JAX_PLATFORMS"] = "cpu"
         env.update(DW_COORD=f"127.0.0.1:{port}", DW_NPROC=str(nproc),
-                   DW_PID=str(pid), DW_OUT=str(out),
+                   DW_PID=str(pid), DW_OUT=str(out), DW_BACKEND=backend,
                    PYTHONPATH=REPO + os.pathsep + env.get("PYTHONPATH", ""))
         procs.append(subprocess.Popen(
             [sys.executable, os.path.join(REPO, "tests",
@@ -75,7 +79,8 @@ def test_multi_process_shardedvecenv(tmp_path, nproc):
     cfg = EnvConfig(num_agents=1, ticks_per_step=2, arena_size=80,
                     num_pellets=20, num_viruses=2, num_bots=0, mode=4)
     mesh = make_env_mesh(jax.devices()[:2 * nproc])
-    env = ShardedVecEnv(cfg, 16, mesh, obs_type="ram")
+    env = ShardedVecEnv(cfg, 16, mesh, obs_type="ram", backend=backend,
+                        interpret=(backend == "fused"))
     states = env.reset(3)
     acts = np.tile(np.asarray([[0.6, -0.4, 0.0]], np.float32), (16, 1, 1))
     for _ in range(3):
