@@ -65,6 +65,14 @@ class ScreenObsConfig:
     # off: SPEC pins circles; bench/polygon_iou.py quantifies the pixel
     # difference per class.
     polygon_edges: bool = False
+    # Virus silhouette under polygon_edges: "wavy" (the reference's
+    # 150-gon sine rim — XLA rasterizer only: the rim is CONCAVE, so its
+    # row intersections are multi-interval and don't fit the fused
+    # kernel's half-plane strip math) or "circle" (viruses stay circles —
+    # lets polygon frames ride the fused Pallas kernel; the wave is a
+    # +-6.7% rim modulation, bench/polygon_iou.py). Both rasterizers
+    # honor this flag.
+    polygon_virus: str = "wavy"
 
 
 # polygon side counts (Entities.hpp:13-16)
@@ -245,16 +253,18 @@ def _grid_cover(wx, wy, pixel_half, arena_w, arena_h):
 
 
 def _class_map(cfg: EnvConfig, state: GameState, S: int,
-               polygon_edges: bool = False):
+               polygon_edges: bool = False, polygon_virus: str = "wavy"):
     """(A, S, S) int32 class id: 0 bg, 1 grid, 2 pellet, 3 food, 4 main,
     5 other, 6 virus — topmost-in-draw-order per pixel.
 
     polygon_edges rasterizes the reference's fan silhouettes (5/7/50-gon +
-    wavy 150-gon virus) instead of circles."""
+    wavy 150-gon virus) instead of circles; polygon_virus="circle" keeps
+    the virus a circle (ScreenObsConfig.polygon_virus)."""
+    wavy_vir = polygon_edges and polygon_virus == "wavy"
     n_pel = _SIDES_PELLET if polygon_edges else None
     n_foo = _SIDES_FOOD if polygon_edges else None
     n_cel = _SIDES_CELL if polygon_edges else None
-    n_vir = _SIDES_VIRUS if polygon_edges else None
+    n_vir = _SIDES_VIRUS if wavy_vir else None
     A = cfg.num_agents
     centroid = state.player_centroid()[:A]
     pmass = state.player_mass()[:A].astype(jnp.float32)
@@ -302,7 +312,7 @@ def _class_map(cfg: EnvConfig, state: GameState, S: int,
 
     vir = _circle_cover(wx, wy, state.virus_pos,
                         G.radius(state.virus_mass), state.virus_alive,
-                        n_sides=n_vir, wavy=polygon_edges)
+                        n_sides=n_vir, wavy=wavy_vir)
     cls = jnp.where(vir, 6, cls)
     return cls
 
@@ -355,7 +365,8 @@ def screen_frame(cfg: EnvConfig, ocfg: ScreenObsConfig,
                  state: GameState) -> jnp.ndarray:
     """(A, S, S, 3|4) uint8 — one frame per agent."""
     S = ocfg.screen_len
-    cls = _class_map(cfg, state, S, polygon_edges=ocfg.polygon_edges)
+    cls = _class_map(cfg, state, S, polygon_edges=ocfg.polygon_edges,
+                     polygon_virus=ocfg.polygon_virus)
     if ocfg.agent_view:
         return _apply_palette(cls, _AGENT_VIEW_COLORS)
     return _apply_palette(cls, _rgb565(_NATURAL_COLORS))

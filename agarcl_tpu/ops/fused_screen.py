@@ -30,6 +30,7 @@ one-hots come from (N,1)==(1,S) broadcasts.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -39,6 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 from agarcl_tpu.config import EnvConfig
 from agarcl_tpu.obs.screen import (ScreenObsConfig, _AGENT_VIEW_COLORS,
                                    _NATURAL_COLORS, _RAD_FOOD, _RAD_PELLET,
+                                   _SIDES_CELL, _SIDES_FOOD, _SIDES_PELLET,
                                    _TAN_HALF_FOV, _strip_K)
 
 _FOOD_W = 4096.0  # class weight separating food strips from pellet strips
@@ -66,6 +68,42 @@ def supports_emit(cfg: EnvConfig) -> bool:
     itself (fused_engine_tick(screen_tab=True) writes single-agent
     sections from its post-tick VMEM state)."""
     return cfg.num_agents == 1
+
+
+def supports_polygon(ocfg) -> bool:
+    """Whether polygon_edges frames can ride this kernel: the reference's
+    regular fans (5-gon pellets / 7-gon foods / 50-gon cells,
+    Entities.hpp:13-16) rasterize exactly via per-row half-plane
+    intervals, but the wavy 150-gon virus rim (Entities.hpp:66-75) is
+    CONCAVE — its row intersections are multi-interval — so fused polygon
+    mode requires polygon_virus="circle" (the XLA rasterizer keeps full
+    wavy fidelity). Pixel rows ride in lanes, so S <= 128."""
+    return (ocfg.polygon_edges and ocfg.polygon_virus == "circle"
+            and ocfg.screen_len <= 128)
+
+
+def _poly_edges(n_sides: int):
+    """Static half-plane constants of the reference's regular n-gon fan
+    (circumradius 1, first rim vertex at angle delta = 2*pi/n,
+    renderables.hpp:191-200): edge t connects vertices at angles
+    (t+1)*delta and (t+2)*delta, outward normal at (t+1.5)*delta, support
+    cos(pi/n). Returns (rights, lefts, flats): rights/lefts are
+    (inv_a, b) with a = cos(normal) > 0 / < 0 (x <= / >= (c2*r - b*dy)/a);
+    flats are (b,) pure-row conditions (b*dy <= c2*r)."""
+    import math as m
+    d = 2.0 * m.pi / n_sides
+    rights, lefts, flats = [], [], []
+    for t in range(n_sides):
+        phi = (t + 1.5) * d
+        a = m.cos(phi)
+        b = m.sin(phi)
+        if abs(a) < 1e-9:
+            flats.append(b)
+        elif a > 0:
+            rights.append((1.0 / a, b))
+        else:
+            lefts.append((1.0 / a, b))
+    return rights, lefts, flats
 
 
 def section_meta(cfg: EnvConfig):
@@ -136,7 +174,8 @@ def _packed_palette(agent_view: bool):
 def _make_kernel(cfg: EnvConfig, S: int, BE: int, Kp: int, Kf: int, Kv: int,
                  n_other: int, offs, packed_table=None,
                  _only: str | None = None, _ladder: bool = False,
-                 _strip_dtype=None, multi: tuple | None = None):
+                 _strip_dtype=None, multi: tuple | None = None,
+                 poly: bool = False):
     """offs: {section: (lane offset, real width, padded width)} into the one
     consolidated input table (see _rasterize). _only: benchmarking knob —
     compute just one work group ('strips', 'circles', 'lines') and leave the
@@ -152,10 +191,15 @@ def _make_kernel(cfg: EnvConfig, S: int, BE: int, Kp: int, Kf: int, Kv: int,
     Nv = cfg.virus_capacity
 
     def strip_count(count, x_row, y_row, r2_row, K, weight, wxT, cy, half,
-                    iota_subf, delta, wy0):
+                    iota_subf, delta, wy0, n_sides=None):
         """Accumulate strip-matmul coverage counts for one entity class.
         The strip predicate is the pinned f32 `dx*dx <= r*r - dy*dy` with wy
         rebuilt from the row index by the identical pixel-grid expression.
+        n_sides: rasterize the reference's regular n-gon fan instead of the
+        circle — the per-row covered set of a CONVEX fan is one interval
+        [xlo(dy), xhi(dy)] whose bounds are maxes/mins of the <= n
+        half-plane lines (_poly_edges), so the (S, Ne) work per strip row
+        stays two compares; the bound arithmetic is (1, Ne) scalar rows.
 
         Both dot operands live in the (S, Ne) orientation — the lanes-lanes
         contraction is native on the MXU path, while the "natural" (Ne, S)
@@ -165,8 +209,12 @@ def _make_kernel(cfg: EnvConfig, S: int, BE: int, Kp: int, Kf: int, Kv: int,
         x/y = 1e9 and r2 = -1, so they can never cover a pixel.
         """
         dxT = wxT - x_row                                # (S, Ne)
-        dx2T = dxT * dxT
+        dx2T = None if n_sides is not None else dxT * dxT
         r_row = jnp.sqrt(jnp.maximum(r2_row, 0.0))       # (1, Ne)
+        if n_sides is not None:
+            rights, lefts, flats = _poly_edges(n_sides)
+            c2 = math.cos(math.pi / n_sides)
+            alive_w = jnp.where(r2_row >= 0.0, weight, 0.0)  # (1, Ne)
         u = (y_row - wy0) / delta
         base = jnp.floor(u - r_row / delta) - 1.0        # (1, Ne) f32 whole
         # Clamp the strip window into [0, S-K]: every tested row is then a
@@ -186,8 +234,21 @@ def _make_kernel(cfg: EnvConfig, S: int, BE: int, Kp: int, Kf: int, Kv: int,
             idx = (rows_k + 0.5) * 2.0 / S - 1.0
             wyk = cy + idx * half
             dyk = wyk - y_row
-            lim = r2_row - dyk * dyk                     # (1, Ne); pinned
-            X2 = jnp.where(dx2T <= lim, weight, 0.0)     # form dx2<=r2-dy2
+            if n_sides is None:
+                lim = r2_row - dyk * dyk                 # (1, Ne); pinned
+                X2 = jnp.where(dx2T <= lim, weight, 0.0)  # form dx2<=r2-dy2
+            else:
+                c2r = c2 * r_row                         # (1, Ne)
+                xhi = jnp.full_like(dyk, 3.0e38)
+                xlo = jnp.full_like(dyk, -3.0e38)
+                for inv_a, b in rights:
+                    xhi = jnp.minimum(xhi, (c2r - b * dyk) * inv_a)
+                for inv_a, b in lefts:
+                    xlo = jnp.maximum(xlo, (c2r - b * dyk) * inv_a)
+                for b in flats:
+                    bad = b * dyk > c2r
+                    xlo = jnp.where(bad, jnp.float32(3.0e38), xlo)
+                X2 = jnp.where((dxT >= xlo) & (dxT <= xhi), alive_w, 0.0)
             lhs, rhs = R2, X2
             if _strip_dtype is not None:
                 # one-hot rows and 0/1/4096 weights are exact in bf16;
@@ -276,6 +337,42 @@ def _make_kernel(cfg: EnvConfig, S: int, BE: int, Kp: int, Kf: int, Kv: int,
                         lambda: circles_f(xn, yn, rn, n, wx, wy)))
                 return cov >= 0.5
 
+            def cells_poly(xn, yn, rn, n, wxT_, wyL, n_sides):
+                """(S, S) bool n-gon fan coverage for a cell class, built
+                TRANSPOSED (covT[j, i] = pixel col j, row i): the per-row
+                interval bounds [xlo(dy), xhi(dy)] (maxes/mins of the
+                _poly_edges half-plane lines) ride (n, S) tiles with cells
+                in sublanes and pixel ROWS in lanes (2 vregs at S <= 128),
+                each cell then costs two (S, S) compares like the circle
+                path; one f32 transpose per class flips covT back."""
+                rights, lefts, flats = _poly_edges(n_sides)
+                c2 = math.cos(math.pi / n_sides)
+                # (n, 1) columns of the class's x / y / r via one 32-bit
+                # transpose each (sec rows are (1, padded Ne))
+                xcol = jnp.transpose(sec(xn))[:n]
+                ycol = jnp.transpose(sec(yn))[:n]
+                r2col = jnp.transpose(sec(rn))[:n]
+                rcol = jnp.sqrt(jnp.maximum(r2col, 0.0))
+                dy = wyL - ycol                          # (n, S)
+                c2r = c2 * rcol
+                xhi = jnp.full(dy.shape, 3.0e38, jnp.float32)
+                xlo = jnp.full(dy.shape, -3.0e38, jnp.float32)
+                for inv_a, b in rights:
+                    xhi = jnp.minimum(xhi, (c2r - b * dy) * inv_a)
+                for inv_a, b in lefts:
+                    xlo = jnp.maximum(xlo, (c2r - b * dy) * inv_a)
+                for b in flats:
+                    xlo = jnp.where(b * dy > c2r, jnp.float32(3.0e38), xlo)
+                # dead slots (r2 = -1) and padding lanes can never cover
+                xlo = jnp.where(r2col >= 0.0, xlo, jnp.float32(3.0e38))
+                xloa = xlo + xcol                        # absolute wx bounds
+                xhia = xhi + xcol
+                covT = jnp.zeros((S, S), jnp.float32)
+                for c in range(n):
+                    pred = ((wxT_ >= xloa[c:c + 1]) & (wxT_ <= xhia[c:c + 1]))
+                    covT = jnp.where(pred, 1.0, covT)    # (S,1)x(1,S)->(S,S)
+                return jnp.transpose(covT) >= 0.5
+
             cx = scal('params', 0)
             cy = scal('params', 1)
             half = scal('params', 2)
@@ -283,6 +380,8 @@ def _make_kernel(cfg: EnvConfig, S: int, BE: int, Kp: int, Kf: int, Kv: int,
             wy = cy + ((iota_sub + 0.5) * 2.0 / S - 1.0) * half    # (S, 1)
             # pixel-x coords as a column — bit-identical expression to wx
             wxT = cx + ((iota_sub + 0.5) * 2.0 / S - 1.0) * half   # (S, 1)
+            # pixel-y coords as a ROW (cells_poly bound tables)
+            wyL = cy + ((iota_lane + 0.5) * 2.0 / S - 1.0) * half  # (1, S)
             ph = half / S
             delta = 2.0 * half / S
             wy0 = cy + (0.5 * 2.0 / S - 1.0) * half
@@ -309,10 +408,12 @@ def _make_kernel(cfg: EnvConfig, S: int, BE: int, Kp: int, Kf: int, Kv: int,
                 count = jnp.zeros((S, S), jnp.float32)
                 count = strip_count(count, sec('px'), sec('py'), sec('pr2'),
                                     Kp, 1.0, wxT, cy, half, iota_sub, delta,
-                                    wy0)
+                                    wy0,
+                                    n_sides=_SIDES_PELLET if poly else None)
                 count = strip_count(count, sec('fx'), sec('fy'), sec('fr2'),
                                     Kf, _FOOD_W, wxT, cy, half, iota_sub,
-                                    delta, wy0)
+                                    delta, wy0,
+                                    n_sides=_SIDES_FOOD if poly else None)
                 foods_c = jnp.floor(count * (1.0 / _FOOD_W))
                 pel = (count - foods_c * _FOOD_W) >= 0.5
                 foo = foods_c >= 0.5
@@ -320,8 +421,12 @@ def _make_kernel(cfg: EnvConfig, S: int, BE: int, Kp: int, Kf: int, Kv: int,
                 pel = foo = false2d
 
             if on('circles'):
-                mine = circles('mx', 'my', 'mr2', Cc, wx, wy,
-                               cnt=scal('params', 3))
+                if poly:
+                    mine = cells_poly('mx', 'my', 'mr2', Cc, wxT, wyL,
+                                      _SIDES_CELL)
+                else:
+                    mine = circles('mx', 'my', 'mr2', Cc, wx, wy,
+                                   cnt=scal('params', 3))
                 # viruses: strip pass (constant in the 26-slot capacity —
                 # the direct unroll paid 2 (S, S) ops per SLOT, alive or
                 # not) on a separate accumulator (a third weight class in
@@ -340,8 +445,12 @@ def _make_kernel(cfg: EnvConfig, S: int, BE: int, Kp: int, Kf: int, Kv: int,
             cls = jnp.where(foo, 3, cls)
             cls = jnp.where(mine, 4, cls)
             if n_other and on('circles'):
-                oth = circles('ox', 'oy', 'or2', n_other, wx, wy,
-                              cnt=scal('params', 4))
+                if poly:
+                    oth = cells_poly('ox', 'oy', 'or2', n_other, wxT, wyL,
+                                     _SIDES_CELL)
+                else:
+                    oth = circles('ox', 'oy', 'or2', n_other, wx, wy,
+                                  cnt=scal('params', 4))
                 cls = jnp.where(oth, 5, cls)
             cls = jnp.where(vir, 6, cls)
             if packed_table is not None:
@@ -491,7 +600,7 @@ def _build_table(cfg: EnvConfig, S: int, states, _ablate=None,
 def _rasterize_sections(cfg: EnvConfig, S: int, secs, offs, n_other, Ks,
                         block_envs: int, interpret: bool,
                         packed_table=None, _only=None, _ladder=False,
-                        _strip_dtype=None):
+                        _strip_dtype=None, poly: bool = False):
     """pallas_call with one input ref per section (vs the consolidated
     table of _rasterize_table); see _make_kernel's `multi` note."""
     names = tuple(secs.keys())
@@ -501,7 +610,8 @@ def _rasterize_sections(cfg: EnvConfig, S: int, secs, offs, n_other, Ks,
     Kp, Kf, Kv = Ks
     kernel = _make_kernel(cfg, S, BE, Kp, Kf, Kv, n_other,
                           {k: v for k, v in offs.items()}, packed_table,
-                          _only, _ladder, _strip_dtype, multi=names)
+                          _only, _ladder, _strip_dtype, multi=names,
+                          poly=poly)
     return pl.pallas_call(
         kernel,
         grid=(N // BE,),
@@ -540,7 +650,7 @@ def _rasterize_table(cfg: EnvConfig, S: int, tab, offs, n_other, Ks,
 
 def _rasterize(cfg: EnvConfig, S: int, states, block_envs: int,
                interpret: bool, packed_table=None, _only=None,
-               agents: int = 1):
+               agents: int = 1, poly: bool = False):
     """(N*agents, S, S) int32: class ids, or final packed pixels when
     packed_table is given (see _packed_palette). Entity sections ride as
     SEPARATE kernel inputs (128-lane-padded each): the chained e2e probe
@@ -553,16 +663,19 @@ def _rasterize(cfg: EnvConfig, S: int, states, block_envs: int,
                                            _ablate='sections',
                                            agents=agents)
     return _rasterize_sections(cfg, S, secs, offs, n_other, Ks, block_envs,
-                               interpret, packed_table, _only)
+                               interpret, packed_table, _only, poly=poly)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 3, 4))
+@functools.partial(jax.jit, static_argnums=(0, 1, 3, 4, 5))
 def fused_screen_class_map(cfg: EnvConfig, S: int, states,
-                           block_envs: int = 8, interpret: bool = False):
+                           block_envs: int = 8, interpret: bool = False,
+                           poly: bool = False):
     """(N, A, S, S) int32 class map for a batched GameState — pixel-exact
-    vs jax.vmap of obs/screen.py `_class_map` (one map per agent)."""
+    vs jax.vmap of obs/screen.py `_class_map` (one map per agent).
+    poly: regular-fan silhouettes (see supports_polygon)."""
     A = cfg.num_agents
-    out = _rasterize(cfg, S, states, block_envs, interpret, agents=A)
+    out = _rasterize(cfg, S, states, block_envs, interpret, agents=A,
+                     poly=poly)
     return out.reshape((out.shape[0] // A, A) + out.shape[1:])
 
 
@@ -581,11 +694,14 @@ def fused_screen_frame_from_secs(cfg: EnvConfig, ocfg: ScreenObsConfig,
     offs = _meta_offs(meta)
     n_other = (cfg.num_players - 1) * cfg.max_cells
     Ks = _section_Ks(cfg, S)
+    poly = ocfg.polygon_edges
+    if poly:
+        assert supports_polygon(ocfg)
     ordered = {n: secs[n] for n, _, _, _ in meta}
     packed = _rasterize_sections(cfg, S, ordered, offs, n_other, Ks,
                                  block_envs, interpret,
                                  packed_table=_packed_palette(
-                                     ocfg.agent_view))
+                                     ocfg.agent_view), poly=poly)
     out = jax.lax.bitcast_convert_type(packed, jnp.uint8)     # (N, S, S, 4)
     if not ocfg.agent_view:
         out = out[..., :3]
@@ -600,8 +716,14 @@ def fused_screen_frame(cfg: EnvConfig, ocfg: ScreenObsConfig, states,
     final packed pixels (one int32 per pixel, byte c = channel c); a bitcast
     unpacks them, so no palette gather ever touches HBM."""
     A = cfg.num_agents
+    poly = ocfg.polygon_edges
+    if poly:
+        assert supports_polygon(ocfg), (
+            "fused polygon mode needs polygon_virus='circle' and "
+            "screen_len <= 128 (wavy rims are XLA-only)")
     packed = _rasterize(cfg, ocfg.screen_len, states, block_envs, interpret,
-                        _packed_palette(ocfg.agent_view), agents=A)
+                        _packed_palette(ocfg.agent_view), agents=A,
+                        poly=poly)
     out = jax.lax.bitcast_convert_type(packed, jnp.uint8)    # (N*A, S, S, 4)
     if not ocfg.agent_view:
         out = out[..., :3]

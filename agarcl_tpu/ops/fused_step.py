@@ -95,7 +95,8 @@ def fused_env_step(cfg: EnvConfig, states: GameState, actions,
                 and fused_grid.supports_emit(cfg, obs_fn.args[1])):
             tab_kind = "grid"
         elif (obs_fn.func is _sframe and fused_screen.supports_emit(cfg)
-                and not obs_fn.args[1].polygon_edges):
+                and (not obs_fn.args[1].polygon_edges
+                     or fused_screen.supports_polygon(obs_fn.args[1]))):
             tab_kind = "screen"
     if tab_kind is not None and F >= 1:
         ocfg = obs_fn.args[1]
@@ -159,9 +160,12 @@ def fused_env_step(cfg: EnvConfig, states: GameState, actions,
             # Its kernel unrolls over the env block, so it uses its own
             # small block size, not the tick's.
             from agarcl_tpu.ops import fused_screen
-            # (the Pallas kernel rasterizes circles; polygon_edges stays
-            # on the XLA path)
-            if fused_screen.supports(cfg) and not obs_fn.args[1].polygon_edges:
+            # (polygon_edges rides the kernel too when the config fits
+            # its half-plane fan math — supports_polygon; wavy-virus
+            # polygon configs stay on the XLA path)
+            if fused_screen.supports(cfg) and (
+                    not obs_fn.args[1].polygon_edges
+                    or fused_screen.supports_polygon(obs_fn.args[1])):
                 ocfg = obs_fn.args[1]
                 def batched_obs(s):
                     return fused_screen.fused_screen_frame(
