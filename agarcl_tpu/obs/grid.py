@@ -44,16 +44,25 @@ class GridObsConfig:
     observe_others: bool = True
     observe_viruses: bool = True
     observe_pellets: bool = True
-    # OPT-IN narrow output: "int16" halves / "int8" quarters the frame's
-    # HBM write cost (the (N, 8, G, G) int32 store is the measured floor of
-    # the fused grid kernel at large batches). int32 stays the contract
-    # default, matching the reference's int grids
-    # (GridEnvironment.hpp:91-123). Narrow values SATURATE at the dtype
-    # bounds: mass sums exceed int16 only in the late game, but int8 caps
-    # at 127 — cell/virus MASS channels are effectively presence bits
-    # there, while oob/presence/count channels stay exact. Pick int8 only
-    # when the policy reads geometry, not masses.
-    out_dtype: str = "int32"
+    # Output dtype. DEFAULT int16 (saturating): the (N, C, G, G) frame
+    # write is the measured floor of the fused grid kernel at large
+    # batches, and int16 halves it (1.38M vs 0.78M env-steps/s at
+    # 64x64/8192, BASELINE.md round 4). Saturation analysis — why int16
+    # is safe as the default:
+    #   oob is -1/0, pellet presence 0/1, pellet count <= capacity (512),
+    #   virus max/total mass <= virus capacity * max virus mass
+    #   (26 * 170 = 4420) — all far below 32767. The only channels that
+    #   can saturate are the cell total/min/max mass sums: a single bin
+    #   exceeds 32767 only when co-located cell masses sum past it; the
+    #   task suite's own cap is mode-3's 23000 win condition and a lone
+    #   cell's mass at the int16 bound renders identically, so values
+    #   clamp (never wrap) only in extreme multi-giant pileups, where the
+    #   obs still reads "huge". "int32" opts back into exact values (the
+    #   reference-compatible gym wrapper keeps int32 so its observation
+    #   space matches GridEnvironment.hpp:91-123 exactly); "int8" quarters
+    #   the write cost but caps at 127 — mass channels become effectively
+    #   presence bits; pick it only when the policy reads geometry.
+    out_dtype: str = "int16"
 
     @property
     def channels_per_frame(self) -> int:

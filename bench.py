@@ -25,16 +25,24 @@ def main():
     ap.add_argument("--iters", type=int, default=TIMED_CALLS)
     ap.add_argument("--mode", type=int, default=4,
                     help="game mode (7-10 = duel vs one scripted bot)")
+    ap.add_argument("--agents", type=int, default=1,
+                    help="number of action-driven agents (multi-agent "
+                         "games; each agent gets its own obs frame)")
     ap.add_argument("--obs", default="ram",
                     choices=("ram", "grid", "screen", "none"),
                     help="observation computed+returned every step")
     ap.add_argument("--size", type=int, default=0,
                     help="grid_size / screen_len override (0 = default)")
-    ap.add_argument("--grid-dtype", default="int32",
+    ap.add_argument("--poly", action="store_true",
+                    help="screen obs: reference fan silhouettes "
+                         "(polygon_edges; fused path draws circle viruses)")
+    ap.add_argument("--grid-dtype", default="int16",
                     choices=("int32", "int16", "int8"),
-                    help="grid obs output dtype (int16/int8 = opt-in "
-                         "saturating narrow output, halves/quarters the "
-                         "frame write cost)")
+                    help="grid obs output dtype (int16 = the saturating "
+                         "contract default, GridObsConfig.out_dtype; "
+                         "int32 = exact values, the reference-compatible "
+                         "gym wrapper's dtype; int8 quarters the frame "
+                         "write cost)")
     args = ap.parse_args()
     num_envs, steps_per_call, timed_calls = args.envs, args.steps, args.iters
 
@@ -57,8 +65,8 @@ def main():
     from agarcl_tpu import EnvConfig
     from agarcl_tpu.vec import VecEnv
 
-    cfg = EnvConfig(num_agents=1, ticks_per_step=4, arena_size=350,
-                    num_pellets=500, num_viruses=10,
+    cfg = EnvConfig(num_agents=args.agents, ticks_per_step=4,
+                    arena_size=350, num_pellets=500, num_viruses=10,
                     num_bots=1 if args.mode in (0, 7, 8, 9, 10) else 0,
                     reward_type=True, mode=args.mode)
     obs_config = None
@@ -69,7 +77,10 @@ def main():
     elif args.obs == "screen":
         from agarcl_tpu.obs.screen import ScreenObsConfig
         obs_config = ScreenObsConfig(screen_len=args.size or 84,
-                                     agent_view=True)
+                                     agent_view=True,
+                                     polygon_edges=args.poly,
+                                     polygon_virus=("circle" if args.poly
+                                                    else "wavy"))
     from agarcl_tpu.ops.fused_tick import supports
     # Mosaic kernels need real TPU hardware; CI smoke-runs fall back to XLA.
     backend = ("fused" if supports(cfg) and jax.default_backend() != "cpu"
@@ -97,8 +108,12 @@ def main():
 
     sps = num_envs * steps_per_call * timed_calls / dt
     suffix = "" if args.mode == 4 else f"_mode{args.mode}"
-    if args.obs == "grid" and args.grid_dtype != "int32":
+    if args.agents != 1:
+        suffix += f"_{args.agents}ag"
+    if args.obs == "grid" and args.grid_dtype != "int16":
         suffix += f"_{args.grid_dtype}"
+    if args.obs == "screen" and args.poly:
+        suffix += "_poly"
     print(json.dumps({
         "metric":
             f"env_steps_per_sec_per_chip_{num_envs}envs_{args.obs}{suffix}",

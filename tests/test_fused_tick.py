@@ -623,8 +623,8 @@ def test_fused_grid_obs_int16():
         cell_alive=states.cell_alive.at[:, 0, 1].set(True),
         cell_mass=states.cell_mass.at[:, 0, 0].set(20000)
                                   .at[:, 0, 1].set(20000))
-    o32 = GridObsConfig(grid_size=32)
-    o16 = GridObsConfig(grid_size=32, out_dtype="int16")
+    o32 = GridObsConfig(grid_size=32, out_dtype="int32")
+    o16 = GridObsConfig(grid_size=32)   # int16 is the contract default
     ref32 = fused_grid_frame(cfg, o32, states, block_envs=4, interpret=True)
     got16 = fused_grid_frame(cfg, o16, states, block_envs=4, interpret=True)
     assert got16.dtype == jnp.int16

@@ -4,6 +4,8 @@ modeled on the reference's observation-shape matrix tests
 checks the reference never had."""
 
 import jax.numpy as jnp
+import dataclasses
+
 import numpy as np
 import pytest
 
@@ -33,7 +35,9 @@ def test_grid_channel_count(flags):
     s = reset(BASE, 0)
     obs = grid_frame(BASE, ocfg, s)
     assert obs.shape == (1, expected, 16, 16)
-    assert obs.dtype == jnp.int32
+    assert obs.dtype == jnp.int16   # saturating contract default
+    assert grid_frame(BASE, dataclasses.replace(ocfg, out_dtype="int32"),
+                      s).dtype == jnp.int32
 
 
 def test_grid_oob_channel():
