@@ -29,7 +29,7 @@ def main():
                     help="number of action-driven agents (multi-agent "
                          "games; each agent gets its own obs frame)")
     ap.add_argument("--obs", default="ram",
-                    choices=("ram", "grid", "screen", "none"),
+                    choices=("ram", "grid", "screen", "gobigger", "none"),
                     help="observation computed+returned every step")
     ap.add_argument("--size", type=int, default=0,
                     help="grid_size / screen_len override (0 = default)")
@@ -103,7 +103,8 @@ def main():
     for _ in range(timed_calls):
         states, obs, rewards, dones = env.multi_step(states, actions,
                                                      steps_per_call)
-    jax.block_until_ready(obs)
+    jax.block_until_ready(jax.tree_util.tree_leaves(obs)[0]
+                          if isinstance(obs, dict) else obs)
     dt = time.perf_counter() - t0
 
     sps = num_envs * steps_per_call * timed_calls / dt

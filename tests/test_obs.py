@@ -241,3 +241,35 @@ def test_screen_multi_agent():
     assert (f[1, :, :, 3] == 230).any()
     # and sees the other agent only if in view; frames differ
     assert not np.array_equal(f[0], f[1])
+
+
+def test_gobigger_fused_step_parity():
+    """gobigger structured obs through the fused step (interpret) == the
+    vmapped XLA env_step, leaf for leaf — the fused backend's route for
+    the 3.5M steps/s BASELINE row (bench.py --obs gobigger)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from agarcl_tpu.env import env_reset, env_step
+    from agarcl_tpu.ops.fused_step import fused_env_step
+    from agarcl_tpu.vec import make_obs_fn
+
+    fn, nf = make_obs_fn(BASE, "gobigger", GoBiggerObsConfig())
+    states = jax.vmap(functools.partial(env_reset, BASE))(
+        jnp.arange(4, dtype=jnp.uint32) + 17)
+    acts = jnp.tile(jnp.asarray([[0.6, -0.4, 0.0]], jnp.float32), (4, 1, 1))
+    s_f, obs_f, r_f, d_f = fused_env_step(BASE, states, acts, obs_fn=fn,
+                                          num_frames=nf, block_envs=4,
+                                          interpret=True)
+    step_x = jax.jit(jax.vmap(functools.partial(
+        env_step, BASE, obs_fn=fn, num_frames=nf)))
+    s_x, obs_x, r_x, d_x = step_x(states, acts)
+    for k in obs_f:
+        # atol 1e-4: the fused tick's centroid sums reduce in a different
+        # f32 order than the vmapped XLA tick's
+        np.testing.assert_allclose(np.asarray(obs_f[k]),
+                                   np.asarray(obs_x[k]), atol=1e-4,
+                                   err_msg=k)
+    np.testing.assert_allclose(np.asarray(r_f), np.asarray(r_x), atol=1e-4)
