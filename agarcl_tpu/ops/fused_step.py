@@ -265,6 +265,98 @@ def fused_env_multi_step(cfg: EnvConfig, states: GameState, actions,
             jnp.swapaxes(dones, 0, 1))
 
 
+from flax import struct
+
+
+@struct.dataclass
+class ResidentState:
+    """Kernel-layout env state resident between multi_step calls.
+
+    The GameState <-> kernel-layout transposes cost ~5.6 ms per
+    multi-step call at 8192 envs (more than the 40 ticks of compute they
+    wrap, bench/ms_block_probe.py); this carrier keeps the state as the
+    raw `_to_kernel_arrays` tuple so consecutive VecEnv.multi_step calls
+    never transpose. `last_mass` carries the previous step's post-step
+    per-agent masses (the rim's `before` for delta-mass rewards) and
+    `dones` the latched per-agent flags — the only GameState fields the
+    multi-step rim reads. Materialize a full GameState with
+    VecEnv.materialize()."""
+    raw: tuple
+    last_mass: jax.Array     # (N, A) f32
+    dones: jax.Array         # (N, A) bool
+
+
+def to_resident(cfg: EnvConfig, states: GameState) -> ResidentState:
+    from agarcl_tpu.ops.fused_tick import _to_kernel_arrays
+    A = cfg.num_agents
+    return ResidentState(
+        raw=tuple(_to_kernel_arrays(states)),
+        last_mass=states.player_mass()[:, :A].astype(jnp.float32),
+        dones=states.dones)
+
+
+def from_resident(cfg: EnvConfig, template: GameState,
+                  resident: ResidentState) -> GameState:
+    """Materialize a GameState (template supplies the non-kernel fields
+    and shapes; its array contents are ignored for kernel-carried
+    fields)."""
+    from agarcl_tpu.ops.fused_tick import _from_kernel_arrays
+    out = _from_kernel_arrays(template, list(resident.raw))
+    return out.replace(dones=resident.dones)
+
+
+def fused_env_multi_step_resident(cfg: EnvConfig, resident: ResidentState,
+                                  actions, k: int, obs_fn=None,
+                                  block_envs: int = 128,
+                                  interpret: bool = False):
+    """fused_env_multi_step on resident kernel-layout state: the same
+    rim (rewards/dones reconstruction, BaseEnvironment.hpp:89-122
+    semantics) but no state transposes on either side of the kernel.
+    Gate with supports_multi()."""
+    from agarcl_tpu.obs.ram import ram_frame
+    from agarcl_tpu.ops.fused_tick import _multi_step_raw_core
+    A = cfg.num_agents
+    P = cfg.num_players
+    ms = cfg.mode_spec
+    N = resident.last_mass.shape[0]
+    ram_ocfg = (obs_fn.args[1]
+                if (obs_fn is not None
+                    and isinstance(obs_fn, functools.partial)
+                    and obs_fn.func is ram_frame) else None)
+
+    raw_out, obs_raw, info_raw = _multi_step_raw_core(
+        cfg, resident.raw, actions, k, ram_ocfg, block_envs, interpret)
+
+    si = jnp.transpose(info_raw).reshape(N, k, 2, P)
+    mass_a = si[:, :, 0, :A]                                 # (N, k, A)
+    step_alive = si[:, :, 1, :] > 0.0                        # (N, k, P)
+
+    dones = jnp.broadcast_to(resident.dones[:, None], (N, k, A))
+    if ms.done_on_death:
+        any_dead = jnp.any(~step_alive, axis=2)              # (N, k)
+        dones = dones.at[:, :, 0].set(any_dead)
+    if ms.done_on_max_mass:
+        hit = jnp.any(mass_a >= C.MODE3_MAX_MASS, axis=2)
+        cum = jnp.cumsum(hit.astype(jnp.int32), axis=1) > 0
+        dones = dones.at[:, :, 0].set(dones[:, :, 0] | cum)
+
+    rewards = mass_a
+    if cfg.reward_type:
+        prev = jnp.concatenate([resident.last_mass[:, None],
+                                mass_a[:, :-1]], axis=1)
+        rewards = mass_a - prev
+
+    obs = None
+    if obs_raw is not None:
+        R = obs_raw.shape[0] // (k * A)
+        obs = jnp.swapaxes(
+            jnp.transpose(obs_raw).reshape(N, k, A, R), 0, 1)[:, :, None]
+    new_res = ResidentState(raw=raw_out, last_mass=mass_a[:, -1],
+                            dones=dones[:, -1])
+    return (new_res, obs, jnp.swapaxes(rewards, 0, 1),
+            jnp.swapaxes(dones, 0, 1))
+
+
 def _finish_step(cfg, states, obs, before, N, A, ms,
                  respawn_main_during_obs, auto_reset):
     """Post-obs step tail shared by the merged-ram and generic paths:

@@ -418,7 +418,7 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
                          < A_n)
 
         for _t in range(max(n_steps, 1) * n_ticks):
-            if n_steps and _t % n_ticks == 0:
+            if n_steps and _t % n_ticks == 0 and loo != 20:
                 # apply the (shared) step actions exactly like
                 # env.py::apply_actions: live agents get
                 # target = centroid + 10*(dx, dy), action = act
@@ -2228,7 +2228,7 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
                 cmass = jnp.where(calive, cmass, 0)
             ticks = ticks + 1
 
-            if n_steps and _t % n_ticks == n_ticks - 1:
+            if n_steps and _t % n_ticks == n_ticks - 1 and loo != 21:
                 # end of env step sidx: emit this step's RAM frame into its
                 # obs slice + the per-step (mass, alive) info rows the XLA
                 # rim turns into rewards/dones
@@ -2632,10 +2632,11 @@ def fused_engine_tick(cfg: EnvConfig, states: GameState,
     return ret[0] if len(ret) == 1 else tuple(ret)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5, 6, 7))
 def fused_multi_step_call(cfg: EnvConfig, states: GameState, actions,
                           n_steps: int, ram_obs=None,
-                          block_envs: int = 128, interpret: bool = False):
+                          block_envs: int = 128, interpret: bool = False,
+                          loo: int = 0):
     """n_steps whole ENV STEPS (apply actions + ticks_per_step ticks +
     per-step RAM frame) in ONE kernel call — amortizes the per-call state
     HBM round trip across steps (_make_kernel n_steps docstring).
@@ -2648,11 +2649,41 @@ def fused_multi_step_call(cfg: EnvConfig, states: GameState, actions,
     """
     assert supports(cfg), "fused tick requires num_players <= 5"
     N = states.ticks.shape[0]
+    A = cfg.num_agents
+    P = cfg.num_players
+
+    ins = _to_kernel_arrays(states)
+    raw_outs, obs_raw, info_raw = _multi_step_raw_core(
+        cfg, tuple(ins), actions, n_steps, ram_obs, block_envs, interpret,
+        loo)
+    new_states = _from_kernel_arrays(states, list(raw_outs))
+    obs = None
+    if obs_raw is not None:
+        R = obs_raw.shape[0] // (n_steps * A)
+        obs = jnp.transpose(obs_raw).reshape(N, n_steps, A, R)
+    si = jnp.transpose(info_raw).reshape(N, n_steps, 2, P)
+    step_mass = si[:, :, 0, :]
+    step_alive = si[:, :, 1, :] > 0.0
+    return new_states, obs, step_mass, step_alive
+
+
+def _multi_step_raw_core(cfg: EnvConfig, raw, actions, n_steps: int,
+                         ram_obs, block_envs: int, interpret: bool,
+                         loo: int = 0):
+    """The multi-step pallas call on RAW kernel-layout state (the
+    _to_kernel_arrays tuple of (feature, N) arrays): no state transposes.
+    Returns (raw_outs tuple, obs_raw (AR, N)|None, info_raw (2kP, N)).
+    The per-program state transposes of the GameState wrappers cost
+    ~5.6 ms/call at 8192 envs (bench/ms_block_probe.py vs bench.py k-scan
+    arithmetic) — the resident path (ops/fused_step.py
+    fused_env_multi_step_resident + vec.py) keeps state raw between
+    multi_step calls so they never run."""
+    N = raw[0].shape[-1]
     E = _block_size(N, block_envs)
     P = cfg.num_players
     A = cfg.num_agents
 
-    ins = _to_kernel_arrays(states)
+    ins = list(raw)
     n_state = len(ins)
     acts = jnp.asarray(actions, jnp.float32).reshape(N, A, 3)
     ins.append(jnp.transpose(acts[:, :, 0]))                 # (A, N)
@@ -2678,7 +2709,7 @@ def fused_multi_step_call(cfg: EnvConfig, states: GameState, actions,
                                            jnp.float32))
 
     kernel = _make_kernel(cfg, 99, cfg.ticks_per_step, 99, ram_obs,
-                          False, False, 0, n_steps)
+                          False, False, loo, n_steps)
     PCHUNK = 128
     np_pad = -(-cfg.pellet_capacity // PCHUNK) * PCHUNK
     scratch = [pltpu.VMEM((np_pad, E), jnp.float32),
@@ -2699,14 +2730,9 @@ def fused_multi_step_call(cfg: EnvConfig, states: GameState, actions,
             vmem_limit_bytes=100 * 1024 * 1024),
     )(*ins)
 
-    new_states = _from_kernel_arrays(states, outs[:n_state])
     k = n_state
-    obs = None
+    obs_raw = None
     if ram_obs is not None:
-        R = outs[k].shape[0] // (n_steps * A)
-        obs = jnp.transpose(outs[k]).reshape(N, n_steps, A, R)
+        obs_raw = outs[k]
         k += 1
-    si = jnp.transpose(outs[k]).reshape(N, n_steps, 2, P)
-    step_mass = si[:, :, 0, :]
-    step_alive = si[:, :, 1, :] > 0.0
-    return new_states, obs, step_mass, step_alive
+    return tuple(outs[:n_state]), obs_raw, outs[k]

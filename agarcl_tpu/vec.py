@@ -123,8 +123,36 @@ class VecEnv:
             # every step (discarding it would let XLA dead-code the whole
             # observation path and overstate throughput).
             if backend == "fused":
-                from agarcl_tpu.ops.fused_step import (fused_env_multi_step,
-                                                       supports_multi)
+                from agarcl_tpu.ops.fused_step import (
+                    ResidentState, fused_env_multi_step,
+                    fused_env_multi_step_resident, supports_multi)
+                if isinstance(states, ResidentState):
+                    # resident kernel-layout state (no GameState
+                    # transposes); large k runs as chained <=10-step
+                    # kernel calls INSIDE this one program — one host
+                    # dispatch per k steps (the dispatch+glue costs
+                    # ~5 ms/call through the TPU tunnel,
+                    # bench/ms_block_probe.py)
+                    chunks = []
+                    left = k
+                    while left > 0:
+                        chunks.append(min(left, 10))
+                        left -= chunks[-1]
+                    outs = []
+                    res = states
+                    for ck in chunks:
+                        res, o, r, d = fused_env_multi_step_resident(
+                            cfg, res, actions, ck, obs_fn=frame_fn,
+                            block_envs=block_envs)
+                        outs.append((o, r, d))
+                    if len(outs) == 1:
+                        o, r, d = outs[0]
+                    else:
+                        o = (None if outs[0][0] is None else
+                             jnp.concatenate([x[0] for x in outs], axis=0))
+                        r = jnp.concatenate([x[1] for x in outs], axis=0)
+                        d = jnp.concatenate([x[2] for x in outs], axis=0)
+                    return res, o, r, d
                 if (supports_multi(cfg, obs_type, auto_reset,
                                    respawn_main_during_obs)
                         and k <= 16):
@@ -173,10 +201,36 @@ class VecEnv:
         """actions: (N, A, 3). Returns (states, obs, rewards, dones)."""
         return self._step_b(states, jnp.asarray(actions, jnp.float32))
 
-    def multi_step(self, states: GameState, actions, k: int):
+    def multi_step(self, states, actions, k: int):
         """Run k env-steps in one device program with the same actions —
         the dispatch-amortized path for throughput-critical loops.
         Returns (states, obs (k, N, ...) or None, rewards (k, N, A),
-        dones (k, N, A)); obs is produced every step (never dead-coded)."""
+        dones (k, N, A)); obs is produced every step (never dead-coded).
+        `states` may be a GameState or the ResidentState carrier from
+        make_resident()/a previous resident multi_step call."""
         return self._multi_step(states, jnp.asarray(actions, jnp.float32),
                                 k)
+
+    def supports_resident(self, k: int = 10) -> bool:
+        """Whether multi_step can run on resident kernel-layout state
+        (fused backend + in-kernel multi-step eligibility; any k — large
+        k chains <=10-step kernel calls inside one program)."""
+        from agarcl_tpu.ops.fused_step import supports_multi
+        return (self.backend == "fused"
+                and supports_multi(self.cfg, self.obs_type,
+                                   self.auto_reset, False))
+
+    def make_resident(self, states: GameState):
+        """GameState -> ResidentState (kernel layout, one-time
+        transpose); keeps `states` as the materialization template."""
+        from agarcl_tpu.ops.fused_step import to_resident
+        self._resident_template = states
+        return jax.jit(functools.partial(to_resident, self.cfg))(states)
+
+    def materialize(self, states):
+        """ResidentState (or GameState) -> GameState."""
+        from agarcl_tpu.ops.fused_step import ResidentState, from_resident
+        if not isinstance(states, ResidentState):
+            return states
+        return jax.jit(functools.partial(from_resident, self.cfg))(
+            self._resident_template, states)

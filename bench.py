@@ -14,7 +14,12 @@ import jax.numpy as jnp
 
 TARGET = 1_000_000.0
 NUM_ENVS = 8192
-STEPS_PER_CALL = 10   # chained inside one device program
+# Steps chained inside ONE device program per multi_step call (a
+# rollout-sized actor chunk; the resident fused path runs them as
+# <=10-step in-kernel multi-step calls chained in-program). One host
+# dispatch per 40 steps: the remote-TPU tunnel here adds ~3-5 ms of
+# per-dispatch latency that a locally attached chip does not have.
+STEPS_PER_CALL = 40
 TIMED_CALLS = 4
 
 
@@ -88,6 +93,11 @@ def main():
     env = VecEnv(cfg, num_envs, obs_type=args.obs, obs_config=obs_config,
                  backend=backend)
     states, _ = env.reset(0)
+    if env.supports_resident(steps_per_call):
+        # resident kernel-layout state: consecutive multi_step calls skip
+        # the GameState <-> kernel-layout transposes (~5.6 ms/call at
+        # 8192 envs)
+        states = env.make_resident(states)
 
     actions = jnp.zeros((num_envs, cfg.num_agents, 3), jnp.float32)
     key = jax.random.PRNGKey(0)
@@ -97,14 +107,14 @@ def main():
 
     states, obs, rewards, dones = env.multi_step(states, actions,
                                                  steps_per_call)  # compile
-    jax.block_until_ready(obs)
+    jax.block_until_ready((obs, rewards))
 
     t0 = time.perf_counter()
     for _ in range(timed_calls):
         states, obs, rewards, dones = env.multi_step(states, actions,
                                                      steps_per_call)
-    jax.block_until_ready(jax.tree_util.tree_leaves(obs)[0]
-                          if isinstance(obs, dict) else obs)
+    # rewards included: with --obs none there is no obs leaf to block on
+    jax.block_until_ready((obs, rewards))
     dt = time.perf_counter() - t0
 
     sps = num_envs * steps_per_call * timed_calls / dt

@@ -1026,3 +1026,99 @@ def test_fused_grid_frame_stacking():
     assert obs_f.shape[1] == 2                     # (N, F, A, C, G, G)
     np.testing.assert_array_equal(np.asarray(obs_f), np.asarray(obs_x))
     assert (np.asarray(obs_f[:, 0]) != np.asarray(obs_f[:, 1])).any()
+
+
+def test_resident_multi_step_parity():
+    """The resident kernel-layout multi_step (ResidentState carrier, no
+    GameState transposes between calls) produces the SAME obs, rewards,
+    dones, and final state as the GameState-in/GameState-out path over
+    several consecutive calls."""
+    import agarcl_tpu.ops.fused_step as FS
+    from agarcl_tpu.vec import VecEnv
+
+    cfg = EnvConfig(num_agents=1, ticks_per_step=2, arena_size=100,
+                    num_pellets=40, num_viruses=2, num_bots=0,
+                    reward_type=True, mode=4)
+    N, k = 4, 3
+    states = jax.vmap(functools.partial(env_reset, cfg))(
+        jnp.arange(N, dtype=jnp.uint32) + 5)
+    acts = jnp.tile(jnp.asarray([[0.6, -0.4, 0.0]], jnp.float32),
+                    (N, 1, 1))
+    from agarcl_tpu.obs.ram import RamObsConfig, ram_frame
+    obs_fn = functools.partial(ram_frame, cfg, RamObsConfig())
+
+    # reference: plain path, 2 consecutive calls
+    s_ref = states
+    ref = []
+    for _ in range(2):
+        s_ref, o, r, d = FS.fused_env_multi_step(cfg, s_ref, acts, k,
+                                                 obs_fn=obs_fn,
+                                                 block_envs=4,
+                                                 interpret=True)
+        ref.append((o, r, d))
+
+    res = FS.to_resident(cfg, states)
+    got = []
+    for _ in range(2):
+        res, o, r, d = FS.fused_env_multi_step_resident(
+            cfg, res, acts, k, obs_fn=obs_fn, block_envs=4, interpret=True)
+        got.append((o, r, d))
+    for (o1, r1, d1), (o2, r2, d2) in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+        np.testing.assert_allclose(np.asarray(r1), np.asarray(r2),
+                                   atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+
+    s_mat = FS.from_resident(cfg, states, res)
+    for f in ("cell_pos", "cell_mass", "cell_alive", "pellet_key",
+              "virus_pos", "food_pos", "ticks", "dones"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(s_ref, f)), np.asarray(getattr(s_mat, f)),
+            err_msg=f)
+
+
+def test_resident_multi_step_chunked_k():
+    """k > 16 on the resident path chains <=10-step kernel calls inside
+    one program; outputs equal k sequential 1-chunk calls."""
+    import agarcl_tpu.ops.fused_step as FS
+    from agarcl_tpu.vec import VecEnv
+
+    cfg = EnvConfig(num_agents=1, ticks_per_step=2, arena_size=100,
+                    num_pellets=40, num_viruses=2, num_bots=0,
+                    reward_type=True, mode=4)
+    N = 4
+    env = VecEnv(cfg, N, obs_type="ram", backend="fused", donate=False,
+                 block_envs=4)
+    states = jax.vmap(functools.partial(env_reset, cfg))(
+        jnp.arange(N, dtype=jnp.uint32) + 5)
+    acts = jnp.tile(jnp.asarray([[0.6, -0.4, 0.0]], jnp.float32),
+                    (N, 1, 1))
+    from agarcl_tpu.obs.ram import RamObsConfig, ram_frame
+    obs_fn = functools.partial(ram_frame, cfg, RamObsConfig())
+
+    res = FS.to_resident(cfg, states)
+    o_parts, r_parts = [], []
+    for ck in (10, 10, 3):
+        res, o, r, d = FS.fused_env_multi_step_resident(
+            cfg, res, acts, ck, obs_fn=obs_fn, block_envs=4,
+            interpret=True)
+        o_parts.append(np.asarray(o))
+        r_parts.append(np.asarray(r))
+    o_seq = np.concatenate(o_parts, axis=0)
+    r_seq = np.concatenate(r_parts, axis=0)
+
+    # same through the VecEnv chunking (one call, k=23) in interpret mode:
+    # patch the kernel entry to interpret since VecEnv hardcodes False
+    import agarcl_tpu.ops.fused_tick as FT
+    orig = FT._multi_step_raw_core
+    FT._multi_step_raw_core = functools.partial(orig.__wrapped__, interpret=True) \
+        if hasattr(orig, "__wrapped__") else (
+        lambda cfg_, raw, a_, n_, ro_, be_, interp_, loo_=0:
+        orig(cfg_, raw, a_, n_, ro_, be_, True, loo_))
+    try:
+        res2 = FS.to_resident(cfg, states)
+        res2, o2, r2, d2 = env.multi_step(res2, acts, 23)
+    finally:
+        FT._multi_step_raw_core = orig
+    np.testing.assert_array_equal(o_seq, np.asarray(o2))
+    np.testing.assert_allclose(r_seq, np.asarray(r2), atol=1e-5)
