@@ -26,7 +26,10 @@ TIMED_CALLS = 4
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--envs", type=int, default=NUM_ENVS)
-    ap.add_argument("--steps", type=int, default=STEPS_PER_CALL)
+    ap.add_argument("--steps", type=int, default=0,
+                    help="steps chained per multi_step call (0 = auto: "
+                         "40 on the resident ram/none path, 10 "
+                         "otherwise)")
     ap.add_argument("--iters", type=int, default=TIMED_CALLS)
     ap.add_argument("--mode", type=int, default=4,
                     help="game mode (7-10 = duel vs one scripted bot)")
@@ -49,7 +52,9 @@ def main():
                          "gym wrapper's dtype; int8 quarters the frame "
                          "write cost)")
     args = ap.parse_args()
-    num_envs, steps_per_call, timed_calls = args.envs, args.steps, args.iters
+    num_envs, timed_calls = args.envs, args.iters
+    steps_per_call = args.steps or (
+        STEPS_PER_CALL if args.obs in ("ram", "none") else 10)
 
     # If the TPU relay is down (tunnel process died), touching the axon
     # backend hangs indefinitely; probe the relay ports and fall back to
