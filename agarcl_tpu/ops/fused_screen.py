@@ -670,9 +670,14 @@ def _rasterize(cfg: EnvConfig, S: int, states, block_envs: int,
 def fused_screen_class_map(cfg: EnvConfig, S: int, states,
                            block_envs: int = 8, interpret: bool = False,
                            poly: bool = False):
-    """(N, A, S, S) int32 class map for a batched GameState — pixel-exact
-    vs jax.vmap of obs/screen.py `_class_map` (one map per agent).
-    poly: regular-fan silhouettes (see supports_polygon)."""
+    """(N, A, S, S) int32 class map for a batched GameState (one map per
+    agent). Circle mode: pixel-exact vs jax.vmap of obs/screen.py
+    `_class_map`. poly: regular-fan silhouettes (see supports_polygon) —
+    ORACLE-exact rather than bit-identical to the XLA path: the fused
+    rasterizer tests f32 half-plane row intervals while the XLA path uses
+    the polar cos-form radius factor, so borderline pixels can legitimately
+    differ; both rasterizers sit inside the float64 fan-oracle sandwich
+    (tests/test_polygon_screen.py)."""
     A = cfg.num_agents
     out = _rasterize(cfg, S, states, block_envs, interpret, agents=A,
                      poly=poly)

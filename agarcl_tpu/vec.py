@@ -69,6 +69,7 @@ class VecEnv:
         self._frame_fn = frame_fn
         self.num_frames = num_frames
         self.auto_reset = auto_reset
+        self.respawn_main_during_obs = respawn_main_during_obs
         self.backend = backend
         if backend == "fused":
             from agarcl_tpu.ops.fused_tick import supports
@@ -127,6 +128,13 @@ class VecEnv:
                     ResidentState, fused_env_multi_step,
                     fused_env_multi_step_resident, supports_multi)
                 if isinstance(states, ResidentState):
+                    # a ResidentState can only come from make_resident(),
+                    # which asserts eligibility; re-check here so a
+                    # hand-constructed or stale carrier fails loudly
+                    # instead of silently dropping per-step semantics
+                    assert supports_multi(cfg, obs_type, auto_reset,
+                                          respawn_main_during_obs), \
+                        "resident multi_step on an ineligible config"
                     # resident kernel-layout state (no GameState
                     # transposes); large k runs as chained <=10-step
                     # kernel calls INSIDE this one program — one host
@@ -211,18 +219,23 @@ class VecEnv:
         return self._multi_step(states, jnp.asarray(actions, jnp.float32),
                                 k)
 
-    def supports_resident(self, k: int = 10) -> bool:
+    def supports_resident(self) -> bool:
         """Whether multi_step can run on resident kernel-layout state
         (fused backend + in-kernel multi-step eligibility; any k — large
         k chains <=10-step kernel calls inside one program)."""
         from agarcl_tpu.ops.fused_step import supports_multi
         return (self.backend == "fused"
                 and supports_multi(self.cfg, self.obs_type,
-                                   self.auto_reset, False))
+                                   self.auto_reset,
+                                   self.respawn_main_during_obs))
 
     def make_resident(self, states: GameState):
         """GameState -> ResidentState (kernel layout, one-time
         transpose); keeps `states` as the materialization template."""
+        assert self.supports_resident(), \
+            ("resident state requires the fused backend and an in-kernel "
+             "multi-step-eligible config (ram/none obs, no auto_reset, "
+             "no respawn_main_during_obs, no mode-0 respawn_all)")
         from agarcl_tpu.ops.fused_step import to_resident
         self._resident_template = states
         return jax.jit(functools.partial(to_resident, self.cfg))(states)

@@ -8,5 +8,8 @@ cd "$(dirname "$0")/.."
 
 make -C oracle
 # -n 2: worker processes keep per-process XLA state small — one process
-# running all 119 tests accumulates until a late CPU compile aborts
-AGARCL_PLATFORM=cpu python -m pytest tests/ -q -n 2 "$@"
+# running all the tests accumulates until a late CPU compile aborts.
+# --max-worker-restart=0: a worker crash FAILS the run (it eats the test
+# that crashed it; silently restarting hid a flake in round 4).
+AGARCL_PLATFORM=cpu python -m pytest tests/ -q -n 2 \
+    -p no:cacheprovider --max-worker-restart=0 "$@"
