@@ -222,24 +222,29 @@ def test_fused_polygon_vs_fan_oracle():
 def test_fused_polygon_matches_xla_on_play():
     """Fused polygon frames == the XLA rasterizer with the same
     polygon_virus="circle" config on real played states (both paths pass
-    the fan oracle; boundary pixels agree here too)."""
+    the fan oracle; boundary pixels agree here too).
+
+    Shapes kept small (4 envs, 48 px, block_envs=2): interpret-mode Pallas
+    materializes per-block traces on the host, and the round-4 8-env/64-px
+    version intermittently OOM-crashed its xdist worker on the 4-core CI
+    host."""
     import functools
     import jax
     from agarcl_tpu.obs.screen import screen_frame
     from agarcl_tpu.ops.fused_screen import fused_screen_frame
     from agarcl_tpu.vec import VecEnv
     cfg = EnvConfig(num_agents=1, ticks_per_step=4, arena_size=120,
-                    num_pellets=100, num_viruses=4, num_bots=1, mode=7)
-    ocfg = ScreenObsConfig(screen_len=64, agent_view=True,
+                    num_pellets=64, num_viruses=4, num_bots=1, mode=7)
+    ocfg = ScreenObsConfig(screen_len=48, agent_view=True,
                            polygon_edges=True, polygon_virus="circle")
-    env = VecEnv(cfg, 8, obs_type="none", backend="xla", donate=False)
+    env = VecEnv(cfg, 4, obs_type="none", backend="xla", donate=False)
     states, _ = env.reset(11)
-    acts = jnp.tile(jnp.asarray([[0.6, -0.4, 0.0]], jnp.float32), (8, 1, 1))
+    acts = jnp.tile(jnp.asarray([[0.6, -0.4, 0.0]], jnp.float32), (4, 1, 1))
     for _ in range(4):
         states, obs, r, d = env.step(states, acts)
     ref = jax.jit(jax.vmap(functools.partial(screen_frame, cfg, ocfg)))(
         states)
-    got = fused_screen_frame(cfg, ocfg, states, block_envs=4,
+    got = fused_screen_frame(cfg, ocfg, states, block_envs=2,
                              interpret=True)
     ref, got = np.asarray(ref), np.asarray(got)
     diff = (ref != got).any(-1)
