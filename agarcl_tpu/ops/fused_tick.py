@@ -21,7 +21,7 @@ no atan (algebraic cos/sin), no i1 minor-dim inserts / transposes / bitcasts
 broadcasts on leading dims, which are legal), no uint32->f32 casts (via
 int32), and scf.for cannot carry i1 (loop carries are int32).
 
-Scope: num_players <= 5 (supports()). Cells are flat (P*Cc, E) with
+Scope: num_players <= 9 (supports()). Cells are flat (P*Cc, E) with
 per-player phases running on static per-player slices; the four scripted
 bot policies (engine/bots.py, /root/reference/agario/bots/*.hpp) and
 cross-player eating (Engine.hpp:150-200) run in-kernel, so the duel modes
@@ -1295,8 +1295,11 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
             eaten_pc = jnp.zeros((PC, E), jnp.int32)
             PCHUNK = 128
             if phases >= 4:
-                n_chunks = (Np + PCHUNK - 1) // PCHUNK
-                pad = n_chunks * PCHUNK - Np
+                # pad to the actual scratch plane size (>= the pellet pad:
+                # large-roster configs enlarge the planes for cross-eat
+                # staging); parked pad rows sit at _DEAD and never match
+                n_chunks = np_pad_scratch // PCHUNK
+                pad = np_pad_scratch - Np
                 if pad:
                     px_p = jnp.concatenate(
                         [pxw, jnp.full((pad, E), _DEAD)], axis=0)
@@ -1985,28 +1988,100 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
             if P > 1 and phases >= 8 and loo != 12:
                 rk2 = rank_of(cid, calive)
                 gkey2 = pidc * Cc + rk2                           # (PC, E)
-                radc3 = _radius(cmass)
-                xdx = cx[None, :, :] - cx[:, None, :]             # [i, j, E]
-                xdy = cy[None, :, :] - cy[:, None, :]
-                xd2 = xdx * xdx + xdy * xdy
-                xrm = jnp.maximum(radc3[:, None, :], radc3[None, :, :])
-                mi = cmass[:, None, :]
-                mj = cmass[None, :, :]
-                xcan = ((mi > C.CELL_EAT_REQUIREMENT)
-                        & (mi.astype(jnp.float32)
-                           > mj.astype(jnp.float32) * C.CELL_EAT_MARGIN))
-                dif_p = (jax.lax.broadcasted_iota(jnp.int32, (PC, PC, 1), 0)
-                         // Cc) != (jax.lax.broadcasted_iota(
-                             jnp.int32, (PC, PC, 1), 1) // Cc)
-                xelig = (calive[:, None, :] & calive[None, :, :] & dif_p
-                         & xcan & (xrm * xrm >= xd2))
-                xkey = jnp.where(xelig, gkey2[:, None, :], _BIG_I)   # eater i
-                minj = jnp.min(xkey, axis=0)                      # (PC, E) per j
+                # large rosters: the full (PC, PC, E) pairwise tables are
+                # fat (P=9 -> (144, 144, E) = 10.6 MB/value at E=128), so
+                # the i (eater) axis rides XCH-row fori chunks through
+                # VMEM scratch exactly like the relax chunk_pass. The
+                # arithmetic is identical: the per-prey winner key minj is
+                # a running min across chunks, and gains/counts are
+                # per-eater-row sums over j computed inside each chunk.
+                # Masked staging (mass/key zeroed for dead cells) changes
+                # values only where calive already kills eligibility.
+                XCH = 8
+                x_chunked = (PC > 48 and PC % XCH == 0
+                             and 2 * PC <= np_pad_scratch)
+                if x_chunked:
+                    mj_eff = jnp.where(calive, cmass, 0)   # snapshot masses
+                    key_eff = jnp.where(calive, gkey2, _BIG_I)
+                    s_pxw[0:PC, :] = cx
+                    s_pyw[0:PC, :] = cy
+                    s_pmin[0:PC, :] = mj_eff
+                    s_pmin[PC:2 * PC, :] = key_eff
+                    radc_j = _radius(cmass)
+                    mjf = mj_eff.astype(jnp.float32)
+                    pid_j = (jax.lax.broadcasted_iota(
+                        jnp.int32, (1, PC, 1), 1) // Cc)
+
+                    def xgeom(ci):
+                        """(XCH, PC, E) eligibility + key tables of eater
+                        rows [ci*XCH, ci*XCH+XCH) vs every prey j."""
+                        cxI = s_pxw[pl.ds(ci * XCH, XCH), :]
+                        cyI = s_pyw[pl.ds(ci * XCH, XCH), :]
+                        cmI = s_pmin[pl.ds(ci * XCH, XCH), :]
+                        keyI = s_pmin[pl.ds(PC + ci * XCH, XCH), :]
+                        radI = jnp.sqrt(cmI.astype(jnp.float32) / jnp.pi)
+                        xdx = cxI[:, None, :] - cx[None, :, :]
+                        xdy = cyI[:, None, :] - cy[None, :, :]
+                        xd2 = xdx * xdx + xdy * xdy
+                        xrm = jnp.maximum(radI[:, None, :],
+                                          radc_j[None, :, :])
+                        miI = cmI[:, None, :]
+                        pidI = ((jax.lax.broadcasted_iota(
+                            jnp.int32, (XCH, 1, 1), 0) + ci * XCH) // Cc)
+                        xelig = ((keyI < _BIG_I)[:, None, :]
+                                 & calive[None, :, :] & (pidI != pid_j)
+                                 & (miI > C.CELL_EAT_REQUIREMENT)
+                                 & (miI.astype(jnp.float32)
+                                    > mjf[None, :, :] * C.CELL_EAT_MARGIN)
+                                 & (xrm * xrm >= xd2))
+                        xkey = jnp.where(xelig, keyI[:, None, :], _BIG_I)
+                        return xelig, xkey
+
+                    def xpass1(ci, mkj):
+                        _, xkey = xgeom(ci)
+                        return jnp.minimum(mkj, jnp.min(xkey, axis=0))
+
+                    minj = jax.lax.fori_loop(
+                        0, PC // XCH, xpass1,
+                        jnp.full((PC, E), _BIG_I, jnp.int32))
+
+                    def xpass2(ci, carry):
+                        xelig, xkey = xgeom(ci)
+                        xwin = xelig & (xkey == minj[None, :, :])
+                        s_aux1[pl.ds(ci * XCH, XCH), :] = jnp.sum(
+                            jnp.where(xwin, mj_eff[None, :, :], 0),
+                            axis=1).astype(jnp.float32)
+                        s_aux2[pl.ds(ci * XCH, XCH), :] = jnp.sum(
+                            _bint(xwin), axis=1).astype(jnp.float32)
+                        return carry
+
+                    jax.lax.fori_loop(0, PC // XCH, xpass2, jnp.int32(0))
+                    gain = s_aux1[0:PC, :].astype(jnp.int32)
+                    cnt = s_aux2[0:PC, :].astype(jnp.int32)
+                else:
+                    radc3 = _radius(cmass)
+                    xdx = cx[None, :, :] - cx[:, None, :]         # [i, j, E]
+                    xdy = cy[None, :, :] - cy[:, None, :]
+                    xd2 = xdx * xdx + xdy * xdy
+                    xrm = jnp.maximum(radc3[:, None, :], radc3[None, :, :])
+                    mi = cmass[:, None, :]
+                    mj = cmass[None, :, :]
+                    xcan = ((mi > C.CELL_EAT_REQUIREMENT)
+                            & (mi.astype(jnp.float32)
+                               > mj.astype(jnp.float32) * C.CELL_EAT_MARGIN))
+                    dif_p = (jax.lax.broadcasted_iota(
+                        jnp.int32, (PC, PC, 1), 0) // Cc) != (
+                            jax.lax.broadcasted_iota(
+                                jnp.int32, (PC, PC, 1), 1) // Cc)
+                    xelig = (calive[:, None, :] & calive[None, :, :] & dif_p
+                             & xcan & (xrm * xrm >= xd2))
+                    xkey = jnp.where(xelig, gkey2[:, None, :], _BIG_I)
+                    minj = jnp.min(xkey, axis=0)                  # per prey j
+                    xwin = xelig & (xkey == minj[None, :, :])
+                    # gains use snapshot masses; chains allowed
+                    gain = jnp.sum(jnp.where(xwin, mj, 0), axis=1)
+                    cnt = jnp.sum(_bint(xwin), axis=1)
                 eaten = minj < _BIG_I
-                xwin = xelig & (xkey == minj[None, :, :])
-                # gains use snapshot masses; chains allowed (eaten may eat)
-                gain = jnp.sum(jnp.where(xwin, mj, 0), axis=1)
-                cnt = jnp.sum(_bint(xwin), axis=1)
                 cmass = cmass + gain
                 calive = calive & ~eaten
                 cells_eaten = cells_eaten_in + preduce(cnt, jnp.sum)
@@ -2134,7 +2209,7 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
                 # something is dead (maybe_deficit): quiescent blocks skip
                 # even the branch's carry copies
                 RCH = 128
-                np_pad_k = -(-Np // RCH) * RCH
+                np_pad_k = np_pad_scratch    # multiple of 128 >= Np
 
                 def regen_run(pxw=pxw, pyw=pyw, vx_=vx_,
                               vy_=vy_, vvx=vvx, vvy=vvy, vmass=vmass,
@@ -2521,9 +2596,14 @@ def _from_kernel_arrays(states: GameState, outs):
 
 
 def supports(cfg: EnvConfig) -> bool:
-    """The fused path covers rosters up to 5 players (agents + bots): the
-    pairwise cross-player phases scale as (P*Cc)^2 per env block."""
-    return cfg.num_players <= 5
+    """The fused path covers rosters up to 9 players (agents + bots) —
+    e.g. mode 0 with 8 bots, twice the reference integration fixture's
+    roster granularity. The cross-player eat's (P*Cc)^2 pairwise tables
+    ride XCH-row fori chunks through VMEM scratch for P >= 4 (round-3
+    footprint rules), so VMEM no longer caps the roster at 5; the
+    remaining bound is program size (per-player unrolled relax/placement/
+    recombine phases) and the (PC, E) working-set footprint."""
+    return cfg.num_players <= 9
 
 
 @functools.partial(jax.jit,
@@ -2559,7 +2639,7 @@ def fused_engine_tick(cfg: EnvConfig, states: GameState,
     the XLA table build (+2.1 / +1.5 ms/step of state transposes at bench
     sizes, bench/obs_table_probe.py) never runs.
     """
-    assert supports(cfg), "fused tick requires num_players <= 5"
+    assert supports(cfg), "fused tick requires num_players <= 9"
     N = states.ticks.shape[0]
     E = _block_size(N, block_envs)
 
@@ -2596,7 +2676,12 @@ def fused_engine_tick(cfg: EnvConfig, states: GameState,
     # kernel comment: Mosaic cannot dynamic-slice values, and unrolled fat
     # cond branches are taxed even untaken)
     PCHUNK = 128
-    np_pad = -(-cfg.pellet_capacity // PCHUNK) * PCHUNK
+    # scratch planes serve both the pellet chunk loops (>= pellet
+    # capacity) and the large-roster cross-eat staging (>= 2*P*Cc
+    # int rows for masked masses + winner keys)
+    np_pad = max(-(-cfg.pellet_capacity // PCHUNK) * PCHUNK,
+                 -(-2 * cfg.num_players * cfg.max_cells // PCHUNK)
+                 * PCHUNK)
     scratch = [pltpu.VMEM((np_pad, E), jnp.float32),
                pltpu.VMEM((np_pad, E), jnp.float32),
                pltpu.VMEM((np_pad, E), jnp.float32),
@@ -2647,7 +2732,7 @@ def fused_multi_step_call(cfg: EnvConfig, states: GameState, actions,
     are the post-step per-player values the XLA rim turns into
     rewards/dones (ops/fused_step.py::fused_env_multi_step).
     """
-    assert supports(cfg), "fused tick requires num_players <= 5"
+    assert supports(cfg), "fused tick requires num_players <= 9"
     N = states.ticks.shape[0]
     A = cfg.num_agents
     P = cfg.num_players
@@ -2711,7 +2796,12 @@ def _multi_step_raw_core(cfg: EnvConfig, raw, actions, n_steps: int,
     kernel = _make_kernel(cfg, 99, cfg.ticks_per_step, 99, ram_obs,
                           False, False, loo, n_steps)
     PCHUNK = 128
-    np_pad = -(-cfg.pellet_capacity // PCHUNK) * PCHUNK
+    # scratch planes serve both the pellet chunk loops (>= pellet
+    # capacity) and the large-roster cross-eat staging (>= 2*P*Cc
+    # int rows for masked masses + winner keys)
+    np_pad = max(-(-cfg.pellet_capacity // PCHUNK) * PCHUNK,
+                 -(-2 * cfg.num_players * cfg.max_cells // PCHUNK)
+                 * PCHUNK)
     scratch = [pltpu.VMEM((np_pad, E), jnp.float32),
                pltpu.VMEM((np_pad, E), jnp.float32),
                pltpu.VMEM((np_pad, E), jnp.float32),

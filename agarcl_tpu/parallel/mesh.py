@@ -66,7 +66,7 @@ class ShardedVecEnv:
         if backend == "fused":
             from agarcl_tpu.ops.fused_step import fused_env_step
             from agarcl_tpu.ops.fused_tick import supports
-            assert supports(cfg), "fused backend requires num_players <= 5"
+            assert supports(cfg), "fused backend requires num_players <= 9"
 
             def _step_shard(states, actions):
                 out = fused_env_step(cfg, states, actions, obs_fn=frame_fn,

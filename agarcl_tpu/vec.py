@@ -74,7 +74,7 @@ class VecEnv:
         if backend == "fused":
             from agarcl_tpu.ops.fused_tick import supports
             assert supports(cfg), \
-                "fused backend requires num_players <= 5"
+                "fused backend requires num_players <= 9"
 
         def _reset_one(seed):
             return env_reset(cfg, seed)

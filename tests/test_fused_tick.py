@@ -168,7 +168,10 @@ def test_fused_supports_gate():
     assert supports(CFG)
     assert supports(EnvConfig(num_agents=2))
     assert supports(EnvConfig(num_agents=1, num_bots=1, mode=0))
-    assert not supports(EnvConfig(num_agents=2, num_bots=4, mode=0))
+    # round 5: rosters up to 9 players ride the chunked cross-eat
+    assert supports(EnvConfig(num_agents=2, num_bots=4, mode=0))
+    assert supports(EnvConfig(num_agents=1, num_bots=8, mode=0))
+    assert not supports(EnvConfig(num_agents=1, num_bots=9, mode=0))
 
 
 def test_fused_env_step_matches_xla(monkeypatch):
@@ -431,6 +434,55 @@ def test_fused_matches_xla_mode0_roster():
         return jnp.asarray(tgt, jnp.float32), jnp.asarray(act, jnp.int32)
 
     run_trajectory_mp(cfg, 15, seed=3, act_fn=steer_all)
+
+
+def _steer_all_agents(num_agents):
+    def steer_all(t, rng, s):
+        tgt = np.array(s.target)
+        act = np.array(s.action)
+        c = np.asarray(s.player_centroid())
+        for a in range(num_agents):
+            tgt[:, a] = c[:, a] + rng.uniform(-15, 15, c[:, a].shape)
+            act[:, a] = rng.integers(0, 3, c.shape[0])
+        return jnp.asarray(tgt, jnp.float32), jnp.asarray(act, jnp.int32)
+    return steer_all
+
+
+def test_fused_matches_xla_mode0_4bots():
+    """Mode 0 full-game roster (agent + the reference's four scripted bot
+    types, BaseEnvironment.hpp:381-397 = 5 players, PC=80): the CHUNKED
+    cross-player eat (fused_tick.py x_chunked — PC > 48) must match the
+    XLA tick field-exactly through bot play and contested resources."""
+    cfg = EnvConfig(num_agents=1, ticks_per_step=4, arena_size=80,
+                    num_pellets=30, num_viruses=2, num_bots=4, mode=0)
+    run_trajectory_mp(cfg, 12, seed=5, act_fn=steer_agent0)
+
+
+def test_fused_matches_xla_mode0_8bots():
+    """9-player roster (agent + 8 bots — above the reference fixture's
+    granularity, tests/__init__.py:5-14 runs 25): the largest fused
+    roster; chunked cross-eat + all per-player phases at P=9."""
+    cfg = EnvConfig(num_agents=1, ticks_per_step=4, arena_size=80,
+                    num_pellets=24, num_viruses=2, num_bots=8, mode=0)
+    run_trajectory_mp(cfg, 8, seed=11, act_fn=steer_agent0)
+
+
+def test_fused_cross_eat_chunked_exact():
+    """Force immediate cross-player eats on the CHUNKED path (P=5): a fat
+    agent cell dropped onto bot spawns must eat identically to the XLA
+    tick, including the pid-rank winner arbitration."""
+    cfg = EnvConfig(num_agents=1, ticks_per_step=4, arena_size=100,
+                    num_pellets=20, num_viruses=0, num_bots=4, mode=0)
+
+    def boost(s):
+        bp = s.cell_pos[:, 1, 0]                      # bot 1 spawn (N, 2)
+        cm = s.cell_mass.at[:, 0, 0].set(500)
+        cp = s.cell_pos.at[:, 0, 0].set(bp)
+        # bot 2 overlaps too: two prey resolved in one tick
+        cp2 = cp.at[:, 2, 0].set(bp)
+        return s.replace(cell_mass=cm, cell_pos=cp2)
+
+    run_trajectory_mp(cfg, 5, seed=2, act_fn=steer_agent0, boost=boost)
 
 
 def test_fused_cross_eat_exact():
