@@ -40,7 +40,8 @@ def eat_pellets(cell_pos, cell_mass, cell_alive, rank, pellet_pos,
     P, Cc = cell_mass.shape
     rad = G.radius(cell_mass)                                # (P, Cc)
     diff = cell_pos[:, :, None, :] - pellet_pos[None, None, :, :]
-    dist2 = jnp.sum(diff * diff, axis=-1)                    # (P, Cc, Np)
+    dist2 = (diff[..., 0] * diff[..., 0]
+             + diff[..., 1] * diff[..., 1])                    # (P, Cc, Np)
     eligible = (cell_alive[:, :, None] & pellet_alive[None, None, :]
                 & (rad[:, :, None] ** 2 >= dist2))
     key = jnp.where(eligible, order_key(rank, Cc)[:, :, None], _BIG_I)
@@ -61,7 +62,8 @@ def eat_foods(cell_pos, cell_mass, cell_alive, rank, food_pos, food_alive):
     rad = G.radius(cell_mass)
     rad_food = G.radius(jnp.float32(C.FOOD_MASS))
     diff = cell_pos[:, :, None, :] - food_pos[None, None, :, :]
-    dist2 = jnp.sum(diff * diff, axis=-1)
+    dist2 = (diff[..., 0] * diff[..., 0]
+             + diff[..., 1] * diff[..., 1])
     rm = jnp.maximum(rad[:, :, None], rad_food)
     can_eat = cell_mass[:, :, None] > jnp.int32(C.FOOD_MASS * C.CELL_EAT_MARGIN)
     eligible = (cell_alive[:, :, None] & food_alive[None, None, :]
@@ -93,7 +95,8 @@ def virus_events(cell_pos, cell_mass, cell_alive, rank, virus_pos, virus_mass,
     rad_c = G.radius(cell_mass)
     rad_v = G.radius(virus_mass)
     diff = cell_pos[:, :, None, :] - virus_pos[None, None, :, :]
-    dist2 = jnp.sum(diff * diff, axis=-1)                    # (P, Cc, Nv)
+    dist2 = (diff[..., 0] * diff[..., 0]
+             + diff[..., 1] * diff[..., 1])                    # (P, Cc, Nv)
     rm = jnp.maximum(rad_c[:, :, None], rad_v[None, None, :])
     can_eat = (cell_mass[:, :, None].astype(jnp.float32)
                > virus_mass[None, None, :].astype(jnp.float32) * C.CELL_EAT_MARGIN)
@@ -151,7 +154,8 @@ def cross_player_eat(cell_pos, cell_mass, cell_alive, rank):
 
     rad = G.radius(mass)
     diff = pos[None, :, :] - pos[:, None, :]                 # [i, j]
-    dist2 = jnp.sum(diff * diff, axis=-1)
+    dist2 = (diff[..., 0] * diff[..., 0]
+             + diff[..., 1] * diff[..., 1])
     rm = jnp.maximum(rad[:, None], rad[None, :])
     can_eat = ((mass[:, None] > jnp.int32(C.CELL_EAT_REQUIREMENT))
                & (mass[:, None].astype(jnp.float32)
@@ -209,7 +213,8 @@ def move_foods_and_feed_viruses(food_pos, food_vel, food_alive,
     # food-virus collisions (collides_with: max radius)
     rad_v = G.radius(virus_mass)
     diff = food_pos[:, None, :] - virus_pos[None, :, :]
-    dist2 = jnp.sum(diff * diff, axis=-1)                    # (Nf, Nv)
+    dist2 = (diff[..., 0] * diff[..., 0]
+             + diff[..., 1] * diff[..., 1])                    # (Nf, Nv)
     rm = jnp.maximum(rad_f, rad_v[None, :])
     collide = moving[:, None] & virus_alive[None, :] & (rm * rm >= dist2)
 

@@ -20,9 +20,16 @@ def radius(mass):
 
 
 def max_speed(mass):
-    """v_max = 300 / mass^0.439 (Engine.hpp:1300-1302)."""
+    """v_max = 300 * mass^-0.439 (Engine.hpp:1300-1302).
+
+    Pinned as the negative-exponent PRODUCT, not the division: XLA's
+    algebraic simplifier rewrites `c / pow(m, e)` into `c * pow(m, -e)`
+    (measured on CPU: the rewritten form differs from the division form
+    on 35% of integer masses by 1 ulp — the round-5 mode-6 parity
+    bisection), so writing the product explicitly makes the law
+    compiler-independent; oracle.cpp::max_speed mirrors it."""
     m = jnp.asarray(mass, jnp.float32)
-    return C.CELL_MAX_SPEED / jnp.power(jnp.maximum(m, 1.0), 0.439)
+    return C.CELL_MAX_SPEED * jnp.power(jnp.maximum(m, 1.0), -0.439)
 
 
 def split_speed(mass):
@@ -31,6 +38,15 @@ def split_speed(mass):
 
 
 def vec_norm(v, axis=-1, keepdims=False):
+    """Euclidean norm, pinned for 2-vectors as sqrt(x*x + y*y) in the
+    ELEMENTWISE form: XLA-CPU contracts it to sqrt(fma(x, x, y*y))
+    (measured — the reduce-sum form lowers to a different contraction),
+    and oracle.cpp::norm mirrors std::fmaf(x, x, y*y) bit-for-bit."""
+    ax = axis if axis >= 0 else v.ndim + axis
+    if v.shape[ax] == 2 and ax == v.ndim - 1:
+        x, y = v[..., 0], v[..., 1]
+        n = jnp.sqrt(x * x + y * y)
+        return n[..., None] if keepdims else n
     return jnp.sqrt(jnp.sum(v * v, axis=axis, keepdims=keepdims))
 
 

@@ -44,7 +44,11 @@ def move_cells(target, pos, split_vel, mass, alive, arena_w, arena_h, dt):
 def _pair_geometry(pos, mass, alive):
     """Pairwise quantities within each player: d[p,i,j] = pos_j - pos_i."""
     diff = pos[:, None, :, :] - pos[:, :, None, :]          # (P, Cc, Cc, 2)
-    dist2 = jnp.sum(diff * diff, axis=-1)                   # (P, Cc, Cc)
+    # elementwise dx*dx + dy*dy (NOT reduce-sum): XLA-CPU contracts this
+    # form to fma(dx, dx, dy*dy), which oracle.cpp mirrors with std::fmaf
+    # (round-5 parity pin; the reduce form lowers differently)
+    dx, dy = diff[..., 0], diff[..., 1]
+    dist2 = dx * dx + dy * dy                               # (P, Cc, Cc)
     rad = G.radius(mass)
     rsum = rad[:, :, None] + rad[:, None, :]
     Cc = pos.shape[1]
@@ -72,10 +76,11 @@ def _elastic(vel_a, vel_b, mass_a, mass_b, dxy, dist):
     velocity of the smaller-mass cell only (both when equal)."""
     n = dxy / jnp.maximum(dist, 1e-12)[..., None]
     t = jnp.stack([-n[..., 1], n[..., 0]], axis=-1)
-    dp_n1 = jnp.sum(vel_a * n, axis=-1)
-    dp_n2 = jnp.sum(vel_b * n, axis=-1)
-    dp_t1 = jnp.sum(vel_a * t, axis=-1)
-    dp_t2 = jnp.sum(vel_b * t, axis=-1)
+    # elementwise dot products (first product fuses; oracle fmaf twin)
+    dp_n1 = vel_a[..., 0] * n[..., 0] + vel_a[..., 1] * n[..., 1]
+    dp_n2 = vel_b[..., 0] * n[..., 0] + vel_b[..., 1] * n[..., 1]
+    dp_t1 = vel_a[..., 0] * t[..., 0] + vel_a[..., 1] * t[..., 1]
+    dp_t2 = vel_b[..., 0] * t[..., 0] + vel_b[..., 1] * t[..., 1]
     m1 = mass_a.astype(jnp.float32)
     m2 = mass_b.astype(jnp.float32)
     msum = jnp.maximum(m1 + m2, 1.0)
@@ -140,8 +145,10 @@ def _separate_cells(pos_a, pos_b, mass_a, mass_b, rad_a, rad_b, target):
     ratio = _l1_ratio(dxy)
     depth = target_dist - dist
 
-    diff_a = jnp.sum((target - pos_a) ** 2, axis=-1)
-    diff_b = jnp.sum((target - pos_b) ** 2, axis=-1)
+    dax, day = (target - pos_a)[..., 0], (target - pos_a)[..., 1]
+    dbx, dby = (target - pos_b)[..., 0], (target - pos_b)[..., 1]
+    diff_a = dax * dax + day * day
+    diff_b = dbx * dbx + dby * dby
     sign1 = jnp.where(mass_a < mass_b, 1, -1)
     sign2 = jnp.where(diff_a >= diff_b, 1, -1)
     sign = jnp.where(sign1 == sign2, sign2, 0).astype(jnp.float32)
@@ -176,7 +183,8 @@ def _prevent_overlap(pos_a, vel_a, svel_a, mass_a, pos_b, vel_b, svel_b,
     pos_b = pos_b + (vel_b + svel_b) * dt
 
     dxy1 = pos_b - pos_a
-    dist2_1 = jnp.sum(dxy1 * dxy1, axis=-1)
+    dist2_1 = (dxy1[..., 0] * dxy1[..., 0]
+               + dxy1[..., 1] * dxy1[..., 1])
     still = G.touches(rad_a, rad_b, dist2_1)
     near_mass = jnp.abs(mass_a - mass_b) <= 10  # int compare (Engine.hpp:879)
 

@@ -105,8 +105,10 @@ def _radius(mass):
 
 
 def _max_speed(mass):
+    # negative-exponent product, matching engine/geometry.py::max_speed's
+    # pinned formulation (round 5)
     m = jnp.maximum(mass.astype(jnp.float32), 1.0)
-    return C.CELL_MAX_SPEED / jnp.power(m, 0.439)
+    return C.CELL_MAX_SPEED * jnp.power(m, -0.439)
 
 
 def _split_speed(mass):

@@ -68,7 +68,8 @@ class RefEnv:
                        ("ref_foods_alive", ctypes.c_int),
                        ("ref_agent_x", ctypes.c_double),
                        ("ref_agent_y", ctypes.c_double),
-                       ("ref_agent_food_eaten", ctypes.c_int)):
+                       ("ref_agent_food_eaten", ctypes.c_int),
+                       ("ref_bot_mass", ctypes.c_double)):
             getattr(lib, f).restype = ret
             getattr(lib, f).argtypes = [ctypes.c_void_p]
         lib.ref_respawn_if_dead.argtypes = [ctypes.c_void_p]
@@ -91,7 +92,8 @@ class RefEnv:
                     pellets=lib.ref_pellets_alive(h),
                     viruses=lib.ref_viruses_alive(h),
                     foods=lib.ref_foods_alive(h),
-                    food_eaten=lib.ref_agent_food_eaten(h))
+                    food_eaten=lib.ref_agent_food_eaten(h),
+                    bot_mass=lib.ref_bot_mass(h))
 
     def nearest_pellet_dir(self):
         dx = ctypes.c_float()
@@ -247,20 +249,32 @@ def run_ours(seeds, steps, policy="script", arena=100, num_pellets=200,
             a = np.concatenate([dirs[:, t], acts[:, t, None]],
                                axis=1)[:, None, :].astype(np.float32)
         states, _, _ = step(states, jnp.asarray(a))
-        # mirror the harness's respawn-if-dead (mode>6 duel handling)
+        # mirror the harness's respawn-if-dead: AGENT ONLY, matching
+        # ref_respawn_if_dead (ref_shim.cpp) which respawns pids[0].
+        # (The pre-round-5 version respawned EVERY player of the env,
+        # resetting a live duel bot's mass to spawn size each time the
+        # agent died — the sole source of the n=200 duel final-mass
+        # deviation: with it fixed, bot mass/death-rate trajectories
+        # match the reference.)
         dead = ~np.asarray(states.player_alive()[:, 0])
         if dead.any():
+            mask = np.zeros((n, cfg.num_players), bool)
+            mask[:, 0] = dead
             states = jax.vmap(functools.partial(respawn_players, cfg))(
-                states, jnp.asarray(dead[:, None]
-                                    & np.ones((n, cfg.num_players), bool)))
+                states, jnp.asarray(mask))
         masses[:, t] = np.asarray(states.player_mass()[:, 0])
         virus_traj[:, t] = np.asarray(states.virus_alive).sum(1)
         food_traj[:, t] = np.asarray(states.food_alive).sum(1)
     pp, pa = states.pellet_xy_alive(cfg)
+    pm_all = np.asarray(states.player_mass())
+    pal_all = np.asarray(states.player_alive())
     out = []
     for i in range(n):
+        bot_mass = (float(pm_all[i, 1] * pal_all[i, 1])
+                    if cfg.num_players > 1 else 0.0)
         out.append(dict(
             mass=float(masses[i, -1]),
+            bot_mass=bot_mass,
             cells=int(np.asarray(states.cell_alive[i, 0]).sum()),
             pellets=int(np.asarray(pa[i]).sum()),
             viruses=int(np.asarray(states.virus_alive[i]).sum()),
@@ -294,6 +308,13 @@ def compare(ref, ours, steps):
     for k in ("food_eaten", "pellets", "foods", "cells"):
         rows[f"mean_{k}"] = (float(np.mean([r[k] for r in ref])),
                              float(np.mean([o[k] for o in ours])))
+    if any(r.get("bot_mass", 0.0) > 0 for r in ref + ours):
+        rows["mean_bot_mass"] = (
+            float(np.mean([r["bot_mass"] for r in ref])),
+            float(np.mean([o["bot_mass"] for o in ours])))
+        rows["bot_dead_frac"] = (
+            float(np.mean([r["bot_mass"] == 0.0 for r in ref])),
+            float(np.mean([o["bot_mass"] == 0.0 for o in ours])))
     for k in ("virus_traj", "food_traj"):
         rv = np.stack([r[k] for r in ref])
         ov = np.stack([o[k] for o in ours])

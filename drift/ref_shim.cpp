@@ -30,22 +30,23 @@ void *ref_create(int arena, int num_pellets, int num_viruses, int mode,
   for (int i = 0; i < num_agents; i++)
     r->pids.push_back(r->eng->template add_player<agario::Player<false>>(
         "agent" + std::to_string(i)));
-  // mode-0 roster: round-robin bot types (BaseEnvironment.hpp:374-399)
+  // mode-0 roster: round-robin bot types (BaseEnvironment.hpp:374-399);
+  // bot pids recorded after the agents (ref_bot_mass)
   for (int i = 0; i < num_bots; i++) {
     switch (i % 4) {
-      case 0: r->eng->template add_player<agario::bot::HungryBot<false>>("HungryBot"); break;
-      case 1: r->eng->template add_player<agario::bot::HungryShyBot<false>>("HungryShyBot"); break;
-      case 2: r->eng->template add_player<agario::bot::AggressiveBot<false>>("AggressiveBot"); break;
-      case 3: r->eng->template add_player<agario::bot::AggressiveShyBot<false>>("AggressiveShyBot"); break;
+      case 0: r->pids.push_back(r->eng->template add_player<agario::bot::HungryBot<false>>("HungryBot")); break;
+      case 1: r->pids.push_back(r->eng->template add_player<agario::bot::HungryShyBot<false>>("HungryShyBot")); break;
+      case 2: r->pids.push_back(r->eng->template add_player<agario::bot::AggressiveBot<false>>("AggressiveBot")); break;
+      case 3: r->pids.push_back(r->eng->template add_player<agario::bot::AggressiveShyBot<false>>("AggressiveShyBot")); break;
     }
   }
   // duel modes 7-10 add one specific bot (BaseEnvironment.hpp:401-425)
   if (mode >= 7 && mode <= 10) {
     switch (mode - 7) {
-      case 0: r->eng->template add_player<agario::bot::HungryBot<false>>("HungryBot"); break;
-      case 1: r->eng->template add_player<agario::bot::HungryShyBot<false>>("HungryShyBot"); break;
-      case 2: r->eng->template add_player<agario::bot::AggressiveBot<false>>("AggressiveBot"); break;
-      case 3: r->eng->template add_player<agario::bot::AggressiveShyBot<false>>("AggressiveShyBot"); break;
+      case 0: r->pids.push_back(r->eng->template add_player<agario::bot::HungryBot<false>>("HungryBot")); break;
+      case 1: r->pids.push_back(r->eng->template add_player<agario::bot::HungryShyBot<false>>("HungryShyBot")); break;
+      case 2: r->pids.push_back(r->eng->template add_player<agario::bot::AggressiveBot<false>>("AggressiveBot")); break;
+      case 3: r->pids.push_back(r->eng->template add_player<agario::bot::AggressiveShyBot<false>>("AggressiveShyBot")); break;
     }
   }
   return r;
@@ -75,6 +76,13 @@ double ref_agent_mass(void *h) {
 int ref_agent_cells(void *h) {
   auto *r = static_cast<RefEnv *>(h);
   return int(r->eng->player(r->pids[0]).cells.size());
+}
+double ref_bot_mass(void *h) {
+  // first bot player (pids[num_agents]); 0.0 when dead or absent
+  auto *r = static_cast<RefEnv *>(h);
+  if (r->pids.size() < 2) return 0.0;
+  auto &p = r->eng->player(r->pids[1]);
+  return p.dead() ? 0.0 : double(p.mass());
 }
 int ref_pellets_alive(void *h) {
   return int(static_cast<RefEnv *>(h)->eng->pellet_count());

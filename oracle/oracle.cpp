@@ -132,7 +132,10 @@ inline float pellet_spawn_y(const PelletQGrid &g, uint32_t seed,
 // --------------------------------------------------------------- geometry
 inline float radiusf(float mass) { return std::sqrt(mass / float(M_PI)); }
 inline float max_speed(float mass) {
-  return CELL_MAX_SPEED / std::pow(std::max(mass, 1.0f), 0.439f);
+  // negative-exponent product: XLA rewrites c/pow(m,e) -> c*pow(m,-e)
+  // (1-ulp different on 35% of masses); geometry.py::max_speed pins the
+  // product form on both sides (round-5 mode-6 parity bisection)
+  return CELL_MAX_SPEED * std::pow(std::max(mass, 1.0f), -0.439f);
 }
 inline float split_speed(float mass) {
   float v = 3.0f * std::pow(max_speed(mass), 1.2f);
@@ -149,7 +152,10 @@ inline float direction(float dx, float dy) {
 }
 
 struct Vec2 { float x = 0, y = 0; };
-inline float norm(Vec2 v) { return std::sqrt(v.x * v.x + v.y * v.y); }
+// sqrt(fma(x, x, y*y)): XLA-CPU contracts the elementwise x*x + y*y to
+// one fused multiply-add on the FIRST product (measured, round 5);
+// geometry.py::vec_norm pins that form, std::fmaf mirrors it exactly
+inline float norm(Vec2 v) { return std::sqrt(std::fmaf(v.x, v.x, v.y * v.y)); }
 
 struct Config {
   int num_agents, num_players;   // players = agents + bots
@@ -259,13 +265,17 @@ void move_cells(Oracle &o, float dt) {
       if (sp > lim) { float s = lim / std::max(sp, 1e-12f);
         vel.x *= s; vel.y *= s; }
       Vec2 &sv = o.st.csvel[p][c];
-      pos.x += (vel.x + sv.x) * dt;
-      pos.y += (vel.y + sv.y) * dt;
-      // decelerate split velocity (types.hpp:212-228, per component)
+      // fmaf: XLA contracts pos + (vel+sv)*dt into one fused op
+      pos.x = std::fmaf(vel.x + sv.x, dt, pos.x);
+      pos.y = std::fmaf(vel.y + sv.y, dt, pos.y);
+      // decelerate split velocity (types.hpp:212-228, per component);
+      // ratio * (decel*dt) with the constant product formed FIRST — the
+      // engine folds decel*dt into one f32 constant
       float mag = norm(sv);
       if (mag > 1e-12f) {
-        float ddx = sv.x / mag * SPLIT_DECELERATION * dt;
-        float ddy = sv.y / mag * SPLIT_DECELERATION * dt;
+        float kdec = SPLIT_DECELERATION * dt;
+        float ddx = sv.x / mag * kdec;
+        float ddy = sv.y / mag * kdec;
         sv.x = (std::fabs(ddx) <= std::fabs(sv.x)) ? sv.x - ddx : 0.0f;
         sv.y = (std::fabs(ddy) <= std::fabs(sv.y)) ? sv.y - ddy : 0.0f;
       } else sv = {0, 0};
@@ -281,14 +291,21 @@ void elastic(Vec2 &va, Vec2 &vb, int ma, int mb, float dx, float dy, float d) {
   d = std::max(d, 1e-12f);
   float nx = dx / d, ny = dy / d;
   float tx = -ny, ty = nx;
-  float dpn1 = va.x * nx + va.y * ny, dpn2 = vb.x * nx + vb.y * ny;
-  float dpt1 = va.x * tx + va.y * ty, dpt2 = vb.x * tx + vb.y * ty;
+  // fmaf forms mirror XLA-CPU's contraction of `a*b + c` (first product
+  // fused; round-5 parity bisection) — geometry.py/_elastic pins the
+  // elementwise expressions these match
+  float dpn1 = std::fmaf(va.y, ny, va.x * nx);
+  float dpn2 = std::fmaf(vb.y, ny, vb.x * nx);
+  float dpt1 = std::fmaf(va.y, ty, va.x * tx);
+  float dpt2 = std::fmaf(vb.y, ty, vb.x * tx);
   float m1 = float(ma), m2 = float(mb);
   float ms = std::max(m1 + m2, 1.0f);
-  float v1 = (dpn1 * (m1 - m2) + 2.0f * m2 * dpn2) / ms;
-  float v2 = (dpn2 * (m2 - m1) + 2.0f * m1 * dpn1) / ms;
-  if (ma <= mb) { va = {tx * dpt1 + nx * v1, ty * dpt1 + ny * v1}; }
-  if (ma >= mb) { vb = {tx * dpt2 + nx * v2, ty * dpt2 + ny * v2}; }
+  float v1 = std::fmaf(2.0f * m2, dpn2, dpn1 * (m1 - m2)) / ms;
+  float v2 = std::fmaf(2.0f * m1, dpn1, dpn2 * (m2 - m1)) / ms;
+  if (ma <= mb) { va = {std::fmaf(nx, v1, tx * dpt1),
+                        std::fmaf(ny, v1, ty * dpt1)}; }
+  if (ma >= mb) { vb = {std::fmaf(nx, v2, tx * dpt2),
+                        std::fmaf(ny, v2, ty * dpt2)}; }
 }
 
 void l1_ratio(float dx, float dy, float &rx, float &ry) {
@@ -299,7 +316,7 @@ void l1_ratio(float dx, float dy, float &rx, float &ry) {
 void avoid_static_overlap(const Oracle &o, Vec2 &pa, Vec2 &va, Vec2 &pb,
                           Vec2 &vb, float ra, float rb) {
   float dx = pb.x - pa.x, dy = pb.y - pa.y;
-  float d = std::sqrt(dx * dx + dy * dy);
+  float d = std::sqrt(std::fmaf(dx, dx, dy * dy));
   float td = ra + rb;
   if (d > td) return;
   float rx, ry; l1_ratio(dx, dy, rx, ry);
@@ -313,8 +330,11 @@ void avoid_static_overlap(const Oracle &o, Vec2 &pa, Vec2 &va, Vec2 &pb,
   float sax, say, sbx, sby;
   border_scale(pa, ra, va, sax, say);
   border_scale(pb, rb, vb, sbx, sby);
-  pa.x -= rx * depth * sax; pa.y -= ry * depth * say;
-  pb.x += rx * depth * sbx; pb.y += ry * depth * sby;
+  // (ratio*depth) rounds once (XLA CSEs it), the *scale fuses into the
+  // +- (contraction)
+  float rdx = rx * depth, rdy = ry * depth;
+  pa.x = std::fmaf(-rdx, sax, pa.x); pa.y = std::fmaf(-rdy, say, pa.y);
+  pb.x = std::fmaf(rdx, sbx, pb.x); pb.y = std::fmaf(rdy, sby, pb.y);
   boundary_clamp(o, pa, ra);
   boundary_clamp(o, pb, rb);
 }
@@ -322,15 +342,15 @@ void avoid_static_overlap(const Oracle &o, Vec2 &pa, Vec2 &va, Vec2 &pb,
 void separate_cells(Vec2 &pa, Vec2 &pb, int ma, int mb, float ra, float rb,
                     Vec2 target) {
   float dx = pb.x - pa.x, dy = pb.y - pa.y;
-  float d = std::sqrt(dx * dx + dy * dy);
+  float d = std::sqrt(std::fmaf(dx, dx, dy * dy));
   float td = ra + rb;
   if (d > td) return;
   float rx, ry; l1_ratio(dx, dy, rx, ry);
   float depth = td - d;
-  float da = (target.x - pa.x) * (target.x - pa.x)
-           + (target.y - pa.y) * (target.y - pa.y);
-  float db = (target.x - pb.x) * (target.x - pb.x)
-           + (target.y - pb.y) * (target.y - pb.y);
+  float dax = target.x - pa.x, day = target.y - pa.y;
+  float dbx = target.x - pb.x, dby = target.y - pb.y;
+  float da = std::fmaf(dax, dax, day * day);
+  float db = std::fmaf(dbx, dbx, dby * dby);
   int s1 = ma < mb ? 1 : -1;
   int s2 = da >= db ? 1 : -1;
   float sign = (s1 == s2) ? float(s2) : 0.0f;
@@ -344,14 +364,18 @@ PairUpd prevent_overlap(const Oracle &o, Vec2 pa, Vec2 va, Vec2 sa, int ma,
                         float dt) {
   float ra = radiusf(float(ma)), rb = radiusf(float(mb));
   float dx0 = pb.x - pa.x, dy0 = pb.y - pa.y;
-  float d0 = std::sqrt(dx0 * dx0 + dy0 * dy0);
-  pa.x -= (va.x + sa.x) * dt; pa.y -= (va.y + sa.y) * dt;
-  pb.x -= (vb.x + sb.x) * dt; pb.y -= (vb.y + sb.y) * dt;
+  float d0 = std::sqrt(std::fmaf(dx0, dx0, dy0 * dy0));
+  pa.x = std::fmaf(-(va.x + sa.x), dt, pa.x);
+  pa.y = std::fmaf(-(va.y + sa.y), dt, pa.y);
+  pb.x = std::fmaf(-(vb.x + sb.x), dt, pb.x);
+  pb.y = std::fmaf(-(vb.y + sb.y), dt, pb.y);
   elastic(va, vb, ma, mb, dx0, dy0, d0);
-  pa.x += (va.x + sa.x) * dt; pa.y += (va.y + sa.y) * dt;
-  pb.x += (vb.x + sb.x) * dt; pb.y += (vb.y + sb.y) * dt;
+  pa.x = std::fmaf(va.x + sa.x, dt, pa.x);
+  pa.y = std::fmaf(va.y + sa.y, dt, pa.y);
+  pb.x = std::fmaf(vb.x + sb.x, dt, pb.x);
+  pb.y = std::fmaf(vb.y + sb.y, dt, pb.y);
   float dx1 = pb.x - pa.x, dy1 = pb.y - pa.y;
-  float d2 = dx1 * dx1 + dy1 * dy1;
+  float d2 = std::fmaf(dx1, dx1, dy1 * dy1);
   bool still = (ra + rb) * (ra + rb) >= d2;
   if (still) {
     if (std::abs(ma - mb) <= 10)
@@ -382,7 +406,8 @@ void self_collisions(Oracle &o, float dt) {
           float dx = o.st.cpos[p][j].x - o.st.cpos[p][i].x;
           float dy = o.st.cpos[p][j].y - o.st.cpos[p][i].y;
           float rj = radiusf(float(o.st.cmass[p][j]));
-          if ((ri + rj) * (ri + rj) >= dx * dx + dy * dy && rank[j] < bestrank) {
+          if ((ri + rj) * (ri + rj) >= std::fmaf(dx, dx, dy * dy)
+              && rank[j] < bestrank) {
             best = j; bestrank = rank[j];
           }
         }
@@ -440,7 +465,7 @@ void bot_decide(Oracle &o) {
       if (!o.st.palive[n]) continue;
       any_pellet = true;
       float dx = cent[p].x - o.st.ppos[n].x, dy = cent[p].y - o.st.ppos[n].y;
-      float d = std::sqrt(dx * dx + dy * dy);
+      float d = std::sqrt(std::fmaf(dx, dx, dy * dy));
       if (d > 0.01f && d < best) { best = d; pellet_target = o.st.ppos[n];
         has_pellet = true; }
     }
@@ -457,7 +482,7 @@ void bot_decide(Oracle &o) {
     for (int q = 0; q < P; q++) {
       if (q == p || !alive[q]) continue;
       float dx = cent[p].x - cent[q].x, dy = cent[p].y - cent[q].y;
-      if (std::sqrt(dx * dx + dy * dy) < SHY_RADIUS) { flee_j = q; break; }
+      if (std::sqrt(std::fmaf(dx, dx, dy * dy)) < SHY_RADIUS) { flee_j = q; break; }
     }
     // hunt: largest own cell; first player within 20 with edible mass
     int big_slot = -1, big_mass = -1;
@@ -470,7 +495,7 @@ void bot_decide(Oracle &o) {
     for (int q = 0; q < P && hunt_j < 0; q++) {
       if (q == p || !alive[q]) continue;
       float dx = cent[p].x - cent[q].x, dy = cent[p].y - cent[q].y;
-      if (std::sqrt(dx * dx + dy * dy) > AGGRESSIVE_RADIUS) continue;
+      if (std::sqrt(std::fmaf(dx, dx, dy * dy)) > AGGRESSIVE_RADIUS) continue;
       double wsum = 0, sx = 0, sy = 0;
       for (int c = 0; c < o.cfg.max_cells; c++) {
         if (!o.st.calive[q][c]) continue;
@@ -536,7 +561,9 @@ NewCell split_fields(const Oracle &o, Vec2 pos, int mass, Vec2 target,
   float dx = target.x - pos.x, dy = target.y - pos.y;
   float n = std::max(norm({dx, dy}), 1e-12f);
   dx /= n; dy /= n;
-  Vec2 loc{pos.x + dx * rad, pos.y + dy * rad};
+  // fmaf: XLA contracts pos + d*rad (measured 1-ulp split-placement
+  // noise in the round-5 mode-6 bisection)
+  Vec2 loc{std::fmaf(dx, rad, pos.x), std::fmaf(dy, rad, pos.y)};
   boundary_clamp(o, loc, rad);
   float sp = split_speed(float(split_mass));
   Vec2 vel{dx * sp, dy * sp};
@@ -588,7 +615,7 @@ void engine_tick(Oracle &o) {
         float dy = o.st.cpos[p][c].y - o.st.vpos[v].y;
         float rm = std::max(rc, rv);
         bool can = float(o.st.cmass[p][c]) > float(o.st.vmass[v]) * CELL_EAT_MARGIN;
-        if (can && rm * rm >= dx * dx + dy * dy) {
+        if (can && rm * rm >= std::fmaf(dx, dx, dy * dy)) {
           int64_t key = int64_t(rank[p][c]) * o.cfg.virus_cap + v;
           if (key < best) { best = key; ev[p] = {true, c, v}; }
         }
@@ -654,7 +681,7 @@ void engine_tick(Oracle &o) {
         float rc = radiusf(float(o.st.cmass[p][c]));
         float dx = o.st.cpos[p][c].x - o.st.ppos[n].x;
         float dy = o.st.cpos[p][c].y - o.st.ppos[n].y;
-        if (rc * rc >= dx * dx + dy * dy) {
+        if (rc * rc >= std::fmaf(dx, dx, dy * dy)) {
           int64_t key = int64_t(p) * Cc + rank[p][c];
           if (key < best) { best = key; bp = p; bc = c; }
         }
@@ -706,7 +733,7 @@ void engine_tick(Oracle &o) {
         float rc = std::max(radiusf(float(o.st.cmass[p][c])), rf);
         float dx = o.st.cpos[p][c].x - o.st.fpos[n].x;
         float dy = o.st.cpos[p][c].y - o.st.fpos[n].y;
-        if (rc * rc >= dx * dx + dy * dy) {
+        if (rc * rc >= std::fmaf(dx, dx, dy * dy)) {
           int64_t key = int64_t(p) * Cc + rank[p][c];
           if (key < best) { best = key; bp = p; bc = c; }
         }
@@ -806,7 +833,7 @@ void engine_tick(Oracle &o) {
           float dx = o.st.cpos[p][j].x - o.st.cpos[p][i].x;
           float dy = o.st.cpos[p][j].y - o.st.cpos[p][i].y;
           float rse = (ri + rj) + RECOMBINE_TOUCH_EPS;
-          if (rse * rse >= dx * dx + dy * dy) {
+          if (rse * rse >= std::fmaf(dx, dx, dy * dy)) {
             int64_t key = int64_t(rank[p][i]) * Cc + rank[p][j];
             if (key < best) { best = key; bi = i; bj = j; }
           }
@@ -865,7 +892,7 @@ void engine_tick(Oracle &o) {
             float rc = std::max(radiusf(float(smass[p][c])), rq);
             float dx = o.st.cpos[p][c].x - o.st.cpos[qp][qc].x;
             float dy = o.st.cpos[p][c].y - o.st.cpos[qp][qc].y;
-            if (rc * rc >= dx * dx + dy * dy) {
+            if (rc * rc >= std::fmaf(dx, dx, dy * dy)) {
               int64_t key = int64_t(p) * Cc + rank[p][c];
               if (key < best) { best = key; bp = p; bc = c; }
             }
@@ -904,8 +931,8 @@ void engine_tick(Oracle &o) {
         v.x = (std::fabs(ddx) <= std::fabs(v.x)) ? v.x - ddx : 0.0f;
         v.y = (std::fabs(ddy) <= std::fabs(v.y)) ? v.y - ddy : 0.0f;
       }
-      o.st.fpos[n].x += v.x * dt;
-      o.st.fpos[n].y += v.y * dt;
+      o.st.fpos[n].x = std::fmaf(v.x, dt, o.st.fpos[n].x);
+      o.st.fpos[n].y = std::fmaf(v.y, dt, o.st.fpos[n].y);
       boundary_clamp(o, o.st.fpos[n], rf);
       for (int vi = 0; vi < o.cfg.virus_cap; vi++) {
         if (!o.st.valive[vi]) continue;
@@ -913,7 +940,7 @@ void engine_tick(Oracle &o) {
         float rm = std::max(rf, rv);
         float dx = o.st.fpos[n].x - o.st.vpos[vi].x;
         float dy = o.st.fpos[n].y - o.st.vpos[vi].y;
-        if (rm * rm >= dx * dx + dy * dy) { hit_virus[n] = vi; break; }
+        if (rm * rm >= std::fmaf(dx, dx, dy * dy)) { hit_virus[n] = vi; break; }
       }
       if (hit_virus[n] >= 0) { hits[hit_virus[n]]++; o.st.falive[n] = false; }
     }
