@@ -175,7 +175,7 @@ def _make_kernel(cfg: EnvConfig, S: int, BE: int, Kp: int, Kf: int, Kv: int,
                  n_other: int, offs, packed_table=None,
                  _only: str | None = None, _ladder: bool = False,
                  _strip_dtype=None, multi: tuple | None = None,
-                 poly: bool = False):
+                 poly: bool = False, dyn_cells: bool = True):
     """offs: {section: (lane offset, real width, padded width)} into the one
     consolidated input table (see _rasterize). _only: benchmarking knob —
     compute just one work group ('strips', 'circles', 'lines') and leave the
@@ -264,8 +264,9 @@ def _make_kernel(cfg: EnvConfig, S: int, BE: int, Kp: int, Kf: int, Kv: int,
         return count
 
     def kernel(*refs):
-        o_ref = refs[-1]
-        tabs = dict(zip(multi, refs[:-1])) if multi else None
+        s_cols = refs[-1]                    # VMEM scratch (class columns)
+        o_ref = refs[-2]
+        tabs = dict(zip(multi, refs[:-2])) if multi else None
         tab = None if multi else refs[0]
         iota_lane = jax.lax.broadcasted_iota(
             jnp.int32, (1, S), 1).astype(jnp.float32)
@@ -311,10 +312,45 @@ def _make_kernel(cfg: EnvConfig, S: int, BE: int, Kp: int, Kf: int, Kv: int,
                     cov = jnp.where(dx2 <= lim, 1.0, cov)  # dx2<=r2-dy2
                 return cov
 
+            def circles_dyn(xn, yn, rn, n, wx, wy, cnt):
+                """Coverage via a DYNAMIC fori over the class's live
+                count (round 5): sections are compacted alive-first, so
+                only the first `cnt` lanes can cover. The unrolled path
+                pays 2 (S, S) ops for every CAPACITY slot (32 for the
+                16-cell own class) on every env; this loop pays ~3 per
+                LIVE cell (compare+select+carry) — the common 1-2-cell
+                regime skips ~90% of the class's work. Unlike the
+                rejected scf.if count ladder, a fori body repeats the
+                same block, so there is no per-branch carry-copy pair.
+                Bit-identical to the unroll: same select chain, same
+                order, dead slots beyond cnt cannot cover (r2 = -1)."""
+                xcol = jnp.transpose(sec(xn))          # (padded, 1)
+                ycol = jnp.transpose(sec(yn))
+                rcol = jnp.transpose(sec(rn))
+                s_cols[0:n, 0:1] = xcol[:n]
+                s_cols[0:n, 1:2] = ycol[:n]
+                s_cols[0:n, 2:3] = rcol[:n]
+
+                def body(c, cov):
+                    x = s_cols[pl.ds(c, 1), 0:1]       # (1, 1)
+                    y = s_cols[pl.ds(c, 1), 1:2]
+                    r2 = s_cols[pl.ds(c, 1), 2:3]
+                    dx2 = (wx - x) * (wx - x)          # (1, S)
+                    lim = r2 - (wy - y) * (wy - y)     # (S, 1)
+                    return jnp.where(dx2 <= lim, 1.0, cov)
+
+                cov = jax.lax.fori_loop(
+                    0, cnt.astype(jnp.int32), body,
+                    jnp.zeros((S, S), jnp.float32))
+                return cov >= 0.5
+
             def circles(xn, yn, rn, n, wx, wy, cnt=None):
-                """Coverage for a cell class whose lanes are compacted
-                alive-first (_rasterize). cnt (f32 scalar: this env's live
-                count) ladders the unroll per ENV — one scf.if pair per
+                """Coverage for a cell class. cnt (f32 scalar, params[3]/
+                [4]): "1 + highest live slot" — equals the live count for
+                the XLA build's compacted-alive-first sections, and bounds
+                the live region for the tick-emitted UNCOMPACTED sections.
+                Default path: circles_dyn (dynamic fori to cnt). The
+                legacy cnt ladder ladders the unroll per ENV — one scf.if pair per
                 class copies two (S, S) carries but skips 2*(n-k) ops in
                 the common 1-2 live-cell regime.
 
@@ -324,6 +360,8 @@ def _make_kernel(cfg: EnvConfig, S: int, BE: int, Kp: int, Kf: int, Kv: int,
                 the scf.if carry copies outweigh the skipped draws, same
                 mechanism as the per-entity conds. It also regressed the
                 duel-screen bench (295k -> 267k, two laddered classes)."""
+                if dyn_cells and cnt is not None and not _ladder and n > 4:
+                    return circles_dyn(xn, yn, rn, n, wx, wy, cnt)
                 if not _ladder:
                     cnt = None
                 if cnt is None or n <= 4:
@@ -612,6 +650,7 @@ def _rasterize_sections(cfg: EnvConfig, S: int, secs, offs, n_other, Ks,
                           {k: v for k, v in offs.items()}, packed_table,
                           _only, _ladder, _strip_dtype, multi=names,
                           poly=poly)
+    rows = -(-max(cfg.max_cells, n_other, 8) // 8) * 8
     return pl.pallas_call(
         kernel,
         grid=(N // BE,),
@@ -619,6 +658,7 @@ def _rasterize_sections(cfg: EnvConfig, S: int, secs, offs, n_other, Ks,
                   for a in arrs],
         out_specs=pl.BlockSpec((BE, S, S), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((N, S, S), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((rows, 128), jnp.float32)],
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -636,12 +676,14 @@ def _rasterize_table(cfg: EnvConfig, S: int, tab, offs, n_other, Ks,
     kernel = _make_kernel(cfg, S, BE, Kp, Kf, Kv, n_other,
                           {k: v for k, v in offs.items()}, packed_table,
                           _only, _ladder, _strip_dtype)
+    rows = -(-max(cfg.max_cells, n_other, 8) // 8) * 8
     return pl.pallas_call(
         kernel,
         grid=(N // BE,),
         in_specs=[pl.BlockSpec((BE, off), lambda i: (i, 0))],
         out_specs=pl.BlockSpec((BE, S, S), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((N, S, S), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((rows, 128), jnp.float32)],
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),

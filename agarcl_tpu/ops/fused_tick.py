@@ -2462,8 +2462,14 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
             from agarcl_tpu.ops.fused_screen import section_meta as _smeta
             z = jnp.clip(100.0 + pmass / 10.0, 100.0, 900.0)
             half = z * f32(_TAN_HALF_FOV)
-            mcnt = jnp.sum(jnp.where(calive0, 1.0, 0.0), axis=0,
-                           keepdims=True)
+            # params[3]/[4] semantics: "1 + highest live slot", NOT live
+            # count — tick-emitted sections are UNCOMPACTED, and the
+            # kernel's dynamic-count cell loop (fused_screen circles_dyn)
+            # stops at this bound; for the XLA build's compacted sections
+            # the two definitions coincide
+            miota1 = jax.lax.broadcasted_iota(jnp.int32, (Cc, 1), 0) + 1
+            mcnt = jnp.max(jnp.where(calive0, miota1, 0), axis=0,
+                           keepdims=True).astype(f32)
             rpel = f32(_RAD_PELLET)
             rfoo = f32(_RAD_FOOD)
             crad0 = jnp.sqrt(cmass0.astype(f32) / jnp.pi)
@@ -2479,8 +2485,10 @@ def _make_kernel(cfg: EnvConfig, phases: int = 99,
                 vr2=jnp.where(valive, vrad * vrad, -1.0))
             if n_other:
                 orad = jnp.sqrt(omf / jnp.pi)
-                ocnt = jnp.sum(jnp.where(oali, 1.0, 0.0), axis=0,
-                               keepdims=True)
+                oiota1 = jax.lax.broadcasted_iota(
+                    jnp.int32, (oali.shape[0], 1), 0) + 1
+                ocnt = jnp.max(jnp.where(oali, oiota1, 0), axis=0,
+                               keepdims=True).astype(f32)
                 svals.update(
                     ox=cx[Cc:], oy=cy[Cc:],
                     or2=jnp.where(oali, orad * orad, -1.0))

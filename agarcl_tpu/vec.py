@@ -117,7 +117,7 @@ class VecEnv:
         self._obs_b = (jax.jit(jax.vmap(frame_fn))
                        if frame_fn is not None else None)
 
-        def _multi_step(states, actions, k):
+        def _multi_step(states, actions, k, stack_obs=True):
             # chain k env-steps inside one program (amortizes dispatch; the
             # shape a fused actor-learner loop would use). obs is stacked
             # per step — keeping it in the output forces it to be computed
@@ -170,12 +170,14 @@ class VecEnv:
                                                 obs_fn=frame_fn,
                                                 block_envs=block_envs)
             if backend == "fused" and k <= 16:
-                # python unroll: XLA fuses each step's obs store directly
-                # into its stack slot — measured 0.3 ms/step CHEAPER than
-                # lax.scan at 8192 envs (the scan copies the per-iteration
-                # obs into the stacked carry). The fused step's graph is
-                # small, so the unrolled trace stays cheap to compile; the
-                # op-graph (xla) backend keeps the scan.
+                # python unroll (the op-graph backend keeps the scan; the
+                # scan's stacked carry copies cost ~0.3 ms/step at 8192
+                # envs). stack_obs=False returns the k per-step frames as
+                # a TUPLE instead of one stacked array: jnp.stack of k
+                # pallas outputs is a real k*frame HBM copy (the kernel
+                # cannot write into a concatenate's offset) — measured
+                # ~3.5 ms/step on the 1.07-GB int32 grid frame, the whole
+                # gap between the grid e2e rate and its store-floor.
                 fr, rs, ds = [], [], []
                 s = states
                 for _ in range(k):
@@ -183,8 +185,12 @@ class VecEnv:
                     fr.append(obs)
                     rs.append(rewards)
                     ds.append(dones)
-                obs = (jax.tree.map(lambda *x: jnp.stack(x), *fr)
-                       if fr[0] is not None else None)
+                if fr[0] is None:
+                    obs = None
+                elif stack_obs:
+                    obs = jax.tree.map(lambda *x: jnp.stack(x), *fr)
+                else:
+                    obs = tuple(fr)
                 return s, obs, jnp.stack(rs), jnp.stack(ds)
 
             def body(s, _):
@@ -194,7 +200,7 @@ class VecEnv:
                 body, states, None, length=k)
             return states, obs, rewards, dones
 
-        self._multi_step = jax.jit(_multi_step, static_argnums=2,
+        self._multi_step = jax.jit(_multi_step, static_argnums=(2, 3),
                                    donate_argnums=(0,) if donate else ())
 
     def reset(self, seed: int = 0):
@@ -209,15 +215,19 @@ class VecEnv:
         """actions: (N, A, 3). Returns (states, obs, rewards, dones)."""
         return self._step_b(states, jnp.asarray(actions, jnp.float32))
 
-    def multi_step(self, states, actions, k: int):
+    def multi_step(self, states, actions, k: int, stack_obs: bool = True):
         """Run k env-steps in one device program with the same actions —
         the dispatch-amortized path for throughput-critical loops.
         Returns (states, obs (k, N, ...) or None, rewards (k, N, A),
         dones (k, N, A)); obs is produced every step (never dead-coded).
+        stack_obs=False (fused python-unroll path only) returns obs as a
+        k-tuple of per-step frames instead — skipping the k*frame stack
+        copy, which dominates the glue cost for GB-scale grid/screen
+        frames; per-step consumers (rollout loops) should prefer it.
         `states` may be a GameState or the ResidentState carrier from
         make_resident()/a previous resident multi_step call."""
         return self._multi_step(states, jnp.asarray(actions, jnp.float32),
-                                k)
+                                k, stack_obs)
 
     def supports_resident(self) -> bool:
         """Whether multi_step can run on resident kernel-layout state

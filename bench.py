@@ -124,21 +124,25 @@ def main():
         # 8192 envs)
         states = env.make_resident(states)
 
+    # GB-scale frame stacks (grid/screen) return per-step tuples: the
+    # k-frame jnp.stack is a pure glue copy (~3.5 ms/step for the int32
+    # grid at 8192 envs) a per-step consumer never needs
+    stack_obs = args.obs not in ("grid", "screen")
     actions = jnp.zeros((num_envs, cfg.num_agents, 3), jnp.float32)
     key = jax.random.PRNGKey(0)
     dirs = jax.random.uniform(key, (num_envs, cfg.num_agents, 2),
                               minval=-1.0, maxval=1.0)
     actions = actions.at[..., :2].set(dirs)
 
-    states, obs, rewards, dones = env.multi_step(states, actions,
-                                                 steps_per_call)  # compile
+    states, obs, rewards, dones = env.multi_step(
+        states, actions, steps_per_call, stack_obs=stack_obs)  # compile
     jax.block_until_ready((obs, rewards))
     # one extra untimed call-group: the first post-compile dispatch group
     # through the remote relay consistently runs 3-6x slower than steady
     # state (observed 0.9-1.8M vs 5.4M on the headline) — warm it out so
     # the median isn't spent absorbing it
-    states, obs, rewards, dones = env.multi_step(states, actions,
-                                                 steps_per_call)
+    states, obs, rewards, dones = env.multi_step(
+        states, actions, steps_per_call, stack_obs=stack_obs)
     jax.block_until_ready((obs, rewards))
 
     # --- glitch-proof timing (round-5 hardening) ---------------------------
@@ -161,8 +165,8 @@ def main():
         attempts += 1
         t0 = time.perf_counter()
         for _ in range(timed_calls):
-            states, obs, rewards, dones = env.multi_step(states, actions,
-                                                         steps_per_call)
+            states, obs, rewards, dones = env.multi_step(
+                states, actions, steps_per_call, stack_obs=stack_obs)
         # host fetch of a device-side reduction closes the timed region
         # (with --obs none there is no obs leaf; rewards always exists)
         checksum = float(jax.device_get(jnp.sum(
