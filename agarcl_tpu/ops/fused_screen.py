@@ -77,7 +77,22 @@ def supports_polygon(ocfg) -> bool:
     intervals, but the wavy 150-gon virus rim (Entities.hpp:66-75) is
     CONCAVE — its row intersections are multi-interval — so fused polygon
     mode requires polygon_virus="circle" (the XLA rasterizer keeps full
-    wavy fidelity). Pixel rows ride in lanes, so S <= 128."""
+    wavy fidelity). Pixel rows ride in lanes, so S <= 128.
+
+    Round-5 note on why wavy stays XLA-only: three exact convex-cover
+    decompositions were prototyped (numpy-verified against the f64 fan
+    oracle) and none fit the kernel budget — (a) greedy convex
+    center-fan grouping needs 31 groups (the sine rim has two curvature
+    inflections per scallop), i.e. 26 virus slots x 31 = 806 strip lanes
+    with near-full-height windows; (b) hull-minus-sliver needs the 15
+    valley slivers split 3-ways at their inflections AND the sub-pieces
+    closed against the hull chord (own-chord closures leave covered
+    gaps, measured 0.8%-of-area mismatch), landing at 45-60 sub-pieces =
+    1170+ lanes; (c) ray-cast parity over the 150 static segments is
+    one-lane-per-(virus, segment) = 3900 lanes. All three cost more VPU
+    work than the entire current kernel. A future lever is per-lane
+    window clamping with a two-pass tall/short split (~1300 vregs/env,
+    ~75-85% of circle mode) — measured estimates, not yet built."""
     return (ocfg.polygon_edges and ocfg.polygon_virus == "circle"
             and ocfg.screen_len <= 128)
 
@@ -175,7 +190,7 @@ def _make_kernel(cfg: EnvConfig, S: int, BE: int, Kp: int, Kf: int, Kv: int,
                  n_other: int, offs, packed_table=None,
                  _only: str | None = None, _ladder: bool = False,
                  _strip_dtype=None, multi: tuple | None = None,
-                 poly: bool = False, dyn_cells: bool = True):
+                 poly: bool = False, dyn_cells: bool = False):
     """offs: {section: (lane offset, real width, padded width)} into the one
     consolidated input table (see _rasterize). _only: benchmarking knob —
     compute just one work group ('strips', 'circles', 'lines') and leave the
@@ -319,9 +334,12 @@ def _make_kernel(cfg: EnvConfig, S: int, BE: int, Kp: int, Kf: int, Kv: int,
                 pays 2 (S, S) ops for every CAPACITY slot (32 for the
                 16-cell own class) on every env; this loop pays ~3 per
                 LIVE cell (compare+select+carry) — the common 1-2-cell
-                regime skips ~90% of the class's work. Unlike the
-                rejected scf.if count ladder, a fori body repeats the
-                same block, so there is no per-branch carry-copy pair.
+                regime skips ~90% of the class's work. MEASURED OFF by
+                default (round 5): on hardware the dynamic-bound scf.while
+                serializes the block's software pipeline — screen 84/2048
+                regressed 620k -> 540k despite the op savings (the same
+                mechanism that killed the scf.if count ladder); kept as a
+                knob for shapes with much larger capacity/live ratios.
                 Bit-identical to the unroll: same select chain, same
                 order, dead slots beyond cnt cannot cover (r2 = -1)."""
                 xcol = jnp.transpose(sec(xn))          # (padded, 1)

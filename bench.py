@@ -18,8 +18,13 @@ import jax.numpy as jnp
 # survive process restarts (AGARCL_NO_CACHE=1 bypasses, matching
 # tests/conftest.py — concurrent writers can tear entries)
 if not os.environ.get("AGARCL_NO_CACHE"):
+    # bench uses its OWN cache dir: sharing .jax_cache with the pytest
+    # suite produced torn entries under concurrent writers (the known
+    # get_executable_and_time abort — one crashed a suite worker this
+    # round)
     jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
+                      os.path.join(os.path.dirname(__file__),
+                                   ".jax_cache_tpu"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 TARGET = 1_000_000.0
