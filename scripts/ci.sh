@@ -11,5 +11,9 @@ make -C oracle
 # running all the tests accumulates until a late CPU compile aborts.
 # --max-worker-restart=0: a worker crash FAILS the run (it eats the test
 # that crashed it; silently restarting hid a flake in round 4).
-AGARCL_PLATFORM=cpu python -m pytest tests/ -q -n 2 \
-    -p no:cacheprovider --max-worker-restart=0 "$@"
+# -u PALLAS_AXON_POOL_IPS: never load the axon TPU plugin in the CPU
+# suite — with the tunnel busy (a concurrent bench) or dead, plugin init
+# intermittently aborts a worker mid-run (three crashes in round 5, all
+# correlated with concurrent TPU processes; zero without the plugin).
+env -u PALLAS_AXON_POOL_IPS AGARCL_PLATFORM=cpu python -m pytest tests/ \
+    -q -n 2 -p no:cacheprovider --max-worker-restart=0 "$@"
