@@ -7,8 +7,11 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 
 make -C oracle
-# -n 2: worker processes keep per-process XLA state small — one process
-# running all the tests accumulates until a late CPU compile aborts.
+# -n 3: worker processes keep per-process XLA state small — one process
+# running all the tests accumulates until a late CPU compile aborts, and
+# at -n 2 the per-worker share (~73 tests) still crossed the abort
+# threshold intermittently (round 5: three crashed runs at -n 2, three
+# consecutive green at -n 3).
 # --max-worker-restart=0: a worker crash FAILS the run (it eats the test
 # that crashed it; silently restarting hid a flake in round 4).
 # -u PALLAS_AXON_POOL_IPS: never load the axon TPU plugin in the CPU
@@ -16,4 +19,4 @@ make -C oracle
 # intermittently aborts a worker mid-run (three crashes in round 5, all
 # correlated with concurrent TPU processes; zero without the plugin).
 env -u PALLAS_AXON_POOL_IPS AGARCL_PLATFORM=cpu python -m pytest tests/ \
-    -q -n 2 -p no:cacheprovider --max-worker-restart=0 "$@"
+    -q -n 3 -p no:cacheprovider --max-worker-restart=0 "$@"
