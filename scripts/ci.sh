@@ -15,8 +15,8 @@ make -C oracle
 # --max-worker-restart=0: a worker crash FAILS the run (it eats the test
 # that crashed it; silently restarting hid a flake in round 4).
 # -u PALLAS_AXON_POOL_IPS: never load the axon TPU plugin in the CPU
-# suite — with the tunnel busy (a concurrent bench) or dead, plugin init
-# intermittently aborts a worker mid-run (three crashes in round 5, all
-# correlated with concurrent TPU processes; zero without the plugin).
+# suite (hygiene: the plugin has aborted with its tunnel dead; the
+# round-5 worker crashes themselves reproduced with and without it at
+# -n 2 and vanished at -n 3, so the accumulation threshold is the cause).
 env -u PALLAS_AXON_POOL_IPS AGARCL_PLATFORM=cpu python -m pytest tests/ \
     -q -n 3 -p no:cacheprovider --max-worker-restart=0 "$@"
