@@ -90,8 +90,15 @@ def supports_polygon(ocfg) -> bool:
     gaps, measured 0.8%-of-area mismatch), landing at 45-60 sub-pieces =
     1170+ lanes; (c) ray-cast parity over the 150 static segments is
     one-lane-per-(virus, segment) = 3900 lanes. All three cost more VPU
-    work than the entire current kernel. A future lever is per-lane
-    window clamping with a two-pass tall/short split (~1300 vregs/env,
+    work than the entire current kernel. Two future levers: (d) the
+    150-gon rim deviates from the SMOOTH polar curve 1 + sin(15*theta)/15
+    by only ~2.2e-4 relative (chord sag), far inside the 1e-3 fan-oracle
+    sandwich band, so per-(env, virus, strip-row) interval tables can be
+    solved on the smooth curve in XLA (asin/sin available there; ~11 MB
+    of tables at 2048 envs) and fed to the kernel as sections — the open
+    problem is robustly enumerating multi-interval grazing rows without
+    a 30-bracket bisection per row; and (e) per-lane window clamping
+    with a two-pass tall/short convex-piece split (~1300 vregs/env,
     ~75-85% of circle mode) — measured estimates, not yet built."""
     return (ocfg.polygon_edges and ocfg.polygon_virus == "circle"
             and ocfg.screen_len <= 128)
