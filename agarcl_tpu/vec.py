@@ -60,8 +60,8 @@ class VecEnv:
                  respawn_main_during_obs: bool = False, donate: bool = True,
                  backend: str = "xla", block_envs: int = 128):
         """backend: "xla" (vmapped op-graph tick, any config) or "fused"
-        (single-Pallas-kernel tick — single-agent configs on TPU; ~8x the
-        XLA path's throughput)."""
+        (single-Pallas-kernel tick — rosters up to 9 players on TPU;
+        4-70x the XLA path's throughput depending on roster size)."""
         self.cfg = cfg
         self.num_envs = num_envs
         self.obs_type = obs_type
