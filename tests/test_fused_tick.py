@@ -164,6 +164,24 @@ def test_fused_recombine_merge():
     assert (n_alive < 4).all() and (n_alive >= 2).all()
 
 
+def test_resident_refuses_respawn_main_during_obs():
+    """ADVICE r4 (medium): a VecEnv built with respawn_main_during_obs
+    must refuse resident state — the resident kernel path cannot apply
+    the main-agent respawn/done-latch/c_death semantics _finish_step
+    adds per step."""
+    from agarcl_tpu.vec import VecEnv
+    cfg = EnvConfig(num_agents=1, ticks_per_step=2, arena_size=80,
+                    num_pellets=20, num_viruses=0, num_bots=0, mode=4)
+    env = VecEnv(cfg, 4, obs_type="ram", backend="fused",
+                 respawn_main_during_obs=True, donate=False)
+    assert not env.supports_resident()
+    states = jax.vmap(functools.partial(env_reset, cfg))(
+        jnp.arange(4, dtype=jnp.uint32))
+    import pytest as _pytest
+    with _pytest.raises(AssertionError):
+        env.make_resident(states)
+
+
 def test_fused_supports_gate():
     assert supports(CFG)
     assert supports(EnvConfig(num_agents=2))
@@ -258,6 +276,40 @@ def test_multi_step_returns_obs():
     assert obs.shape[:2] == (3, 4)
     assert r.shape == (3, 4, 1) and d.shape == (3, 4, 1)
     assert np.all(np.isfinite(np.asarray(obs)))
+
+
+def test_multi_step_obs_tuple_matches_stacked(monkeypatch):
+    """multi_step(stack_obs=False) on the fused python-unroll path
+    returns the same per-step frames as the stacked default, just as a
+    k-tuple (the round-5 contract that skips the k*frame stack copy —
+    ~3.5 ms/step on the 1.07-GB int32 grid stack at 8192 envs). Runs the
+    fused backend in interpret mode by pinning fused_env_step's interpret
+    flag (grid obs is not in-kernel-multi-eligible, so the unroll branch
+    executes)."""
+    import agarcl_tpu.ops.fused_step as FS
+    from agarcl_tpu.obs.grid import GridObsConfig
+    from agarcl_tpu.vec import VecEnv
+
+    orig = FS.fused_env_step
+    monkeypatch.setattr(
+        FS, "fused_env_step",
+        functools.partial(orig, interpret=True))
+
+    cfg = EnvConfig(num_agents=1, ticks_per_step=2, arena_size=80,
+                    num_pellets=24, num_viruses=0, num_bots=0, mode=4)
+    ocfg = GridObsConfig(grid_size=16)
+    env = VecEnv(cfg, 4, obs_type="grid", obs_config=ocfg,
+                 backend="fused", block_envs=2, donate=False)
+    states, _ = env.reset(3)
+    acts = jnp.zeros((4, 1, 3), jnp.float32).at[..., 0].set(1.0)
+    s1, obs_stacked, r1, d1 = env.multi_step(states, acts, 2)
+    s2, obs_tuple, r2, d2 = env.multi_step(states, acts, 2,
+                                           stack_obs=False)
+    assert isinstance(obs_tuple, tuple) and len(obs_tuple) == 2
+    np.testing.assert_array_equal(np.asarray(obs_stacked),
+                                  np.asarray(jnp.stack(list(obs_tuple))))
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
 
 
 def test_multi_step_matches_stepwise():
