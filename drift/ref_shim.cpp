@@ -16,6 +16,7 @@ using E = agario::Engine<false>;
 struct RefEnv {
   std::unique_ptr<E> eng;
   std::vector<agario::pid> pids;
+  int mode = 4;
 };
 
 extern "C" {
@@ -23,6 +24,7 @@ extern "C" {
 void *ref_create(int arena, int num_pellets, int num_viruses, int mode,
                  int num_agents, int num_bots, int seed) {
   auto *r = new RefEnv();
+  r->mode = mode;
   r->eng = std::make_unique<E>(arena, arena, num_pellets, num_viruses,
                                true /*pellet_regen*/, mode);
   r->eng->seed(seed);
@@ -144,6 +146,15 @@ void ref_nearest_virus_dir(void *h, float *dx, float *dy) {
 
 void ref_respawn_if_dead(void *h) {
   auto *r = static_cast<RefEnv *>(h);
+  if (r->mode == 0) {
+    // mode 0 respawns EVERY dead player each env step
+    // (BaseEnvironment.hpp:99-101 repsawn_all_players)
+    for (auto pid : r->pids) {
+      auto &p = r->eng->player(pid);
+      if (p.dead()) r->eng->respawn(p);
+    }
+    return;
+  }
   auto &p = r->eng->player(r->pids[0]);
   if (p.dead()) r->eng->respawn(p);
 }
