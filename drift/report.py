@@ -65,6 +65,15 @@ SCENARIOS = [
     ("mode-4 greedy pellet chase", "chase",
      dict(mode=4, num_pellets=200, num_viruses=2, arena=100),
      "eating-heavy: pellet arbitration (M1), eat-order pins (M5)", 200),
+    # Duel residual (round-5 probe, n=100 pacing-matched): the AGENT
+    # final-mass distributions match (200.0 vs 197.2, KS 0.16 < crit
+    # 0.23) — the surviving deviation is BOT SURVIVAL: our bot ends
+    # dead in 17% of episodes vs the reference's 43% (and +32% mass),
+    # recombine-independent. Candidate channels for round 6: the
+    # reference bot decides mid-tick from a partially-advanced state
+    # (take_action inside tick_player, unordered_map order) vs our
+    # start-of-tick snapshot (SPEC Q12), and std::rand tie-breaks in
+    # its nearest-pellet scan.
     ("duel mode-7 vs HungryBot, pellet chase", "chase",
      dict(mode=7, num_pellets=200, num_viruses=2, arena=100, num_bots=1),
      "bot policy + cross-player eating (M3) + bot RNG (D2)", 200),
